@@ -139,9 +139,11 @@ def doc_fingerprint(text: str, window: int = 64) -> int:
     for i in range(1, len(vals) - window + 1):
         h = ((h - int(vals[i - 1]) * pw) * _B + int(vals[i + window - 1])) % _MOD
         hashes[i] = h
-    k = min(8, hashes.size)
-    smallest = np.partition(hashes, k - 1)[:k]
+    # distinct min-k (duplicate windows in periodic text would cancel
+    # under XOR otherwise)
+    uniq = np.unique(hashes)
+    k = min(8, uniq.size)
     out = 0
-    for v in sorted(int(x) for x in smallest):
-        out ^= v
+    for v in uniq[:k]:
+        out ^= int(v)
     return out
