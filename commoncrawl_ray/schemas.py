@@ -1,0 +1,76 @@
+"""Arrow schema constants — the engine's data model (SURVEY §1.3).
+
+The reference declares record schemas in a custom ``.jr`` DDL compiled
+to Java (``rpc/compiler/``, ``protocol/shared/protocol.jr``); here the
+whole type system is explicit ``pyarrow.Schema`` constants.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Input pages table (BASELINE.json input_hint)
+PAGES = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("ms")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+# Parsed / extracted documents (ArcFileItem + ArcFileMetadata analogue,
+# protocol/shared/protocol.jr:8-26,56-128)
+DOCS = pa.schema(
+    [
+        ("url", pa.string()),
+        ("canon_url", pa.string()),
+        ("url_fp", pa.int64()),
+        ("domain_fp", pa.int64()),
+        ("root_domain_fp", pa.int64()),
+        ("host", pa.string()),
+        ("warc_ts", pa.timestamp("ms")),
+        ("http_status", pa.int16()),
+        ("mime_norm", pa.string()),
+        ("disposition", pa.int8()),
+        ("charset_used", pa.string()),
+        ("flags", pa.int32()),
+        ("text", pa.string()),
+        ("text_digest", pa.binary(16)),
+        ("simhash", pa.int64()),
+        ("n_links", pa.int32()),
+    ]
+)
+
+# Crawl frontier (SURVEY §1.3)
+FRONTIER = pa.schema(
+    [
+        ("canon_url", pa.string()),
+        ("host", pa.string()),
+        ("host_fp", pa.int64()),
+        ("domain_fp", pa.int64()),
+        ("url_fp", pa.int64()),
+        ("root_domain_fp", pa.int64()),
+        ("depth", pa.int32()),
+        ("priority", pa.float64()),
+        ("discovered_epoch", pa.int32()),
+    ]
+)
+
+# Per-epoch crawl log (golden_crawl shape, FIXTURES.md §5)
+FETCH_LOG = pa.schema(
+    [
+        ("epoch", pa.int32()),
+        ("seq", pa.int64()),
+        ("url_fp", pa.int64()),
+        ("host_fp", pa.int64()),
+        ("canon_url", pa.string()),
+        ("action", pa.string()),  # fetched/robots_blocked/budget_deferred/dup_skipped
+        ("http_status", pa.int16()),
+        ("priority", pa.float64()),
+        ("depth", pa.int32()),
+    ]
+)
+
+URL_SEEN = pa.schema([("partition", pa.int32()), ("url_fp", pa.int64())])
