@@ -186,3 +186,31 @@ def murmur32_long(key: int, seed: int = 0) -> int:
     as the bloom filter does (reference ``Filter.java:85-104``)."""
     b = (key & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "big")
     return murmur32(b, seed)
+
+
+_MM = np.uint32(0x5BD1E995)
+
+
+def murmur32_long_batch(keys: np.ndarray, seeds) -> np.ndarray:
+    """Vectorized murmur32_long over an int64 array. ``seeds`` is a
+    scalar or an int32 array (seed chaining for the double hash).
+    Returns int32 (Java-signed) values identical to the scalar path.
+
+    For an 8-big-endian-byte key, the two little-endian int32 chunks
+    are the byteswapped high and low 32-bit halves.
+    """
+    u = keys.astype(np.int64).view(np.uint64)
+    hi = (u >> np.uint64(32)).astype(np.uint32).byteswap()
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).byteswap()
+    h = (np.uint32(seeds) if np.isscalar(seeds) else seeds.astype(np.int32).view(np.uint32)) ^ np.uint32(8)
+    with np.errstate(over="ignore"):
+        for k in (hi, lo):
+            k = k * _MM
+            k = k ^ (k >> np.uint32(24))
+            k = k * _MM
+            h = h * _MM
+            h = h ^ k
+        h = h ^ (h >> np.uint32(13))
+        h = h * _MM
+        h = h ^ (h >> np.uint32(15))
+    return h.view(np.int32) if not np.isscalar(h) else np.int32(h)

@@ -1,0 +1,49 @@
+"""Shared crawl semantics: config, ordering keys, link discovery.
+
+The determinism contract (SURVEY §7 hard-parts 3): ALL ordering is by
+explicit sort keys, never task-completion order.
+
+- selection within a host: (priority desc, url_fp asc);
+- global sequence within an epoch:
+  (action_rank, priority desc, host_fp, url_fp) with
+  action_rank = fetched:0, robots_blocked:1, budget_deferred:2,
+  dup_skipped:3;
+- intra-epoch duplicate discoveries reduce to min (depth, host_fp,
+  url_fp) — i.e. the shallowest discovery wins, deterministically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..state.politeness import PolitenessPolicy
+
+ACTION_RANK = {"fetched": 0, "robots_blocked": 1, "budget_deferred": 2, "dup_skipped": 3}
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    sf: float = 0.001
+    seed: int = 42
+    max_epochs: int = 4
+    num_seen_partitions: int = 8
+    policy: PolitenessPolicy = field(default_factory=PolitenessPolicy)
+    log_dups: bool = True
+    priority_decay: str = "inverse_depth"  # priority = 1/(depth+1)
+
+    def priority_for_depth(self, depth: int) -> float:
+        return 1.0 / (depth + 1)
+
+
+def log_sort_key(action: str, priority: float, host_fp: int, url_fp: int):
+    return (ACTION_RANK[action], -priority, host_fp, url_fp)
+
+
+def discover_links(canon_url: str, record: bytes) -> list[str]:
+    """Extract + resolve out-links of a fetched record (absolute URLs,
+    pre-canonicalization)."""
+    from ..stages.links import resolve_links
+    from ..stages.parse_extract import extract_record
+
+    r = extract_record(canon_url, record)
+    return resolve_links(canon_url, r["links"], r["base"])

@@ -1,0 +1,536 @@
+"""Distributed crawl engine — the Ray-Data epoch loop.
+
+Each epoch is a bounded batch (SURVEY §2.9): select → robots → fetch →
+extract → discover → merge, expressed as Dataset stages:
+
+- robots check: ``map_batches`` consulting the ``RobotsCacheActor``
+  pool (host-partitioned cache, J6);
+- politeness selection: ``groupby(host_fp).map_groups`` — the per-host
+  priority queue realized as a shuffle (north rule), key salting not
+  needed for selection because budget-per-host caps each group's output
+  and group input is bounded by the frontier slice;
+- fetch+parse+discover: stateless ``map_batches`` task (the synthetic
+  web is a pure function of the URL — no page-table join; a real
+  deployment swaps in an async-HTTP actor pool with the same row
+  contract);
+- candidate canonicalize+fingerprint: vectorized ``map_batches``;
+- cross-batch dedup: ``groupby(url_fp)`` min-depth reduce;
+- URL-seen anti-join: batched ``check_and_add`` against the
+  ``UrlSeenActor`` pool (partitioned bloom + exact set, J5/T5).
+
+Determinism: all ordering via explicit sort keys (pipelines.common);
+the per-epoch log is sorted by (action_rank, priority desc, host_fp,
+url_fp) and sequence-stamped. State between epochs lives ONLY in
+parquet checkpoints + the seen-actor pool, so a killed run resumes
+from the last complete manifest with an identical frontier
+(SURVEY §4 checkpoint/resume; manifests written atomically tmp+rename
+mirroring query/Query.java:246-260's attempt-dir pattern).
+
+Scale notes (10^10 frontier): the frontier and logs stream through
+parquet each epoch (never driver-materialized); the one driver-side
+materialization is the per-epoch log *sequence stamping*, which is
+bounded by hosts×budget + robots/deferred/dup rows per epoch — for
+truly unbounded logs, stamp seq from per-file row offsets recorded in
+the manifest instead (same total order, no materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.fingerprint import fp64, fp64_batch
+from ..schemas import FETCH_LOG
+from ..state.robots import RobotsCachePool, is_blocked
+from ..state.url_seen import UrlSeenPool
+from .common import ACTION_RANK, CrawlConfig
+
+_LOG_COLS = [f.name for f in FETCH_LOG]
+
+
+# --------------------------------------------------------------------
+# batch kernels
+# --------------------------------------------------------------------
+
+
+class RobotsStage:
+    """Adds 'blocked' via the robots cache pool. Callable class so each
+    actor/task keeps a local short-TTL memo in front of the shared pool."""
+
+    def __init__(self, robots_actors, epoch: int):
+        self.actors = robots_actors
+        self.epoch = epoch
+        self.memo: dict[str, tuple] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        urls = batch.column("canon_url").to_pylist()
+        n = len(hosts)
+        rules_by_host: dict[str, tuple] = {}
+        missing = sorted({h for h in hosts if h not in self.memo})
+        if missing:
+            host_fps = np.fromiter((fp64(h) for h in missing), dtype=np.int64, count=len(missing))
+            parts = host_fps.view(np.uint64) % np.uint64(len(self.actors))
+            refs, groups = [], []
+            for a in range(len(self.actors)):
+                sel = [missing[i] for i in np.nonzero(parts == a)[0]]
+                if sel:
+                    refs.append(self.actors[a].rules_for.remote(sel, self.epoch))
+                    groups.append(sel)
+            for sel, rules_list in zip(groups, ray.get(refs)):
+                for h, rules in zip(sel, rules_list):
+                    self.memo[h] = tuple(rules)
+        rules_by_host = self.memo
+        blocked = np.fromiter(
+            (is_blocked(u, rules_by_host[h]) for u, h in zip(urls, hosts)),
+            dtype=bool,
+            count=n,
+        )
+        return batch.append_column("blocked", pa.array(blocked))
+
+
+def make_select_fn(budget: int):
+    """groupby(host_fp) politeness selection -> 'action' column."""
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["priority", "url_fp"], ascending=[False, True], kind="mergesort")
+        action = np.where(np.arange(len(group)) < budget, "fetched", "budget_deferred")
+        group = group.assign(action=action)
+        return group
+
+    return select
+
+
+class FetchStage:
+    """Simulated fetch + parse + link discovery. Actor-pool stage: the
+    Universe (host pool etc.) is built once per actor in __init__, not
+    per batch (SURVEY §2.3). Real deployments replace ``synth_page``
+    with an async HTTP client; the row contract stays identical."""
+
+    def __init__(self, sf: float, seed: int):
+        from ..sources.synth import get_universe
+
+        self.uni = get_universe(sf, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .common import discover_links
+
+        urls = batch.column("canon_url").to_pylist()
+        status = np.zeros(len(urls), dtype=np.int16)
+        links_col: list[list[str]] = []
+        for i, u in enumerate(urls):
+            rec = self.uni.synth_page(u)
+            if rec is None:
+                status[i] = 404
+                links_col.append([])
+            else:
+                status[i] = 200
+                links_col.append(discover_links(u, rec))
+        return batch.append_column("http_status", pa.array(status)).append_column(
+            "links", pa.array(links_col, pa.list_(pa.string()))
+        )
+
+
+def candidates_batch(batch: pa.Table) -> pa.Table:
+    """Explode links -> canonicalize+fingerprint candidate rows
+    (vectorized fps over the batch's distinct URLs)."""
+    from ..functions.canonicalize import host_from_canonical, url_fpv2
+
+    parent_depth = batch.column("depth").to_pylist()
+    links_lists = batch.column("links").to_pylist()
+    urls: list[str] = []
+    depths: list[int] = []
+    for d, links in zip(parent_depth, links_lists):
+        for l in links:
+            urls.append(l)
+            depths.append(d + 1)
+    canon: list[str] = []
+    hosts: list[str] = []
+    url_fp: list[int] = []
+    domain_fp: list[int] = []
+    root_fp: list[int] = []
+    out_depth: list[int] = []
+    cache: dict[str, tuple] = {}
+    for u, d in zip(urls, depths):
+        hit = cache.get(u)
+        if hit is None:
+            fps = url_fpv2(u)
+            if fps is None:
+                cache[u] = ()
+                continue
+            c, dfp, ufp, rfp = fps
+            h = host_from_canonical(c)
+            if h is None:
+                cache[u] = ()
+                continue
+            hit = (c, h, ufp, dfp, rfp)
+            cache[u] = hit
+        elif hit == ():
+            continue
+        c, h, ufp, dfp, rfp = hit
+        canon.append(c)
+        hosts.append(h)
+        url_fp.append(ufp)
+        domain_fp.append(dfp)
+        root_fp.append(rfp)
+        out_depth.append(d)
+    host_fps = fp64_batch(hosts)
+    return pa.table(
+        {
+            "canon_url": pa.array(canon, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "host_fp": pa.array(host_fps),
+            "domain_fp": pa.array(domain_fp, pa.int64()),
+            "url_fp": pa.array(url_fp, pa.int64()),
+            "root_domain_fp": pa.array(root_fp, pa.int64()),
+            "depth": pa.array(out_depth, pa.int32()),
+        }
+    )
+
+
+def min_depth_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Intra-epoch duplicate discoveries: shallowest wins (common.py)."""
+    return group.sort_values(["depth", "host_fp", "url_fp"], kind="mergesort").head(1)
+
+
+class SeenStage:
+    """URL-seen anti-join: routes url_fps to the UrlSeenActor pool;
+    keeps only newly-admitted rows, marks the rest dup."""
+
+    def __init__(self, seen_actors, num_partitions: int):
+        self.actors = seen_actors
+        self.p = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = batch.column("url_fp").to_numpy()
+        parts = fps.view(np.uint64) % np.uint64(self.p)
+        new_mask = np.zeros(len(fps), dtype=bool)
+        refs, idxs = [], []
+        for p in range(self.p):
+            sel = np.nonzero(parts == p)[0]
+            if len(sel):
+                refs.append(self.actors[p].check_and_add.remote(fps[sel]))
+                idxs.append(sel)
+        for sel, res in zip(idxs, ray.get(refs)):
+            new_mask[sel] = res
+        return batch.append_column("is_new", pa.array(new_mask))
+
+
+# --------------------------------------------------------------------
+# checkpoint helpers
+# --------------------------------------------------------------------
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _manifest_path(ckpt: str, epoch: int) -> str:
+    return os.path.join(ckpt, f"manifest_{epoch}.json")
+
+
+def latest_complete_epoch(ckpt: str) -> int | None:
+    """Largest e with manifest_e.json present, or None."""
+    best = None
+    if not os.path.isdir(ckpt):
+        return None
+    for name in os.listdir(ckpt):
+        if name.startswith("manifest_") and name.endswith(".json"):
+            try:
+                e = int(name[len("manifest_") : -len(".json")])
+            except ValueError:
+                continue
+            best = e if best is None else max(best, e)
+    return best
+
+
+# --------------------------------------------------------------------
+# the engine
+# --------------------------------------------------------------------
+
+
+@dataclass
+class CrawlRunResult:
+    ckpt_dir: str
+    epochs_run: int = 0
+    counters: list[dict] = field(default_factory=list)
+    seen_total: int = 0
+    frontier_left: int = 0
+
+    def log_table(self) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        dirs = sorted(
+            os.path.join(self.ckpt_dir, d)
+            for d in os.listdir(self.ckpt_dir)
+            if d.startswith("fetch_log_")
+        )
+        tables = [pads.dataset(d).to_table() for d in dirs]
+        t = pa.concat_tables(tables) if tables else pa.table({c: [] for c in _LOG_COLS})
+        return t.sort_by([("epoch", "ascending"), ("seq", "ascending")])
+
+    def seen_table(self) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        e = self.epochs_run - 1
+        d = os.path.join(self.ckpt_dir, f"url_seen_{e}")
+        return pads.dataset(
+            [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        ).to_table()
+
+
+def _seed_frontier_table(cfg: CrawlConfig) -> pa.Table:
+    """Admit the seed list (driver-side; seed lists are small)."""
+    from ..functions.canonicalize import host_from_canonical, url_fpv2
+    from ..sources.synth import get_universe
+
+    uni = get_universe(cfg.sf, cfg.seed)
+    rows: dict[int, tuple] = {}
+    for url in uni.seed_urls():
+        fps = url_fpv2(url)
+        if fps is None:
+            continue
+        canon, dfp, ufp, rfp = fps
+        host = host_from_canonical(canon)
+        if host is None or ufp in rows:
+            continue
+        rows[ufp] = (canon, host, fp64(host), dfp, ufp, rfp, 0, cfg.priority_for_depth(0), 0)
+    cols = list(zip(*rows.values())) if rows else [[]] * 9
+    return pa.table(
+        {
+            "canon_url": pa.array(cols[0], pa.string()),
+            "host": pa.array(cols[1], pa.string()),
+            "host_fp": pa.array(cols[2], pa.int64()),
+            "domain_fp": pa.array(cols[3], pa.int64()),
+            "url_fp": pa.array(cols[4], pa.int64()),
+            "root_domain_fp": pa.array(cols[5], pa.int64()),
+            "depth": pa.array(cols[6], pa.int32()),
+            "priority": pa.array(cols[7], pa.float64()),
+            "discovered_epoch": pa.array(cols[8], pa.int32()),
+        }
+    )
+
+
+def crawl(
+    cfg: CrawlConfig,
+    ckpt_dir: str,
+    resume: bool = False,
+    fetch_concurrency: int | tuple = (1, 4),
+) -> CrawlRunResult:
+    """Run (or resume) the epoch loop. Owns no ray.init."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    res = CrawlRunResult(ckpt_dir=ckpt_dir)
+
+    seen_pool = UrlSeenPool(cfg.num_seen_partitions)
+    robots_pool = RobotsCachePool(num_actors=max(2, cfg.num_seen_partitions // 4))
+
+    start_epoch = 0
+    if resume:
+        last = latest_complete_epoch(ckpt_dir)
+        if last is not None:
+            start_epoch = last + 1
+            seen_pool.restore(os.path.join(ckpt_dir, f"url_seen_{last}"))
+            with open(_manifest_path(ckpt_dir, last)) as f:
+                man = json.load(f)
+            res.counters = man.get("all_counters", [])
+
+    if start_epoch == 0:
+        seed_table = _seed_frontier_table(cfg)
+        admitted = seen_pool.check_and_add(seed_table.column("url_fp").to_numpy())
+        seed_table = seed_table.filter(pa.array(admitted))
+        frontier_dir = os.path.join(ckpt_dir, "frontier_0")
+        os.makedirs(frontier_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(seed_table, os.path.join(frontier_dir, "part-00000.parquet"))
+
+    budget = cfg.policy.budget_for_epoch(0)
+
+    for epoch in range(start_epoch, cfg.max_epochs):
+        frontier_dir = os.path.join(ckpt_dir, f"frontier_{epoch}")
+        if not os.path.isdir(frontier_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(frontier_dir)
+        ):
+            break
+        frontier = rd.read_parquet(frontier_dir)
+        if frontier.count() == 0:
+            break
+        res.epochs_run = epoch + 1
+
+        # 1. robots check (cached actor pool). Materialized because
+        # several downstream branches consume it — unpinned, every
+        # branch would re-run the stage (and respawn its actor pool).
+        checked = frontier.map_batches(
+            RobotsStage,
+            fn_constructor_args=(robots_pool.actors, epoch),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=4096,
+        ).materialize()
+
+        # 2. politeness selection per host (the groupby(host) shuffle);
+        # materialized: feeds both the fetch and deferred branches.
+        blocked = checked.filter(expr="blocked == True")
+        allowed = checked.filter(expr="blocked == False")
+        selected_all = (
+            allowed.drop_columns(["blocked"])
+            .groupby("host_fp")
+            .map_groups(make_select_fn(budget), batch_format="pandas")
+            .materialize()
+        )
+        to_fetch = selected_all.filter(expr="action == 'fetched'")
+        deferred = selected_all.filter(expr="action == 'budget_deferred'")
+
+        # 3. fetch + discover (actor pool; universe built once per actor)
+        fetched = to_fetch.map_batches(
+            FetchStage,
+            fn_constructor_args=(cfg.sf, cfg.seed),
+            batch_format="pyarrow",
+            concurrency=fetch_concurrency,
+            batch_size=256,
+        ).materialize()
+
+        # 4. candidate links: explode + canonicalize + fingerprint
+        candidates = fetched.map_batches(
+            candidates_batch, batch_format="pyarrow", batch_size=256
+        )
+        # 5. cross-batch intra-epoch dedup (shallowest discovery wins)
+        candidates = candidates.groupby("url_fp").map_groups(
+            min_depth_group, batch_format="pandas"
+        )
+        # 6. URL-seen anti-join via the partitioned actor pool
+        checked_cand = candidates.map_batches(
+            SeenStage,
+            fn_constructor_args=(seen_pool.actors, cfg.num_seen_partitions),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=8192,
+        ).materialize()
+        new_cand = checked_cand.filter(expr="is_new == True").drop_columns(["is_new"])
+        dup_cand = checked_cand.filter(expr="is_new == False").drop_columns(["is_new"])
+
+        # 7. epoch log: union all actions, deterministic global order
+        def _log_rows(ds, action: str, with_status: bool = False):
+            def to_log(b: pa.Table) -> pa.Table:
+                n = b.num_rows
+                status = (
+                    b.column("http_status")
+                    if with_status
+                    else pa.array(np.zeros(n, dtype=np.int16))
+                )
+                prio = (
+                    b.column("priority")
+                    if "priority" in b.column_names
+                    else pa.array(1.0 / (b.column("depth").to_numpy() + 1.0))
+                )
+                return pa.table(
+                    {
+                        "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+                        "seq": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "url_fp": b.column("url_fp"),
+                        "host_fp": b.column("host_fp"),
+                        "canon_url": b.column("canon_url"),
+                        "action": pa.array([action] * n, pa.string()),
+                        "http_status": status,
+                        "priority": prio,
+                        "depth": b.column("depth"),
+                        "action_rank": pa.array(
+                            np.full(n, ACTION_RANK[action], dtype=np.int32)
+                        ),
+                    }
+                )
+
+            return ds.map_batches(to_log, batch_format="pyarrow")
+
+        log_parts = [
+            _log_rows(fetched.drop_columns(["links"]), "fetched", with_status=True),
+            _log_rows(blocked, "robots_blocked"),
+            _log_rows(deferred, "budget_deferred"),
+        ]
+        if cfg.log_dups:
+            log_parts.append(_log_rows(dup_cand, "dup_skipped"))
+        epoch_log = log_parts[0].union(*log_parts[1:])
+        epoch_log = epoch_log.sort(
+            ["action_rank", "priority", "host_fp", "url_fp"],
+            descending=[False, True, False, False],
+        )
+        # seq stamping (bounded per-epoch; see module docstring scale note)
+        log_tbl = pa.Table.from_pandas(epoch_log.to_pandas(), preserve_index=False)
+        log_tbl = log_tbl.drop_columns(["action_rank"])
+        log_tbl = log_tbl.set_column(
+            log_tbl.column_names.index("seq"),
+            "seq",
+            pa.array(np.arange(log_tbl.num_rows, dtype=np.int64)),
+        )
+        log_dir = os.path.join(ckpt_dir, f"fetch_log_{epoch}")
+        os.makedirs(log_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(log_tbl, os.path.join(log_dir, "part-00000.parquet"))
+
+        # 8. next frontier = deferred + newly admitted
+        next_frontier = deferred.drop_columns(["action"])
+        new_rows = new_cand.map_batches(
+            lambda b: b.append_column(
+                "priority", pa.array(1.0 / (b.column("depth").to_numpy() + 1.0))
+            ).append_column(
+                "discovered_epoch",
+                pa.array(np.full(b.num_rows, epoch + 1, dtype=np.int32)),
+            ),
+            batch_format="pyarrow",
+        )
+        next_dir = os.path.join(ckpt_dir, f"frontier_{epoch + 1}")
+        cols = [f.name for f in _FRONTIER_FIELDS]
+        nf = next_frontier.select_columns(cols).union(new_rows.select_columns(cols))
+        nf.write_parquet(next_dir)
+
+        # 9. url_seen checkpoint + manifest (manifest LAST => epoch complete)
+        seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
+        seen_total = seen_pool.checkpoint(seen_dir)
+        counters = {
+            "epoch": epoch,
+            "fetched": int(log_tbl.filter(pa.compute.equal(log_tbl["action"], "fetched")).num_rows),
+            "robots_blocked": int(
+                log_tbl.filter(pa.compute.equal(log_tbl["action"], "robots_blocked")).num_rows
+            ),
+            "budget_deferred": int(
+                log_tbl.filter(pa.compute.equal(log_tbl["action"], "budget_deferred")).num_rows
+            ),
+            "dup_skipped": int(
+                log_tbl.filter(pa.compute.equal(log_tbl["action"], "dup_skipped")).num_rows
+            ),
+            "seen_total": seen_total,
+        }
+        res.counters.append(counters)
+        _atomic_write_json(
+            _manifest_path(ckpt_dir, epoch),
+            {
+                "epoch": epoch,
+                "config": {**asdict(cfg), "policy": asdict(cfg.policy)},
+                "counters": counters,
+                "all_counters": res.counters,
+                "num_seen_partitions": cfg.num_seen_partitions,
+            },
+        )
+        res.seen_total = seen_total
+
+    # frontier remaining after the final epoch
+    final_dir = os.path.join(ckpt_dir, f"frontier_{res.epochs_run}")
+    if os.path.isdir(final_dir):
+        res.frontier_left = rd.read_parquet(final_dir).count()
+    return res
+
+
+from ..schemas import FRONTIER as _FRONTIER_SCHEMA  # noqa: E402
+
+_FRONTIER_FIELDS = list(_FRONTIER_SCHEMA)

@@ -1,0 +1,151 @@
+"""Single-process oracle crawler — the golden-order reference.
+
+Runs the exact crawl semantics of the distributed engine (same seed
+list, same politeness budget, same robots rules, same dedup) in one
+thread with plain dicts/sets (SURVEY §5: "run the single-process oracle
+crawler → golden crawl_order table; distributed engine must match it
+row-for-row and match the final URL-seen set exactly").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions.canonicalize import url_fpv2
+from ..functions.fingerprint import fp64
+from ..sources.synth import get_universe
+from ..state.robots import is_blocked, robots_rules_for_host
+from .common import CrawlConfig, discover_links, log_sort_key
+
+
+@dataclass
+class _Candidate:
+    canon_url: str
+    host: str
+    host_fp: int
+    url_fp: int
+    depth: int
+    priority: float
+    discovered_epoch: int
+
+
+@dataclass
+class OracleResult:
+    log: list[dict] = field(default_factory=list)  # FETCH_LOG rows
+    seen: set = field(default_factory=set)
+    epochs_run: int = 0
+    frontier_left: int = 0
+
+
+def _admit(url: str, depth: int, epoch: int, cfg: CrawlConfig) -> _Candidate | None:
+    fps = url_fpv2(url)
+    if fps is None:
+        return None
+    canon, domain_fp, url_fp, root_fp = fps
+    from ..functions.canonicalize import host_from_canonical
+
+    host = host_from_canonical(canon)
+    if host is None:
+        return None
+    return _Candidate(
+        canon_url=canon,
+        host=host,
+        host_fp=fp64(host),
+        url_fp=url_fp,
+        depth=depth,
+        priority=cfg.priority_for_depth(depth),
+        discovered_epoch=epoch,
+    )
+
+
+def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
+    uni = get_universe(cfg.sf, cfg.seed)
+    res = OracleResult()
+    frontier: list[_Candidate] = []
+
+    for url in uni.seed_urls():
+        c = _admit(url, 0, 0, cfg)
+        if c is not None and c.url_fp not in res.seen:
+            res.seen.add(c.url_fp)
+            frontier.append(c)
+
+    for epoch in range(cfg.max_epochs):
+        if not frontier:
+            break
+        res.epochs_run = epoch + 1
+        epoch_rows: list[dict] = []
+
+        # --- robots ---------------------------------------------------
+        allowed: list[_Candidate] = []
+        for c in frontier:
+            if is_blocked(c.canon_url, robots_rules_for_host(c.host)):
+                epoch_rows.append(_row(epoch, c, "robots_blocked", 0))
+            else:
+                allowed.append(c)
+
+        # --- per-host budget selection --------------------------------
+        by_host: dict[int, list[_Candidate]] = {}
+        for c in allowed:
+            by_host.setdefault(c.host_fp, []).append(c)
+        budget = cfg.policy.budget_for_epoch(0)
+        selected: list[_Candidate] = []
+        deferred: list[_Candidate] = []
+        for host_fp, rows in by_host.items():
+            rows.sort(key=lambda c: (-c.priority, c.url_fp))
+            selected.extend(rows[:budget])
+            deferred.extend(rows[budget:])
+        for c in deferred:
+            epoch_rows.append(_row(epoch, c, "budget_deferred", 0))
+
+        # --- fetch + discover -----------------------------------------
+        discovered: dict[int, _Candidate] = {}
+        for c in selected:
+            rec = uni.synth_page(c.canon_url)
+            status = 200 if rec is not None else 404
+            epoch_rows.append(_row(epoch, c, "fetched", status))
+            if rec is None:
+                continue
+            for link in discover_links(c.canon_url, rec):
+                nc = _admit(link, c.depth + 1, epoch + 1, cfg)
+                if nc is None:
+                    continue
+                prev = discovered.get(nc.url_fp)
+                if prev is None or (nc.depth, nc.host_fp) < (prev.depth, prev.host_fp):
+                    discovered[nc.url_fp] = nc
+
+        # --- seen check ----------------------------------------------
+        new_frontier: list[_Candidate] = list(deferred)
+        for url_fp in discovered:
+            nc = discovered[url_fp]
+            if url_fp in res.seen:
+                if cfg.log_dups:
+                    epoch_rows.append(_row(epoch, nc, "dup_skipped", 0))
+            else:
+                res.seen.add(url_fp)
+                new_frontier.append(nc)
+
+        # --- deterministic sequencing ---------------------------------
+        epoch_rows.sort(
+            key=lambda r: log_sort_key(r["action"], r["priority"], r["host_fp"], r["url_fp"])
+        )
+        for seq, r in enumerate(epoch_rows):
+            r["seq"] = seq
+        res.log.extend(epoch_rows)
+        frontier = new_frontier
+
+    res.frontier_left = len(frontier)
+    return res
+
+
+def _row(epoch: int, c: _Candidate, action: str, status: int) -> dict:
+    return {
+        "epoch": epoch,
+        "seq": -1,
+        "url_fp": c.url_fp,
+        "host_fp": c.host_fp,
+        "canon_url": c.canon_url,
+        "action": action,
+        "http_status": status,
+        "priority": c.priority,
+        "depth": c.depth,
+    }

@@ -1,0 +1,113 @@
+"""Crawl-order + URL-seen parity: distributed engine vs single-process
+oracle under identical seed list + politeness budget (the north rule's
+correctness gate), plus kill/resume parity."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from commoncrawl_ray.pipelines.common import CrawlConfig
+from commoncrawl_ray.pipelines.oracle import oracle_crawl
+
+CFG = CrawlConfig(sf=0.001, seed=42, max_epochs=3, num_seen_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    return oracle_crawl(CFG)
+
+
+def test_oracle_shape(oracle_result):
+    res = oracle_result
+    assert res.epochs_run == 3
+    actions = {r["action"] for r in res.log}
+    assert "fetched" in actions and "budget_deferred" in actions
+    assert "dup_skipped" in actions
+    assert len(res.seen) > 100
+    # seq dense per epoch
+    by_epoch = {}
+    for r in res.log:
+        by_epoch.setdefault(r["epoch"], []).append(r["seq"])
+    for e, seqs in by_epoch.items():
+        assert sorted(seqs) == list(range(len(seqs))), e
+
+
+def test_oracle_deterministic():
+    a = oracle_crawl(CFG)
+    b = oracle_crawl(CFG)
+    assert a.seen == b.seen
+    assert a.log == b.log
+
+
+def test_engine_matches_oracle(ray_session, oracle_result, tmp_path_factory):
+    from commoncrawl_ray.pipelines.crawl import crawl
+
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt"))
+    res = crawl(CFG, ckpt)
+    assert res.epochs_run == oracle_result.epochs_run
+
+    # URL-seen parity: exact set equality
+    seen_engine = set(res.seen_table().column("url_fp").to_pylist())
+    assert seen_engine == oracle_result.seen
+
+    # crawl-order parity: row-for-row over (epoch, seq) -> full record
+    log = res.log_table().to_pylist()
+    want = [
+        {
+            k: r[k]
+            for k in (
+                "epoch",
+                "seq",
+                "url_fp",
+                "host_fp",
+                "canon_url",
+                "action",
+                "http_status",
+                "depth",
+            )
+        }
+        for r in oracle_result.log
+    ]
+    got = [
+        {
+            k: r[k]
+            for k in (
+                "epoch",
+                "seq",
+                "url_fp",
+                "host_fp",
+                "canon_url",
+                "action",
+                "http_status",
+                "depth",
+            )
+        }
+        for r in log
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_resume_parity(ray_session, oracle_result, tmp_path_factory):
+    """Kill after epoch 1 (simulated: run 2 epochs), resume to 3 —
+    final state identical to an uninterrupted run."""
+    from dataclasses import replace
+
+    from commoncrawl_ray.pipelines.crawl import crawl
+
+    ckpt = str(tmp_path_factory.mktemp("crawl_resume"))
+    cfg2 = replace(CFG, max_epochs=2)
+    crawl(cfg2, ckpt)
+    res = crawl(CFG, ckpt, resume=True)
+    assert res.epochs_run == 3
+    seen_engine = set(res.seen_table().column("url_fp").to_pylist())
+    assert seen_engine == oracle_result.seen
+    log = res.log_table()
+    assert log.num_rows == len(oracle_result.log)
+    got_fps = log.column("url_fp").to_pylist()
+    want_fps = [r["url_fp"] for r in oracle_result.log]
+    assert got_fps == want_fps
+    shutil.rmtree(ckpt, ignore_errors=True)
