@@ -1,0 +1,626 @@
+"""Query registry: Ray Data pipelines + matching DuckDB oracle SQL.
+
+One entry per operator family from SURVEY §2 (and the added
+training-data ops), exercised over the driver's star-schema tables
+(TESTDATA.md) so the driver's correctness gate can hash-compare the
+Ray result against ANSI SQL. Column names match the SQL aliases
+exactly (the driver sorts columns by name before hashing).
+
+Float discipline: aggregates that would be association-sensitive
+(double sums) are either carried as exact integers (counts, BIGINT
+sums of integer-valued columns, pre-rounded cent values) or avoided
+(min/max are exact). Monetary sums replicate DuckDB ROUND's
+half-away-from-zero before summing.
+
+Crawl/parse/sketch pipelines that SQL can't express are registered
+without oracle SQL — the driver records a weaker rows-only check and
+their strong checks live in tests/ (oracle-crawler parity, golden
+text digests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------
+# A2 histogram / groupby-count
+# --------------------------------------------------------------------
+
+
+def q_events_histogram(sf_dir: str):
+    """Histogram over events.event_type (SURVEY A2: util/shared/Histogram.java:12)."""
+    return (
+        _pq(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_EVENTS_HISTOGRAM = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------
+# O3 sort / top-k
+# --------------------------------------------------------------------
+
+
+def q_top_docs(sf_dir: str):
+    """Top-20 documents by n_chars (sorted result + pagination analogue,
+    query/QueryResultFileIndex.java:173-318)."""
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------
+# grouped aggregate with exact stats
+# --------------------------------------------------------------------
+
+
+def q_doc_lang_stats(sf_dir: str):
+    return (
+        _pq(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+SQL_DOC_LANG_STATS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------
+# D1 exact dedup (content hash -> group first)
+# --------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact text dedup: md5 partition + min-doc_id keeper (SURVEY D1;
+    hash-partition + per-group-first is the 10^10-scale shape)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .drop_columns(["text"])
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="n"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------
+# text analysis: token counts (vectorized batch kernel)
+# --------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_words = np.fromiter(
+            (len((t or "").split()) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        nospace = np.fromiter(
+            (len("".join((t or "").split())) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "n_chars_nospace": pa.array(nospace),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(count_tokens, batch_format="pyarrow")
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nospace
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# streaming-shaped: tumbling window aggregate over events
+# --------------------------------------------------------------------
+
+
+def q_events_tumbling(sf_dir: str):
+    """1-hour tumbling windows per event_type (SURVEY §2.9: windows =
+    partition + floor(ts/size) groupby; oracle-SQL-expressible)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # micros
+        win = ts // (3600 * 1_000_000)
+        return batch.append_column("window_id", pa.array(win.astype(np.int64)))
+
+    return (
+        _pq(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .drop_columns(["ts"])
+        .groupby(["event_type", "window_id"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type,
+       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# sessionization (gap > 30 min) per user — map_groups over sorted groups
+# --------------------------------------------------------------------
+
+
+def q_events_sessions(sf_dir: str):
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].sort_values().astype("int64").to_numpy()  # micros
+        gaps = np.diff(ts) > 30 * 60 * 1_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_events": [len(ts)],
+                "n_sessions": [1 + int(gaps.sum())],
+            }
+        )
+
+    return (
+        _pq(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+FROM gaps GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------
+# broadcast hash join (small side via ray.put)
+# --------------------------------------------------------------------
+
+
+def q_orders_by_segment(sf_dir: str):
+    """orders ⋈ customer, customer broadcast once with ray.put and read
+    per-task (SURVEY §2.4: broadcast small side instead of a shuffle
+    join). Monetary sum in exact cents, DuckDB ROUND semantics."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_by_key = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_by_key)
+        keys = batch.column("o_custkey").to_pylist()
+        segments = [seg.get(k, "UNKNOWN") for k in keys]
+        price = batch.column("o_totalprice").to_numpy()
+        # DuckDB ROUND = half away from zero (prices are positive)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segments, pa.string()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join_batch, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------
+# multi-way broadcast join: supplier -> nation -> region
+# --------------------------------------------------------------------
+
+
+def q_suppliers_by_region(sf_dir: str):
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup = ray.put({k: r2name[v] for k, v in n2r.items() if v in r2name})
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup)
+        nk = batch.column("s_nationkey").to_pylist()
+        return pa.table(
+            {
+                "r_name": pa.array([lut.get(k, "UNKNOWN") for k in nk], pa.string()),
+                "s_acctbal": batch.column("s_acctbal"),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(join_batch, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Min("s_acctbal", alias_name="min_acctbal"),
+            Max("s_acctbal", alias_name="max_acctbal"),
+        )
+    )
+
+
+SQL_SUPPLIERS_BY_REGION = """
+SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       MIN(s.s_acctbal) AS min_acctbal, MAX(s.s_acctbal) AS max_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# --------------------------------------------------------------------
+# TPC-H Q1-lite: pruned read + grouped exact aggregates
+# --------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    def to_exact(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "price": batch.column("l_extendedprice"),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+        .map_batches(to_exact, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Count(alias_name="count_order"),
+            Min("price", alias_name="min_price"),
+            Max("price", alias_name="max_price"),
+        )
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------
+# filter + pruned read (predicate pushdown)
+# --------------------------------------------------------------------
+
+
+def q_lineitem_filter(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(batch.column("l_shipdate"), pa.scalar(pd.Timestamp("1995-01-01"))),
+            pc.greater(batch.column("l_quantity"), pa.scalar(45.0)),
+        )
+        t = batch.filter(mask)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table(
+            {"qty": pa.array(qty), "l_orderkey": t.column("l_orderkey")}
+        )
+
+    agg = (
+        _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_shipdate"])
+        .map_batches(f, batch_format="pyarrow")
+        .aggregate(  # global aggregate -> dict
+            Count(alias_name="n"),
+            Sum("qty", alias_name="sum_qty"),
+            Min("l_orderkey", alias_name="min_orderkey"),
+        )
+    )
+    return pd.DataFrame([agg])
+
+
+SQL_LINEITEM_FILTER = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45
+"""
+
+
+# --------------------------------------------------------------------
+# similarity search: brute-force cosine top-k over embeddings
+# --------------------------------------------------------------------
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 to vec_id 0: numpy matmul per batch
+    against a broadcast query vector; distributed top-k via
+    sort+limit."""
+    qv = _query_vector(sf_dir)
+    qv = qv / np.linalg.norm(qv)
+    qref = ray.put(qv)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ q) / norms
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "sim": pa.array(np.round(sims, 6)),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .filter(expr="vec_id != 0")
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS sim
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
+# embedding near-duplicate pairs (cosine > threshold)
+# --------------------------------------------------------------------
+
+
+def q_embedding_neardup(sf_dir: str):
+    """All-pairs cosine near-dup detection (threshold tuned to the
+    synthetic embedding distribution so the result is non-trivial). Small side broadcast whole
+    (embeddings tables are the small side at these sfs); the scale path
+    is LSH bucketing — see stages/dedup.py."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    mat_ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        bids = batch.column("vec_id").to_pylist()
+        bmat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        bmat = bmat / bn[:, None]
+        sims = bmat @ all_mat.T
+        a_out, b_out = [], []
+        for i, a in enumerate(bids):
+            hits = np.nonzero(sims[i] > 0.45)[0]
+            for j in hits:
+                b = int(all_ids[j])
+                if a < b:
+                    a_out.append(a)
+                    b_out.append(b)
+        return pa.table(
+            {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
+        )
+
+    return _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
+"""
+
+
+# --------------------------------------------------------------------
+# non-SQL-expressible pipelines (rows-only driver check; strong checks
+# in tests/)
+# --------------------------------------------------------------------
+
+
+def q_simhash_docs(sf_dir: str):
+    """SimHash per document (SURVEY A8)."""
+    from ..functions.simhash import simhash_text_batch
+
+    def sh(batch: pa.Table) -> pa.Table:
+        vals = simhash_text_batch(batch.column("text").to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(vals)})
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sh, batch_format="pyarrow"
+    )
+
+
+def q_minhash_lsh_dedup(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs verified by true Jaccard
+    (shingle→minhash→band→bucket-groupby→verify)."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _pq(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", text_col="text"
+    )
+
+
+def q_text_quality(sf_dir: str):
+    """Quality + language scoring stage (actor pool)."""
+    from ..stages.text_analysis import quality_stage
+
+    return quality_stage(_pq(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
+def q_parse_extract(sf_dir: str):
+    """The flagship parse/extract pipeline over the engine's own pages
+    universe at a matching scale (input_hint shape). Rows-only for the
+    driver; byte-parity asserted in tests/test_parse_stage.py."""
+    import os
+
+    from ..sources.synth import sf_from_dir, write_pages_parquet
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = f"/tmp/cc_ray_pages_sf{sf}.parquet"
+    if not os.path.exists(path):
+        write_pages_parquet(path, sf)
+    from ..stages.parse_extract import parse_extract_batch
+
+    ds = rd.read_parquet(path)
+    return (
+        ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b.column("url"),
+                    "canon_url": b.column("canon_url"),
+                    "url_fp": b.column("url_fp"),
+                    "http_status": b.column("http_status"),
+                    "mime_norm": b.column("mime_norm"),
+                    "digest_hex": pa.array(
+                        [d.hex() if d is not None else None for d in b.column("text_digest").to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_crawl_log(sf_dir: str):
+    """Small end-to-end crawl; returns the fetch log (crawl-order parity
+    vs the oracle asserted in tests/test_crawl_parity.py)."""
+    import tempfile
+
+    from .common import CrawlConfig
+    from .crawl import crawl
+
+    cfg = CrawlConfig(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=8)
+    with tempfile.TemporaryDirectory(prefix="cc_ray_crawl_") as ckpt:
+        res = crawl(cfg, ckpt)
+        return res.log_table()
+
+
+REGISTRY: dict[str, tuple] = {
+    # name -> (ray_fn, oracle_sql | None)
+    "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
+    "top_docs": (q_top_docs, SQL_TOP_DOCS),
+    "doc_lang_stats": (q_doc_lang_stats, SQL_DOC_LANG_STATS),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
+    "suppliers_by_region": (q_suppliers_by_region, SQL_SUPPLIERS_BY_REGION),
+    "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
+    "lineitem_filter": (q_lineitem_filter, SQL_LINEITEM_FILTER),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "simhash_docs": (q_simhash_docs, None),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
+    "text_quality": (q_text_quality, None),
+    "parse_extract": (q_parse_extract, None),
+    "crawl_log": (q_crawl_log, None),
+}

@@ -320,26 +320,31 @@ class Universe:
 
     # --- table materialization -----------------------------------------
 
+    def page_row(self, host: str, k: int) -> tuple[str, int, bytes, str]:
+        """One pages-table row: (dirty_url, warc_ts_ms, record_bytes,
+        lang) — a pure function of (host, k)."""
+        canon = self.canon_page_url(host, k)
+        rec = self._build_record(host, k)
+        rng = random.Random((fp64(canon) ^ 0x5EED) & 0xFFFFFFFF)
+        url = canon
+        r = rng.random()
+        if r < 0.02:
+            # malformed: space inside path (ArcFileReaderTests.java:399)
+            url = canon[:7] + canon[7:].replace("item", "it em", 1)
+        elif r < 0.06:
+            url = canon[:7] + canon[7:].upper()
+        elif r < 0.10:
+            sid = "".join(rng.choice("0123456789abcdef") for _ in range(32))
+            url = canon + ("&" if "?" in canon else "?") + "sid=" + sid
+        ts = BASE_TS_MS + ((fp64(canon) & 0x7FFFFFFF) % (86400 * 1000 * 30))
+        return url, ts, rec, self._lang_by_host[host]
+
     def iter_pages(self):
-        """Yield (dirty_url, warc_ts_ms, record_bytes, lang) for every
-        page in the universe (deterministic order: host rank, page id)."""
+        """Yield page rows for the whole universe (deterministic order:
+        host rank, page id)."""
         for host in self.hosts:
             for k in range(self.page_counts[host]):
-                canon = self.canon_page_url(host, k)
-                rec = self._build_record(host, k)
-                rng = random.Random((fp64(canon) ^ 0x5EED) & 0xFFFFFFFF)
-                url = canon
-                r = rng.random()
-                if r < 0.02:
-                    # malformed: space inside path (ArcFileReaderTests.java:399)
-                    url = canon[:7] + canon[7:].replace("item", "it em", 1)
-                elif r < 0.06:
-                    url = canon[:7] + canon[7:].upper()
-                elif r < 0.10:
-                    sid = "".join(rng.choice("0123456789abcdef") for _ in range(32))
-                    url = canon + ("&" if "?" in canon else "?") + "sid=" + sid
-                ts = BASE_TS_MS + ((fp64(canon) & 0x7FFFFFFF) % (86400 * 1000 * 30))
-                yield url, ts, rec, self._lang_by_host[host]
+                yield self.page_row(host, k)
 
     def seed_urls(self) -> list[str]:
         """Seed list: page 0 of ~80% of hosts + a few dead urls
@@ -364,6 +369,47 @@ def sf_from_dir(sf_dir: str) -> float:
 
     m = _re.search(r"sf([0-9.]+)", sf_dir or "")
     return float(m.group(1)) if m else 0.001
+
+
+def write_pages_parquet_ray(out_dir: str, sf: float, seed: int = 42) -> int:
+    """Materialize the universe as a parquet directory using Ray Data
+    (parallel generation — page synthesis is a pure function of
+    (host, k), so the work list is just id pairs). Used by bench.py for
+    large sfs where single-threaded generation would dominate."""
+    import ray.data as rd
+
+    uni = get_universe(sf, seed)
+    items = [
+        {"host": h, "k": k} for h in uni.hosts for k in range(uni.page_counts[h])
+    ]
+
+    def build(batch):
+        import pyarrow as pa
+
+        from ..stages.parse_extract import extract_record
+
+        u = get_universe(sf, seed)
+        urls, tss, recs, langs, texts = [], [], [], [], []
+        for host, k in zip(batch["host"].to_pylist(), batch["k"].to_pylist()):
+            url, ts, rec, lang = u.page_row(host, k)
+            urls.append(url)
+            tss.append(ts)
+            recs.append(rec)
+            langs.append(lang)
+            texts.append(extract_record(url, rec)["text"])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("ms")),
+                "html": pa.array(recs, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    ds = rd.from_items(items).map_batches(build, batch_format="pyarrow", batch_size=512)
+    ds.write_parquet(out_dir)
+    return len(items)
 
 
 def write_pages_parquet(path: str, sf: float, seed: int = 42) -> int:

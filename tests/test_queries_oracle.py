@@ -1,0 +1,111 @@
+"""Driver-style correctness gate, run locally: every SQL-checkable
+queries() entry must match its oracle_sql() via DuckDB on the same
+parquet tables (row count + sorted-column value equality), at sf0.01.
+"""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    try:
+        import pyarrow as pa
+
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    return result.to_pandas()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    # unify int dtypes
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df
+
+
+def _pairs():
+    from commoncrawl_ray.pipelines.queries import REGISTRY
+
+    return [(n, fn, sql) for n, (fn, sql) in REGISTRY.items() if sql is not None]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(ray_session, name, fn, sql):
+    got = _normalize(_to_pandas(fn(SF_DIR)))
+    want = _normalize(_duck(sql))
+    assert list(got.columns) == list(want.columns), (
+        name,
+        got.columns,
+        want.columns,
+    )
+    assert len(got) == len(want), (name, len(got), len(want))
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(want[c]):
+            assert (
+                (got[c] - want[c]).abs().fillna(0) < 1e-6
+            ).all() or got[c].equals(want[c]), (name, c)
+        else:
+            assert got[c].tolist() == want[c].tolist(), (name, c)
+
+
+def test_rows_only_queries_run(ray_session):
+    """Non-SQL entries at least run and return rows with stable schema."""
+    from commoncrawl_ray.pipelines.queries import REGISTRY
+
+    small = "/root/testdata/sf0.001"
+    for name in ("simhash_docs", "text_quality"):
+        fn = REGISTRY[name][0]
+        df = _to_pandas(fn(small))
+        assert len(df) > 0, name
+
+
+def test_entry_smoke(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__ray_entry__")
+    res = mod.entry()
+    df = _to_pandas(res)
+    assert len(df) > 0
+    assert {"url", "canon_url", "url_fp", "http_status"} <= set(df.columns)
