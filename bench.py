@@ -1,0 +1,167 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Usage:
+  python bench.py              # timed suite at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # run the suite at 8 and 32 CPUs in fresh
+                               # processes; report throughputs + efficiency
+
+Input scale comes from $GRAFT_SF_DIR (default /root/testdata/sf0.1) —
+the engine's own pages universe is generated at the matching sf (cached
+under /tmp) since the crawl operates on Common-Crawl-style pages, not
+the star schema; star-schema tables are used for the relational query
+benches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from commoncrawl_ray.pipelines.common import CrawlConfig
+    from commoncrawl_ray.pipelines.crawl import crawl
+    from commoncrawl_ray.pipelines.queries import (
+        q_exact_dedup,
+        q_knn_cosine,
+        q_lineitem_pricing,
+        q_minhash_lsh_dedup,
+    )
+    from commoncrawl_ray.sources.synth import sf_from_dir, write_pages_parquet_ray
+    from commoncrawl_ray.stages.parse_extract import parse_extract_batch
+
+    sf = sf_from_dir(sf_dir)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- pages universe (generation untimed; warms page cache too) ----
+    pages_dir = f"/tmp/cc_ray_bench_pages_sf{sf}"
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        write_pages_parquet_ray(pages_dir, sf)
+    # warm OS page cache so we measure compute+shuffle, not first read
+    rd.read_parquet(pages_dir).count()
+
+    # --- parse/extract throughput -------------------------------------
+    t = time.time()
+    n_pages = (
+        rd.read_parquet(pages_dir)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .count()
+    )
+    timings["parse_extract"] = time.time() - t
+    extras["parsed_pages_per_sec"] = round(n_pages / timings["parse_extract"], 1)
+
+    # --- crawl throughput ---------------------------------------------
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="cc_ray_bench_crawl_")
+    cfg = CrawlConfig(
+        sf=sf,
+        seed=42,
+        max_epochs=3,
+        num_seen_partitions=min(32, max(8, num_cpus)),
+    )
+    t = time.time()
+    res = crawl(cfg, ckpt, fetch_concurrency=(2, max(2, num_cpus // 2)))
+    timings["crawl_3_epochs"] = time.time() - t
+    fetched = sum(c["fetched"] for c in res.counters)
+    discovered = res.seen_total
+    extras["fetched_pages_per_sec"] = round(fetched / timings["crawl_3_epochs"], 1)
+    extras["discovered_urls_per_sec"] = round(discovered / timings["crawl_3_epochs"], 1)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # --- relational / dedup / similarity benches ----------------------
+    t = time.time()
+    q_lineitem_pricing(sf_dir).to_pandas()
+    timings["lineitem_pricing"] = time.time() - t
+
+    t = time.time()
+    q_exact_dedup(sf_dir).count()
+    timings["exact_dedup"] = time.time() - t
+
+    t = time.time()
+    q_minhash_lsh_dedup(sf_dir).count()
+    timings["minhash_lsh_dedup"] = time.time() - t
+
+    t = time.time()
+    q_knn_cosine(sf_dir).to_pandas()
+    timings["knn_cosine"] = time.time() - t
+
+    ray.shutdown()
+    return {"timings": timings, "extras": extras, "sf": sf, "n_pages": n_pages}
+
+
+def _run_once() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    r = _suite(sf_dir, num_cpus)
+    total = round(sum(r["timings"].values()), 3)
+    out = {
+        "metric": "crawl+parse+query suite wall seconds (sf{})".format(r["sf"]),
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in r["timings"].items()},
+        "sf": r["sf"],
+        "num_cpus": num_cpus,
+        "throughput": r["extras"],
+    }
+    return out
+
+
+def _run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    # efficiency on throughput: (T_lo / T_hi) / (hi/lo); 1.0 = linear
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency {}→{} cpus".format(lo_cpus, hi_cpus),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "throughput_8": lo["throughput"],
+        "throughput_32": hi["throughput"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(_run_scaling()))
+    else:
+        print(json.dumps(_run_once()))

@@ -1,0 +1,141 @@
+"""Stage-level tests: dedup (minhash/simhash/embedding LSH), URL-seen
+pool, robots pool, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today ok",
+        "a completely different document about astrophysics galaxies and stars",
+        "numbers and words mixed one two three four five six seven eight nine",
+    ]
+    rows = []
+    for i in range(30):
+        b = base[i % 3]
+        if i < 27:
+            rows.append({"doc_id": i, "text": b + f" tail{i % 3}"})
+        else:
+            rows.append({"doc_id": i, "text": b + f" tail{i % 3}"})  # exact dup of i-27 group
+    # a true near-dup pair: doc 100/101 share almost all ngrams
+    rows.append({"doc_id": 100, "text": " ".join(f"w{j}" for j in range(60))})
+    rows.append({"doc_id": 101, "text": " ".join(f"w{j}" for j in range(59)) + " zz"})
+    return rd.from_items(rows)
+
+
+def test_minhash_lsh_finds_neardups(docs_ds):
+    from commoncrawl_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.7).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 101) in got
+    # exact dups (jaccard 1.0) also surface
+    assert any(p["jaccard"] == 1.0 for _, p in pairs.iterrows())
+
+
+def test_simhash_near_dup(docs_ds):
+    from commoncrawl_ray.stages.dedup import simhash_near_dup
+
+    pairs = simhash_near_dup(docs_ds, max_hamming=3).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # identical texts (same group) have hamming 0
+    assert any(a % 3 == b % 3 for a, b in got if a < 30 and b < 30)
+
+
+def test_embedding_lsh_neardup(ray_session):
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.dedup import embedding_lsh_neardup
+
+    rs = np.random.RandomState(7)
+    base = rs.normal(size=(20, 64))
+    rows = []
+    for i in range(20):
+        rows.append({"vec_id": i, "embedding": base[i].tolist()})
+    # near-dup: 100 ~ 0 with tiny noise
+    rows.append({"vec_id": 100, "embedding": (base[0] + rs.normal(scale=0.01, size=64)).tolist()})
+    ds = rd.from_items(rows)
+    pairs = embedding_lsh_neardup(ds, dim=64, threshold=0.95).to_pandas()
+    assert (0, 100) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_url_seen_pool(ray_session):
+    from commoncrawl_ray.state.url_seen import UrlSeenPool, partition_of
+
+    pool = UrlSeenPool(4)
+    fps = np.array([1, 2, 3, -5, 2, 1, 10**12, -(10**15)], dtype=np.int64)
+    first = pool.check_and_add(fps)
+    # duplicates within one call: first occurrence wins per partition
+    assert first.tolist() == [True, True, True, True, False, False, True, True]
+    second = pool.check_and_add(fps)
+    assert not second.any()
+    assert pool.total_size() == 6
+    parts = partition_of(fps, 4)
+    assert ((0 <= parts) & (parts < 4)).all()
+
+
+def test_url_seen_checkpoint_roundtrip(ray_session, tmp_path):
+    from commoncrawl_ray.state.url_seen import UrlSeenPool
+
+    pool = UrlSeenPool(4)
+    fps = np.arange(-500, 500, dtype=np.int64) * 7919
+    pool.check_and_add(fps)
+    d = str(tmp_path / "seen")
+    assert pool.checkpoint(d) == 1000
+    pool2 = UrlSeenPool(4)
+    assert pool2.restore(d) == 1000
+    assert not pool2.check_and_add(fps).any()
+
+
+def test_robots_pool(ray_session):
+    import ray
+
+    from commoncrawl_ray.state.robots import (
+        RobotsCachePool,
+        is_blocked,
+        robots_rules_for_host,
+    )
+
+    pool = RobotsCachePool(2)
+    hosts = [f"site{i}.com" for i in range(40)]
+    urls = [f"http://{h}/dir1/item5" for h in hosts]
+    mask = pool.blocked_mask(urls, hosts, epoch=0)
+    want = np.array(
+        [is_blocked(u, robots_rules_for_host(h)) for u, h in zip(urls, hosts)]
+    )
+    assert (mask == want).all()
+    assert want.any()  # some hosts do block /dir
+    # second call is served from cache (fetch count unchanged)
+    pool.blocked_mask(urls, hosts, epoch=1)
+    stats = ray.get([a.stats.remote() for a in pool.actors])
+    assert sum(s["fetches"] for s in stats) == len(set(hosts))
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.multimodal import (
+        DecodeImageStage,
+        decode_features,
+        synth_media_table,
+    )
+
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(fake=False)
+    t = synth_media_table(32)
+    ds = rd.from_arrow(t)
+    out = decode_features(ds, fake=True).to_pandas()
+    assert len(out) == 32
+    assert set(out.columns) == {"media_id", "kind", "feat", "width", "height"}
+    assert all(len(f) == 16 for f in out["feat"])
+    # deterministic
+    out2 = decode_features(rd.from_arrow(t), fake=True).to_pandas()
+    a = out.sort_values("media_id")["feat"].tolist()
+    b = out2.sort_values("media_id")["feat"].tolist()
+    assert all((np.array(x) == np.array(y)).all() for x, y in zip(a, b))
