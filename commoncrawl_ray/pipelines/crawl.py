@@ -139,65 +139,77 @@ class FetchStage:
 
 
 def candidates_batch(batch: pa.Table) -> pa.Table:
-    """Explode links -> canonicalize+fingerprint candidate rows
-    (vectorized fps over the batch's distinct URLs)."""
+    """Explode links -> canonicalize+fingerprint candidate rows.
+
+    Combiner semantics: within the batch, duplicate URLs reduce to
+    their min depth BEFORE the cross-batch shuffle (partial aggregation
+    ahead of the groupby — SURVEY §2.5 A4 / ray_guide pre-aggregate
+    pattern), and canonicalization results are memoized per distinct
+    raw URL."""
     from ..functions.canonicalize import host_from_canonical, url_fpv2
 
     parent_depth = batch.column("depth").to_pylist()
     links_lists = batch.column("links").to_pylist()
-    urls: list[str] = []
-    depths: list[int] = []
-    for d, links in zip(parent_depth, links_lists):
-        for l in links:
-            urls.append(l)
-            depths.append(d + 1)
-    canon: list[str] = []
-    hosts: list[str] = []
-    url_fp: list[int] = []
-    domain_fp: list[int] = []
-    root_fp: list[int] = []
-    out_depth: list[int] = []
     cache: dict[str, tuple] = {}
-    for u, d in zip(urls, depths):
-        hit = cache.get(u)
-        if hit is None:
-            fps = url_fpv2(u)
-            if fps is None:
-                cache[u] = ()
+    best: dict[int, tuple] = {}  # url_fp -> (depth, canon, host, dfp, rfp)
+    for d0, links in zip(parent_depth, links_lists):
+        d = d0 + 1
+        for u in links:
+            hit = cache.get(u)
+            if hit is None:
+                fps = url_fpv2(u)
+                if fps is None:
+                    cache[u] = ()
+                    continue
+                c, dfp, ufp, rfp = fps
+                h = host_from_canonical(c)
+                if h is None:
+                    cache[u] = ()
+                    continue
+                hit = (c, h, ufp, dfp, rfp)
+                cache[u] = hit
+            elif hit == ():
                 continue
-            c, dfp, ufp, rfp = fps
-            h = host_from_canonical(c)
-            if h is None:
-                cache[u] = ()
-                continue
-            hit = (c, h, ufp, dfp, rfp)
-            cache[u] = hit
-        elif hit == ():
-            continue
-        c, h, ufp, dfp, rfp = hit
-        canon.append(c)
-        hosts.append(h)
-        url_fp.append(ufp)
-        domain_fp.append(dfp)
-        root_fp.append(rfp)
-        out_depth.append(d)
+            c, h, ufp, dfp, rfp = hit
+            prev = best.get(ufp)
+            if prev is None or d < prev[0]:
+                best[ufp] = (d, c, h, dfp, rfp)
+    url_fp = list(best.keys())
+    vals = list(best.values())
+    hosts = [v[2] for v in vals]
     host_fps = fp64_batch(hosts)
     return pa.table(
         {
-            "canon_url": pa.array(canon, pa.string()),
+            "canon_url": pa.array([v[1] for v in vals], pa.string()),
             "host": pa.array(hosts, pa.string()),
             "host_fp": pa.array(host_fps),
-            "domain_fp": pa.array(domain_fp, pa.int64()),
+            "domain_fp": pa.array([v[3] for v in vals], pa.int64()),
             "url_fp": pa.array(url_fp, pa.int64()),
-            "root_domain_fp": pa.array(root_fp, pa.int64()),
-            "depth": pa.array(out_depth, pa.int32()),
+            "root_domain_fp": pa.array([v[4] for v in vals], pa.int64()),
+            "depth": pa.array([v[0] for v in vals], pa.int32()),
         }
     )
 
 
-def min_depth_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Intra-epoch duplicate discoveries: shallowest wins (common.py)."""
-    return group.sort_values(["depth", "host_fp", "url_fp"], kind="mergesort").head(1)
+def dedup_candidates(candidates):
+    """Intra-epoch duplicate discoveries: shallowest wins (common.py).
+
+    Every column except ``depth`` is a pure function of ``url_fp``
+    (same canon_url/host/fps for every duplicate), so the reduce is a
+    vectorized hash aggregate (Min over each column) rather than a
+    per-group Python call — per-group ``map_groups`` over millions of
+    1-row groups would dominate epoch wall time.
+    """
+    from ray.data.aggregate import Min
+
+    return candidates.groupby("url_fp").aggregate(
+        Min("depth", alias_name="depth"),
+        Min("canon_url", alias_name="canon_url"),
+        Min("host", alias_name="host"),
+        Min("host_fp", alias_name="host_fp"),
+        Min("domain_fp", alias_name="domain_fp"),
+        Min("root_domain_fp", alias_name="root_domain_fp"),
+    )
 
 
 class SeenStage:
@@ -356,15 +368,21 @@ def crawl(
 
     budget = cfg.policy.budget_for_epoch(0)
 
+    import pyarrow.dataset as pads
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    stage_conc = max(2, min(8, ncpu // 4))
+
     for epoch in range(start_epoch, cfg.max_epochs):
         frontier_dir = os.path.join(ckpt_dir, f"frontier_{epoch}")
         if not os.path.isdir(frontier_dir) or not any(
             f.endswith(".parquet") for f in os.listdir(frontier_dir)
         ):
             break
-        frontier = rd.read_parquet(frontier_dir)
-        if frontier.count() == 0:
+        # row check from parquet metadata (no Ray job)
+        if pads.dataset(frontier_dir).count_rows() == 0:
             break
+        frontier = rd.read_parquet(frontier_dir)
         res.epochs_run = epoch + 1
 
         # 1. robots check (cached actor pool). Materialized because
@@ -374,7 +392,7 @@ def crawl(
             RobotsStage,
             fn_constructor_args=(robots_pool.actors, epoch),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=stage_conc,
             batch_size=4096,
         ).materialize()
 
@@ -405,15 +423,13 @@ def crawl(
             candidates_batch, batch_format="pyarrow", batch_size=256
         )
         # 5. cross-batch intra-epoch dedup (shallowest discovery wins)
-        candidates = candidates.groupby("url_fp").map_groups(
-            min_depth_group, batch_format="pandas"
-        )
+        candidates = dedup_candidates(candidates)
         # 6. URL-seen anti-join via the partitioned actor pool
         checked_cand = candidates.map_batches(
             SeenStage,
             fn_constructor_args=(seen_pool.actors, cfg.num_seen_partitions),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=stage_conc,
             batch_size=8192,
         ).materialize()
         new_cand = checked_cand.filter(expr="is_new == True").drop_columns(["is_new"])
@@ -460,12 +476,17 @@ def crawl(
         if cfg.log_dups:
             log_parts.append(_log_rows(dup_cand, "dup_skipped"))
         epoch_log = log_parts[0].union(*log_parts[1:])
-        epoch_log = epoch_log.sort(
+        # seq stamping: driver-side sort of the bounded per-epoch log
+        # (cheaper than a distributed sort at this log volume; at truly
+        # unbounded log sizes switch to ds.sort + per-file row offsets
+        # recorded in the manifest — same total order)
+        log_df = epoch_log.to_pandas()
+        log_df = log_df.sort_values(
             ["action_rank", "priority", "host_fp", "url_fp"],
-            descending=[False, True, False, False],
-        )
-        # seq stamping (bounded per-epoch; see module docstring scale note)
-        log_tbl = pa.Table.from_pandas(epoch_log.to_pandas(), preserve_index=False)
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        log_tbl = pa.Table.from_pandas(log_df, preserve_index=False)
         log_tbl = log_tbl.drop_columns(["action_rank"])
         log_tbl = log_tbl.set_column(
             log_tbl.column_names.index("seq"),
@@ -527,7 +548,7 @@ def crawl(
     # frontier remaining after the final epoch
     final_dir = os.path.join(ckpt_dir, f"frontier_{res.epochs_run}")
     if os.path.isdir(final_dir):
-        res.frontier_left = rd.read_parquet(final_dir).count()
+        res.frontier_left = pads.dataset(final_dir).count_rows()
     return res
 
 
