@@ -5,10 +5,12 @@ extract → discover → merge, expressed as Dataset stages:
 
 - robots check: ``map_batches`` consulting the ``RobotsCacheActor``
   pool (host-partitioned cache, J6);
-- politeness selection: ``groupby(host_fp).map_groups`` — the per-host
-  priority queue realized as a shuffle (north rule), key salting not
-  needed for selection because budget-per-host caps each group's output
-  and group input is bounded by the frontier slice;
+- politeness selection: ``sort(host_fp)`` range shuffle (whole host
+  groups land in one block) + a vectorized per-block ranking pass —
+  the per-host priority queue realized as a shuffle (north rule), with
+  no per-group Python; key salting not needed for selection because
+  budget-per-host caps each group's output and group input is bounded
+  by the frontier slice;
 - fetch+parse+discover: stateless ``map_batches`` task (the synthetic
   web is a pure function of the URL — no page-table join; a real
   deployment swaps in an async-HTTP actor pool with the same row
@@ -60,34 +62,31 @@ _LOG_COLS = [f.name for f in FETCH_LOG]
 # --------------------------------------------------------------------
 
 
-class RobotsStage:
-    """Adds 'blocked' via the robots cache pool. Callable class so each
-    actor/task keeps a local short-TTL memo in front of the shared pool."""
+def make_robots_fn(robots_actors, epoch: int):
+    """Adds 'blocked' via the robots cache pool. Stateless task fn (the
+    durable cache state lives in the shared actor pool, not the stage):
+    task-pool workers are reused across epochs, so there is no per-epoch
+    actor-spawn cost. Hosts are deduped per batch before the fan-out, so
+    each batch costs one round-trip per touched pool partition."""
+    num_actors = len(robots_actors)
 
-    def __init__(self, robots_actors, epoch: int):
-        self.actors = robots_actors
-        self.epoch = epoch
-        self.memo: dict[str, tuple] = {}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def robots_check(batch: pa.Table) -> pa.Table:
         hosts = batch.column("host").to_pylist()
         urls = batch.column("canon_url").to_pylist()
         n = len(hosts)
+        missing = sorted(set(hosts))
+        host_fps = np.fromiter((fp64(h) for h in missing), dtype=np.int64, count=len(missing))
+        parts = host_fps.view(np.uint64) % np.uint64(num_actors)
+        refs, groups = [], []
+        for a in range(num_actors):
+            sel = [missing[i] for i in np.nonzero(parts == a)[0]]
+            if sel:
+                refs.append(robots_actors[a].rules_for.remote(sel, epoch))
+                groups.append(sel)
         rules_by_host: dict[str, tuple] = {}
-        missing = sorted({h for h in hosts if h not in self.memo})
-        if missing:
-            host_fps = np.fromiter((fp64(h) for h in missing), dtype=np.int64, count=len(missing))
-            parts = host_fps.view(np.uint64) % np.uint64(len(self.actors))
-            refs, groups = [], []
-            for a in range(len(self.actors)):
-                sel = [missing[i] for i in np.nonzero(parts == a)[0]]
-                if sel:
-                    refs.append(self.actors[a].rules_for.remote(sel, self.epoch))
-                    groups.append(sel)
-            for sel, rules_list in zip(groups, ray.get(refs)):
-                for h, rules in zip(sel, rules_list):
-                    self.memo[h] = tuple(rules)
-        rules_by_host = self.memo
+        for sel, rules_list in zip(groups, ray.get(refs)):
+            for h, rules in zip(sel, rules_list):
+                rules_by_host[h] = tuple(rules)
         blocked = np.fromiter(
             (is_blocked(u, rules_by_host[h]) for u, h in zip(urls, hosts)),
             dtype=bool,
@@ -95,38 +94,69 @@ class RobotsStage:
         )
         return batch.append_column("blocked", pa.array(blocked))
 
+    return robots_check
+
 
 def make_select_fn(budget: int):
-    """groupby(host_fp) politeness selection -> 'action' column."""
+    """Per-host politeness selection -> 'action' column, vectorized
+    across ALL hosts in a sort partition.
 
-    def select(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["priority", "url_fp"], ascending=[False, True], kind="mergesort")
-        action = np.where(np.arange(len(group)) < budget, "fetched", "budget_deferred")
-        group = group.assign(action=action)
-        return group
+    Runs after ``sort("host_fp")``: range partitioning puts every row
+    of a host in one block, so a per-block ``map_batches`` sees whole
+    host groups. Selection is a single vectorized pass (no per-group
+    Python): sort rows by (host_fp, priority desc, url_fp), compute
+    each row's rank among its host's non-blocked rows with cumsums,
+    fetch the top ``budget``. Per-group ``map_groups`` at ~ms of
+    pandas overhead per host would dominate epochs with millions of
+    hosts; this is O(n log n) numpy per partition.
+
+    Handles the robots verdict in the same pass: blocked rows become
+    'robots_blocked' and don't consume budget."""
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.drop(columns=["blocked"]).assign(action=pd.Series([], dtype=str))
+        df = df.sort_values(
+            ["host_fp", "priority", "url_fp"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        host = df["host_fp"].to_numpy()
+        blocked = df["blocked"].to_numpy()
+        n = len(df)
+        starts = np.r_[0, np.flatnonzero(host[1:] != host[:-1]) + 1]
+        counts = np.diff(np.r_[starts, n])
+        nb = (~blocked).astype(np.int64)
+        c = np.cumsum(nb)
+        # eligible-rank of each row within its host (0-based, valid where nb==1)
+        base = np.repeat(c[starts] - nb[starts], counts)
+        rank = c - base - 1
+        action = np.where(
+            blocked, "robots_blocked", np.where(rank < budget, "fetched", "budget_deferred")
+        )
+        return df.drop(columns=["blocked"]).assign(action=action)
 
     return select
 
 
-class FetchStage:
-    """Simulated fetch + parse + link discovery. Actor-pool stage: the
-    Universe (host pool etc.) is built once per actor in __init__, not
-    per batch (SURVEY §2.3). Real deployments replace ``synth_page``
-    with an async HTTP client; the row contract stays identical."""
+def make_fetch_fn(sf: float, seed: int):
+    """Simulated fetch + parse + link discovery. Stateless task fn: the
+    Universe is a cheap read-only structure cached per worker process
+    (``get_universe`` lru_cache — SURVEY §2.3 T1 pattern), so task-pool
+    workers reuse it across batches AND epochs with no actor-spawn
+    cost. Real deployments replace ``synth_page`` with an async HTTP
+    client actor pool; the row contract stays identical."""
 
-    def __init__(self, sf: float, seed: int):
+    def fetch(batch: pa.Table) -> pa.Table:
         from ..sources.synth import get_universe
-
-        self.uni = get_universe(sf, seed)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
         from .common import discover_links
 
+        uni = get_universe(sf, seed)
         urls = batch.column("canon_url").to_pylist()
         status = np.zeros(len(urls), dtype=np.int16)
         links_col: list[list[str]] = []
         for i, u in enumerate(urls):
-            rec = self.uni.synth_page(u)
+            rec = uni.synth_page(u)
             if rec is None:
                 status[i] = 404
                 links_col.append([])
@@ -136,6 +166,8 @@ class FetchStage:
         return batch.append_column("http_status", pa.array(status)).append_column(
             "links", pa.array(links_col, pa.list_(pa.string()))
         )
+
+    return fetch
 
 
 def candidates_batch(batch: pa.Table) -> pa.Table:
@@ -212,27 +244,27 @@ def dedup_candidates(candidates):
     )
 
 
-class SeenStage:
+def make_seen_fn(seen_actors, num_partitions: int):
     """URL-seen anti-join: routes url_fps to the UrlSeenActor pool;
-    keeps only newly-admitted rows, marks the rest dup."""
+    marks newly-admitted rows. Stateless task fn — the seen state lives
+    in the partitioned actor pool (J5/T5); each batch costs one
+    round-trip per touched partition."""
 
-    def __init__(self, seen_actors, num_partitions: int):
-        self.actors = seen_actors
-        self.p = num_partitions
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def seen_check(batch: pa.Table) -> pa.Table:
         fps = batch.column("url_fp").to_numpy()
-        parts = fps.view(np.uint64) % np.uint64(self.p)
+        parts = fps.view(np.uint64) % np.uint64(num_partitions)
         new_mask = np.zeros(len(fps), dtype=bool)
         refs, idxs = [], []
-        for p in range(self.p):
+        for p in range(num_partitions):
             sel = np.nonzero(parts == p)[0]
             if len(sel):
-                refs.append(self.actors[p].check_and_add.remote(fps[sel]))
+                refs.append(seen_actors[p].check_and_add.remote(fps[sel]))
                 idxs.append(sel)
         for sel, res in zip(idxs, ray.get(refs)):
             new_mask[sel] = res
         return batch.append_column("is_new", pa.array(new_mask))
+
+    return seen_check
 
 
 # --------------------------------------------------------------------
@@ -337,7 +369,7 @@ def crawl(
     cfg: CrawlConfig,
     ckpt_dir: str,
     resume: bool = False,
-    fetch_concurrency: int | tuple = (1, 4),
+    fetch_concurrency: int | tuple | None = None,  # kept for API compat; unused (task pool)
 ) -> CrawlRunResult:
     """Run (or resume) the epoch loop. Owns no ray.init."""
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -371,7 +403,6 @@ def crawl(
     import pyarrow.dataset as pads
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    stage_conc = max(2, min(8, ncpu // 4))
 
     for epoch in range(start_epoch, cfg.max_epochs):
         frontier_dir = os.path.join(ckpt_dir, f"frontier_{epoch}")
@@ -380,43 +411,55 @@ def crawl(
         ):
             break
         # row check from parquet metadata (no Ray job)
-        if pads.dataset(frontier_dir).count_rows() == 0:
+        frontier_rows = pads.dataset(frontier_dir).count_rows()
+        if frontier_rows == 0:
             break
-        frontier = rd.read_parquet(frontier_dir)
+        # Size the partition count to the data: Ray Data's default read
+        # splitting (~200 blocks regardless of size) would turn every
+        # downstream groupby into a 200x200 tiny-object shuffle and
+        # every map stage into hundreds of ms-scale tasks. One knob
+        # bounds the whole epoch's shuffle width because sort/groupby
+        # inherit the input block count. ~64k frontier rows per
+        # partition keeps a partition's slice well under worker heap
+        # even with discovered-link fan-out; floor of 2 CPUs/partition
+        # keeps the cluster busy at small frontiers.
+        n_part = max(ncpu, frontier_rows // 65536 + 1)
+        frontier = rd.read_parquet(frontier_dir, override_num_blocks=n_part)
         res.epochs_run = epoch + 1
 
-        # 1. robots check (cached actor pool). Materialized because
-        # several downstream branches consume it — unpinned, every
-        # branch would re-run the stage (and respawn its actor pool).
-        checked = frontier.map_batches(
-            RobotsStage,
-            fn_constructor_args=(robots_pool.actors, epoch),
-            batch_format="pyarrow",
-            concurrency=stage_conc,
-            batch_size=4096,
-        ).materialize()
+        # 1+2. robots check fused into the politeness shuffle: one Ray
+        # job does map(robots) -> groupby(host_fp) -> select. The
+        # result is materialized because three branches (fetch,
+        # deferred, log) consume it — unpinned, every branch would
+        # re-run the shuffle.
+        import time as _time
 
-        # 2. politeness selection per host (the groupby(host) shuffle);
-        # materialized: feeds both the fetch and deferred branches.
-        blocked = checked.filter(expr="blocked == True")
-        allowed = checked.filter(expr="blocked == False")
+        stage_t: dict[str, float] = {}
+        _t0 = _time.time()
         selected_all = (
-            allowed.drop_columns(["blocked"])
-            .groupby("host_fp")
-            .map_groups(make_select_fn(budget), batch_format="pandas")
+            frontier.map_batches(
+                make_robots_fn(robots_pool.actors, epoch),
+                batch_format="pyarrow",
+                batch_size=None,  # preserve input blocks -> keep shuffle width
+            )
+            .sort("host_fp")  # range shuffle: whole host groups per block
+            .map_batches(make_select_fn(budget), batch_format="pandas", batch_size=None)
             .materialize()
         )
+        stage_t["select"] = round(_time.time() - _t0, 2)
+        blocked = selected_all.filter(expr="action == 'robots_blocked'")
         to_fetch = selected_all.filter(expr="action == 'fetched'")
         deferred = selected_all.filter(expr="action == 'budget_deferred'")
 
-        # 3. fetch + discover (actor pool; universe built once per actor)
-        fetched = to_fetch.map_batches(
-            FetchStage,
-            fn_constructor_args=(cfg.sf, cfg.seed),
+        # 3. fetch + discover (stateless task pool; universe cached per
+        # worker process across batches and epochs)
+        _t0 = _time.time()
+        fetched = to_fetch.drop_columns(["action"]).map_batches(
+            make_fetch_fn(cfg.sf, cfg.seed),
             batch_format="pyarrow",
-            concurrency=fetch_concurrency,
             batch_size=256,
         ).materialize()
+        stage_t["fetch"] = round(_time.time() - _t0, 2)
 
         # 4. candidate links: explode + canonicalize + fingerprint
         candidates = fetched.map_batches(
@@ -425,13 +468,13 @@ def crawl(
         # 5. cross-batch intra-epoch dedup (shallowest discovery wins)
         candidates = dedup_candidates(candidates)
         # 6. URL-seen anti-join via the partitioned actor pool
+        _t0 = _time.time()
         checked_cand = candidates.map_batches(
-            SeenStage,
-            fn_constructor_args=(seen_pool.actors, cfg.num_seen_partitions),
+            make_seen_fn(seen_pool.actors, cfg.num_seen_partitions),
             batch_format="pyarrow",
-            concurrency=stage_conc,
             batch_size=8192,
         ).materialize()
+        stage_t["candidates"] = round(_time.time() - _t0, 2)
         new_cand = checked_cand.filter(expr="is_new == True").drop_columns(["is_new"])
         dup_cand = checked_cand.filter(expr="is_new == False").drop_columns(["is_new"])
 
@@ -480,7 +523,9 @@ def crawl(
         # (cheaper than a distributed sort at this log volume; at truly
         # unbounded log sizes switch to ds.sort + per-file row offsets
         # recorded in the manifest — same total order)
+        _t0 = _time.time()
         log_df = epoch_log.to_pandas()
+        stage_t["log_collect"] = round(_time.time() - _t0, 2)
         log_df = log_df.sort_values(
             ["action_rank", "priority", "host_fp", "url_fp"],
             ascending=[True, False, True, True],
@@ -512,8 +557,10 @@ def crawl(
         )
         next_dir = os.path.join(ckpt_dir, f"frontier_{epoch + 1}")
         cols = [f.name for f in _FRONTIER_FIELDS]
+        _t0 = _time.time()
         nf = next_frontier.select_columns(cols).union(new_rows.select_columns(cols))
         nf.write_parquet(next_dir)
+        stage_t["frontier_write"] = round(_time.time() - _t0, 2)
 
         # 9. url_seen checkpoint + manifest (manifest LAST => epoch complete)
         seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
@@ -531,6 +578,7 @@ def crawl(
                 log_tbl.filter(pa.compute.equal(log_tbl["action"], "dup_skipped")).num_rows
             ),
             "seen_total": seen_total,
+            "stage_seconds": stage_t,
         }
         res.counters.append(counters)
         _atomic_write_json(
