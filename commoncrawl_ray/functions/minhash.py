@@ -17,14 +17,53 @@ _MERSENNE = (1 << 61) - 1
 _MAXU32 = (1 << 32) - 1
 
 
+_word_hash_memo: dict[str, int] = {}
+
+
+def _hash_words(words: list[str]) -> np.ndarray:
+    """Per-word 64-bit hashes with a process-local memo (natural text is
+    Zipfian, so most words hit the memo)."""
+    memo = _word_hash_memo
+    if len(memo) > 1_000_000:  # bound worker memory
+        memo.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = memo.get(w)
+        if h is None:
+            h = hash_shingle(w)
+            memo[w] = h
+        out[i] = h
+    return out
+
+
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _ngrams_hashed(text: str, n: int = 5) -> np.ndarray:
-    """Word n-gram (shingle) 64-bit hashes for a document."""
+    """Word n-gram (shingle) 64-bit hashes for a document.
+
+    Vectorized: hash each word once (memoized FNV), then combine each
+    window of n word-hashes with a position-weighted polynomial in
+    numpy — O(words) Python work instead of O(words*n) string joins +
+    per-shingle byte loops."""
     words = text.lower().split()
+    if not words:
+        return np.empty(0, np.uint64)
+    wh = _hash_words(words)
     if len(words) < n:
-        joined = " ".join(words)
-        return np.array([hash_shingle(joined)], dtype=np.uint64) if joined else np.empty(0, np.uint64)
-    shingles = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-    return np.fromiter((hash_shingle(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+        # single shingle = combine of all words
+        h = np.uint64(0xCBF29CE484222325)
+        for v in wh:
+            h = (h ^ v) * _SHINGLE_MIX
+        return np.array([h], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(wh, n)
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    for j in range(1, n):
+        powers[j] = powers[j - 1] * _SHINGLE_MIX
+    with np.errstate(over="ignore"):
+        hashes = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(hashes)
 
 
 def hash_shingle(s: str) -> int:
@@ -73,6 +112,17 @@ def band_hashes(signature: np.ndarray, bands: int) -> np.ndarray:
         h ^= sig[:, c]
         h = h * np.uint64(0x100000001B3)
     return h.view(np.int64)
+
+
+def jaccard_hashed(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over hashed-shingle arrays (the same universe the
+    MinHash signatures estimate) — np.intersect1d instead of Python
+    string-set ops."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
 
 
 def jaccard(a: set, b: set) -> float:

@@ -216,21 +216,42 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_sessions(sf_dir: str):
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].sort_values().astype("int64").to_numpy()  # micros
-        gaps = np.diff(ts) > 30 * 60 * 1_000_000
+    """Vectorized across users per sort partition: sort(user_id) alone
+    (ties co-locate whole users; adding ts to the sort key could split
+    a user across range partitions), then one numpy pass computes every
+    user's session count in the block — no per-group Python."""
+
+    def sessions_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_sessions": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()  # micros
+        n = len(df)
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        counts = np.diff(np.r_[starts, n])
+        same_user = uid[1:] == uid[:-1]
+        new_sess = ((ts[1:] - ts[:-1]) > 30 * 60 * 1_000_000) & same_user
+        cs = np.r_[0, np.cumsum(new_sess)]
+        n_sessions = 1 + (cs[starts + counts - 1] - cs[starts])
         return pd.DataFrame(
             {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_events": [len(ts)],
-                "n_sessions": [1 + int(gaps.sum())],
+                "user_id": uid[starts],
+                "n_events": counts,
+                "n_sessions": n_sessions.astype(np.int64),
             }
         )
 
     return (
         _pq(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .sort("user_id")
+        .map_batches(sessions_block, batch_format="pandas", batch_size=None)
     )
 
 

@@ -34,6 +34,26 @@ _DEFAULT_BANDS = 32
 _NGRAM = 5
 
 
+def _group_slices(*key_arrays):
+    """(starts, counts) of equal-key runs over pre-sorted key columns.
+
+    The bucket-local passes below run as ``sort(keys)`` +
+    ``map_batches(fn, batch_size=None)``: range partitioning puts every
+    row of a key in exactly one block, so a per-block fn sees whole
+    groups and only iterates the (rare) multi-row buckets — per-group
+    ``map_groups`` costs ~ms of pandas overhead per bucket, which
+    dominates when buckets number in the millions (same fix as the
+    crawl's politeness selection)."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for a in key_arrays:
+        change |= a[1:] != a[:-1]
+    starts = np.r_[0, np.flatnonzero(change) + 1]
+    return starts, np.diff(np.r_[starts, n])
+
+
 def exact_dedup(ds, id_col: str, text_col: str):
     """-> (text_hash, keeper, n) per distinct content."""
     from ray.data.aggregate import Count, Min
@@ -112,30 +132,54 @@ def minhash_lsh_pairs(
         batch_size=512,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["id"].unique())
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["band_id", "band_hash", "id"], kind="mergesort")
+        band = df["band_id"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df["id"].to_numpy()
+        starts, counts = _group_slices(band, bh)
+        a_parts, b_parts = [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            u = np.unique(ids[s : s + c])
+            if len(u) < 2:
+                continue
+            iu, ju = np.triu_indices(len(u), k=1)
+            a_parts.append(u[iu])
+            b_parts.append(u[ju])
+        if not a_parts:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(a_parts), "id_b": np.concatenate(b_parts)}
+        )
 
-    cands = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    cands = sigs.sort(["band_id", "band_hash"]).map_batches(
+        bucket_pairs, batch_format="pandas", batch_size=None
     )
 
     def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import _ngrams_hashed, jaccard_hashed
+
         lut = ray.get(text_by_id)
         a = batch.column("id_a").to_pylist()
         b = batch.column("id_b").to_pylist()
         seen = set()
+        shingle_memo: dict[int, np.ndarray] = {}
+
+        def shingles(i):
+            s = shingle_memo.get(i)
+            if s is None:
+                s = _ngrams_hashed(lut.get(i) or "", _NGRAM)
+                shingle_memo[i] = s
+            return s
+
         ja, jb, jj = [], [], []
         for x, y in zip(a, b):
             if (x, y) in seen:
                 continue
             seen.add((x, y))
-            j = jaccard(ngram_set(lut.get(x) or "", _NGRAM), ngram_set(lut.get(y) or "", _NGRAM))
+            j = jaccard_hashed(shingles(x), shingles(y))
             if j >= jaccard_threshold:
                 ja.append(x)
                 jb.append(y)
@@ -149,11 +193,12 @@ def minhash_lsh_pairs(
         )
 
     verified = cands.map_batches(verify, batch_format="pyarrow")
-    # cross-batch distinct (same pair can surface from multiple bands)
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    # cross-batch distinct (same pair can surface from multiple bands):
+    # vectorized hash aggregate — jaccard is identical for every copy
+    # of a pair, so Min is a pure "pick one".
+    from ray.data.aggregate import Min
 
-    return verified.groupby(["id_a", "id_b"]).map_groups(first_row, batch_format="pandas")
+    return verified.groupby(["id_a", "id_b"]).aggregate(Min("jaccard", alias_name="jaccard"))
 
 
 def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
@@ -182,30 +227,49 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("id").sort_values("id")
-        ids = g["id"].to_numpy()
-        sims = g["simhash"].to_numpy()
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "hamming": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.drop_duplicates(["band", "key", "id"]).sort_values(
+            ["band", "key", "id"], kind="mergesort"
+        )
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
+        ids = df["id"].to_numpy()
+        sims = df["simhash"].to_numpy()
+        starts, counts = _group_slices(band, key)
         a_out, b_out, h_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = hamming(int(sims[i]), int(sims[j]))
-                if h <= max_hamming:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    h_out.append(h)
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            gi, gs = ids[s : s + c], sims[s : s + c]
+            for i in range(c):
+                for j in range(i + 1, c):
+                    h = hamming(int(gs[i]), int(gs[j]))
+                    if h <= max_hamming:
+                        a_out.append(int(gi[i]))
+                        b_out.append(int(gi[j]))
+                        h_out.append(h)
+        if not a_out:
+            return empty
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
 
     pairs = (
         ds.map_batches(add_sim, batch_format="pyarrow", batch_size=512)
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .sort(["band", "key"])
+        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     )
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    # distinct pairs via vectorized hash aggregate (hamming identical
+    # for every copy of a pair)
+    from ray.data.aggregate import Min
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first_row, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 def embedding_lsh_neardup(
@@ -237,27 +301,43 @@ def embedding_lsh_neardup(
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["id"].to_numpy()
-        mat = np.array(list(group["vec"]), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "sim": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["bucket", "id"], kind="mergesort")
+        buckets = df["bucket"].to_numpy()
+        ids = df["id"].to_numpy()
+        vecs = np.array(list(df["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1
-        mat = mat / norms[:, None]
-        sims = mat @ mat.T
+        vecs = vecs / norms[:, None]
+        starts, counts = _group_slices(buckets)
         a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] > threshold:
-                    a, b = int(ids[i]), int(ids[j])
-                    if a > b:
-                        a, b = b, a
-                    a_out.append(a)
-                    b_out.append(b)
-                    s_out.append(round(float(sims[i, j]), 6))
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            gi = ids[s : s + c]
+            sims = vecs[s : s + c] @ vecs[s : s + c].T
+            iu, ju = np.triu_indices(int(c), k=1)
+            hit = sims[iu, ju] > threshold
+            for i, j, v in zip(iu[hit], ju[hit], sims[iu[hit], ju[hit]]):
+                a, b = int(gi[i]), int(gi[j])
+                if a > b:
+                    a, b = b, a
+                a_out.append(a)
+                b_out.append(b)
+                s_out.append(round(float(v), 6))
+        if not a_out:
+            return empty
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "sim": s_out})
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=1024)
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .sort("bucket")
+        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     )
