@@ -215,3 +215,109 @@ def format_timestamp14(epoch_ms: int) -> str:
 
     t = time.gmtime(epoch_ms // 1000)
     return f"{t.tm_year:04d}{t.tm_mon:02d}{t.tm_mday:02d}{t.tm_hour:02d}{t.tm_min:02d}{t.tm_sec:02d}"
+
+
+# --------------------------------------------------------------------
+# lenient HTTP/cookie date parse (P18)
+# --------------------------------------------------------------------
+
+_HTTP_DATE_DELIMS = "\t !\"#$%&'()*+,-./;<=>?@[\\]^_`{|}~"
+_HTTP_MONTHS = ("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec")
+_TIME_RE = re.compile(r"(\d+):(\d+):(\d+).*")
+
+
+def parse_http_date(time_string: str | None) -> int:
+    """Lenient HTTP/cookie expiration date -> epoch millis GMT, or -1.
+
+    Port of the reference's Chromium-style tokenizer parser
+    (``util/shared/DateUtils.java:87-214``): tokens split on a wide
+    delimiter set; first month-prefix string = month, first ``h:m:s``
+    = time, first <=2-digit number = day, first <=5-digit number =
+    year; 2-digit years 69-99 -> 19xx, 0-68 -> 20xx; ranges validated
+    exactly as the reference does."""
+    if not time_string:
+        return -1
+    year = month = day = hour = minute = second = -1
+    found_day = found_month = found_time = found_year = False
+    token = ""
+    tokens = []
+    for ch in time_string:
+        if ch in _HTTP_DATE_DELIMS:
+            if token:
+                tokens.append(token)
+                token = ""
+        else:
+            token += ch
+    if token:
+        tokens.append(token)
+    for tok in tokens:
+        numerical = tok[0].isdigit() and ord(tok[0]) < 128
+        if not numerical:
+            if not found_month:
+                low = tok.lower()
+                for i, m in enumerate(_HTTP_MONTHS):
+                    if low.startswith(m):
+                        month = i + 1
+                        found_month = True
+                        break
+            # else: timezone name -- ignored (reference expects GMT)
+        elif ":" in tok:
+            if not found_time:
+                m = _TIME_RE.match(tok)
+                if m:
+                    try:
+                        hour, minute, second = (int(g) for g in m.groups())
+                        found_time = True
+                    except ValueError:
+                        pass
+        else:
+            if not found_day and len(tok) <= 2:
+                try:
+                    day = int(tok)
+                    found_day = True
+                except ValueError:
+                    pass
+            elif not found_year and len(tok) <= 5:
+                try:
+                    year = int(tok)
+                    found_year = True
+                except ValueError:
+                    pass
+    if not (found_day and found_month and found_time and found_year):
+        return -1
+    if 69 <= year <= 99:
+        year += 1900
+    elif 0 <= year <= 68:
+        year += 2000
+    if not (1 <= day <= 31 and 1 <= month <= 12 and 1601 <= year <= 30827
+            and hour <= 23 and minute <= 59 and second <= 59):
+        return -1
+    import calendar
+
+    return calendar.timegm((year, month, day, hour, minute, second, 0, 0, 0)) * 1000
+
+
+# --------------------------------------------------------------------
+# IPv4 string <-> int (P19, ``util/shared/IPAddressUtils.java:127-166``)
+# --------------------------------------------------------------------
+
+
+def ipv4_str_to_int(s: str) -> int | None:
+    """Dotted-quad IPv4 -> unsigned 32-bit int, None if malformed."""
+    parts = s.split(".") if s else []
+    if len(parts) != 4:
+        return None
+    out = 0
+    for p in parts:
+        if not p.isdigit() or len(p) > 3:
+            return None
+        v = int(p)
+        if v > 255:
+            return None
+        out = (out << 8) | v
+    return out
+
+
+def ipv4_int_to_str(v: int) -> str:
+    v &= 0xFFFFFFFF
+    return f"{(v >> 24) & 0xFF}.{(v >> 16) & 0xFF}.{(v >> 8) & 0xFF}.{v & 0xFF}"

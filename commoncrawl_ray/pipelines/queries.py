@@ -567,6 +567,54 @@ def q_minhash_lsh_dedup(sf_dir: str):
     )
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN (kmeans coarse quantizer + nprobe inverted-list scan)
+    top-10 neighbours for query vectors vec_id 0..3 — the scale path
+    next to the brute-force baseline q_knn_cosine. Approximate =>
+    rows-only for the driver; recall vs brute force asserted in
+    tests/test_ann.py."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    qmat = np.array(
+        [t.column("embedding")[ids.index(qid)].as_py() for qid in range(4)],
+        dtype=np.float64,
+    )
+    return knn_ivf(
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qmat,
+        k=10,
+        n_centroids=32,
+        nprobe=8,
+    )
+
+
+def q_sharded_top_docs(sf_dir: str):
+    """Sharded query layer (SURVEY §3.3): cached sorted result +
+    manifest-indexed pagination; returns page 0 (50 rows) of documents
+    by n_chars desc. Second run at the same sf is a pure cache read
+    keyed by FP64(domain)+FP64(params) (query/Query.java:792-808)."""
+    from .query_layer import ShardedQuery, run_query
+
+    q = ShardedQuery(
+        domain_id="top_docs_by_len",
+        params=sf_dir,
+        sort_by=(("n_chars", "descending"), ("doc_id", "ascending")),
+    )
+    h = run_query(q, lambda: _pq(sf_dir, "documents", ["doc_id", "n_chars"]))
+    return h.page(50, 0)
+
+
+SQL_SHARDED_TOP_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def q_text_quality(sf_dir: str):
     """Quality + language scoring stage (actor pool)."""
     from ..stages.text_analysis import quality_stage
@@ -639,6 +687,8 @@ REGISTRY: dict[str, tuple] = {
     "lineitem_filter": (q_lineitem_filter, SQL_LINEITEM_FILTER),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "sharded_top_docs": (q_sharded_top_docs, SQL_SHARDED_TOP_DOCS),
+    "knn_ivf": (q_knn_ivf, None),
     "simhash_docs": (q_simhash_docs, None),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
     "text_quality": (q_text_quality, None),
