@@ -59,6 +59,9 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
         write_pages_parquet_ray(pages_dir, sf)
     # warm OS page cache so we measure compute+shuffle, not first read
     rd.read_parquet(pages_dir).count()
+    # prewarm the Ray worker pool (untimed): first-job worker spawn
+    # (~1 python proc per CPU) otherwise lands in the first timed stage
+    rd.range(num_cpus * 4).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     # --- parse/extract throughput -------------------------------------
     t = time.time()
@@ -75,11 +78,17 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
     import tempfile
 
     ckpt = tempfile.mkdtemp(prefix="cc_ray_bench_crawl_")
+    from commoncrawl_ray.state.politeness import PolitenessPolicy
+
+    # Heavier politeness budget than the parity default (burst 16 vs 4):
+    # the bench measures sustained fetch/discovery throughput, so each
+    # epoch must carry real per-host work, not just scheduler overhead.
     cfg = CrawlConfig(
         sf=sf,
         seed=42,
         max_epochs=3,
         num_seen_partitions=min(32, max(8, num_cpus)),
+        policy=PolitenessPolicy(burst=16, refill=16),
     )
     t = time.time()
     res = crawl(cfg, ckpt, fetch_concurrency=(2, max(2, num_cpus // 2)))
@@ -144,19 +153,35 @@ def _run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
     lo = run(lo_cpus)
     hi = run(hi_cpus)
-    # efficiency on throughput: (T_lo / T_hi) / (hi/lo); 1.0 = linear
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    ratio = hi_cpus / lo_cpus
+
+    # Primary metric (north rule): discovered-URLs/sec and
+    # fetched-pages/sec scaling efficiency between N and 4N parallelism
+    # = throughput_4N / (4 * throughput_N); 1.0 = linear.
+    def thr_eff(key: str) -> float:
+        return round(hi["throughput"][key] / (ratio * lo["throughput"][key]), 3)
+
+    eff_fetch = thr_eff("fetched_pages_per_sec")
+    eff_disc = thr_eff("discovered_urls_per_sec")
+    eff_parse = thr_eff("parsed_pages_per_sec")
+    eff_suite = round((lo["value"] / hi["value"]) / ratio, 3)
     return {
-        "metric": "scaling efficiency {}→{} cpus".format(lo_cpus, hi_cpus),
-        "value": round(eff, 3),
+        "metric": "crawl throughput scaling efficiency {}→{} cpus (min of fetched/discovered)".format(
+            lo_cpus, hi_cpus
+        ),
+        "value": min(eff_fetch, eff_disc),
         "unit": "efficiency",
+        "scaling_efficiency": min(eff_fetch, eff_disc),
+        "efficiency_fetched_pages": eff_fetch,
+        "efficiency_discovered_urls": eff_disc,
+        "efficiency_parse": eff_parse,
+        "efficiency_suite_seconds": eff_suite,
         "sec_8": lo["value"],
         "sec_32": hi["value"],
         "throughput_8": lo["throughput"],
         "throughput_32": hi["throughput"],
         "queries_8": lo["queries"],
         "queries_32": hi["queries"],
-        "scaling_efficiency": round(eff, 3),
     }
 
 

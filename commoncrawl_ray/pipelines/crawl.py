@@ -1,32 +1,40 @@
 """Distributed crawl engine — the Ray-Data epoch loop.
 
 Each epoch is a bounded batch (SURVEY §2.9): select → robots → fetch →
-extract → discover → merge, expressed as Dataset stages:
+extract → discover → merge. To keep per-epoch fixed cost at two Ray
+jobs (fixed job/shuffle overhead is what caps scaling efficiency on
+short epochs), the stages are FUSED into two pipelines:
 
-- robots check: ``map_batches`` consulting the ``RobotsCacheActor``
-  pool (host-partitioned cache, J6);
-- politeness selection: ``sort(host_fp)`` range shuffle (whole host
-  groups land in one block) + a vectorized per-block ranking pass —
-  the per-host priority queue realized as a shuffle (north rule), with
-  no per-group Python; key salting not needed for selection because
-  budget-per-host caps each group's output and group input is bounded
-  by the frontier slice;
-- fetch+parse+discover: stateless ``map_batches`` task (the synthetic
-  web is a pure function of the URL — no page-table join; a real
-  deployment swaps in an async-HTTP actor pool with the same row
-  contract);
-- candidate canonicalize+fingerprint: vectorized ``map_batches``;
-- cross-batch dedup: ``groupby(url_fp)`` min-depth reduce;
-- URL-seen anti-join: batched ``check_and_add`` against the
-  ``UrlSeenActor`` pool (partitioned bloom + exact set, J5/T5).
+**Job A (host shuffle):** read frontier → robots ``map_batches``
+(consulting the ``RobotsCacheActor`` pool, J6) → ``sort(host_fp)``
+range shuffle (whole host groups land in one block — the per-host
+priority queue realized as a shuffle, north rule) → one per-block pass
+that (a) ranks candidates per host with vectorized cumsums (no
+per-group Python), (b) fetches the selected rows (simulated fetch: the
+synthetic web is a pure function of the URL; a real deployment swaps
+in an async-HTTP client with the same row contract), (c) side-writes
+this block's log rows (fetched/blocked/deferred) and deferred-frontier
+rows as parquet parts, and (d) returns only the (depth, links) rows
+the discovery job needs.
+
+**Job C (url_fp shuffle):** A → explode+canonicalize+fingerprint
+candidates (in-batch combiner) → ``groupby(url_fp)`` min-depth hash
+aggregate → URL-seen anti-join against the ``UrlSeenActor`` pool
+(partitioned bloom + exact set, J5/T5) → side-write newly-admitted
+frontier rows and dup-skipped log rows.
+
+Side-output files are named by a content hash of their rows, so a
+retried task rewrites the identical file under the same name
+(tmp+rename): retries are idempotent, and a crashed epoch's partial
+dirs are deleted on restart (the manifest, written LAST, is the only
+completeness marker — mirroring the attempt-dir→rename pattern of
+query/Query.java:246-260).
 
 Determinism: all ordering via explicit sort keys (pipelines.common);
 the per-epoch log is sorted by (action_rank, priority desc, host_fp,
 url_fp) and sequence-stamped. State between epochs lives ONLY in
 parquet checkpoints + the seen-actor pool, so a killed run resumes
-from the last complete manifest with an identical frontier
-(SURVEY §4 checkpoint/resume; manifests written atomically tmp+rename
-mirroring query/Query.java:246-260's attempt-dir pattern).
+from the last complete manifest with an identical frontier.
 
 Scale notes (10^10 frontier): the frontier and logs stream through
 parquet each epoch (never driver-materialized); the one driver-side
@@ -97,25 +105,81 @@ def make_robots_fn(robots_actors, epoch: int):
     return robots_check
 
 
-def make_select_fn(budget: int):
-    """Per-host politeness selection -> 'action' column, vectorized
-    across ALL hosts in a sort partition.
+def _side_write(table: pa.Table, directory: str, prefix: str) -> None:
+    """Idempotent side-output write from inside a map task: the file
+    name is a content hash of the rows, so a RETRIED task rewrites the
+    identical file under the same name (tmp+rename = atomic). Partial
+    dirs from a crashed epoch are deleted on restart; the epoch
+    manifest (written last) is the only completeness marker."""
+    if table.num_rows == 0:
+        return
+    import hashlib
 
-    Runs after ``sort("host_fp")``: range partitioning puts every row
-    of a host in one block, so a per-block ``map_batches`` sees whole
-    host groups. Selection is a single vectorized pass (no per-group
-    Python): sort rows by (host_fp, priority desc, url_fp), compute
-    each row's rank among its host's non-blocked rows with cumsums,
-    fetch the top ``budget``. Per-group ``map_groups`` at ~ms of
-    pandas overhead per host would dominate epochs with millions of
-    hosts; this is O(n log n) numpy per partition.
+    import pyarrow.parquet as pq
 
-    Handles the robots verdict in the same pass: blocked rows become
-    'robots_blocked' and don't consume budget."""
+    h = hashlib.blake2b(digest_size=12)
+    h.update(str(table.num_rows).encode())
+    for col in ("url_fp", "action"):
+        if col in table.column_names:
+            chunk = table.column(col)
+            h.update(str(chunk.to_pylist()[:64]).encode())
+            if col == "url_fp":
+                h.update(chunk.cast(pa.int64()).to_numpy(zero_copy_only=False).tobytes())
+    name = f"{prefix}-{h.hexdigest()}.parquet"
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, f".{name}.tmp{os.getpid()}")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(directory, name))
 
-    def select(df: pd.DataFrame) -> pd.DataFrame:
+
+def _log_table(epoch: int, df: pd.DataFrame, action_mask, action: str, status=None) -> pa.Table:
+    sel = df[action_mask] if action_mask is not None else df
+    n = len(sel)
+    return pa.table(
+        {
+            "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+            "seq": pa.array(np.full(n, -1, dtype=np.int64)),
+            "url_fp": pa.array(sel["url_fp"].to_numpy(), pa.int64()),
+            "host_fp": pa.array(sel["host_fp"].to_numpy(), pa.int64()),
+            "canon_url": pa.array(sel["canon_url"].tolist(), pa.string()),
+            "action": pa.array([action] * n, pa.string()),
+            "http_status": pa.array(
+                status if status is not None else np.zeros(n, dtype=np.int16), pa.int16()
+            ),
+            "priority": pa.array(sel["priority"].to_numpy(), pa.float64()),
+            "depth": pa.array(sel["depth"].to_numpy().astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def make_select_fetch_fn(
+    budget: int,
+    epoch: int,
+    sf: float,
+    seed: int,
+    raw_log_dir: str,
+    next_frontier_dir: str,
+):
+    """Fused per-block pass after the sort(host_fp) shuffle: politeness
+    selection (vectorized across ALL hosts in the block — range
+    partitioning puts every row of a host in one block), simulated
+    fetch + link discovery for the selected rows, and side-writes of
+    the block's log + deferred-frontier parts. Returns only the
+    (depth, links) rows the discovery job consumes.
+
+    The Universe is a cheap read-only structure cached per worker
+    process (``get_universe`` lru_cache — SURVEY §2.3 T1 pattern);
+    task-pool workers reuse it across batches AND epochs."""
+
+    def run(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "depth": pa.array([], pa.int32()),
+                "links": pa.array([], pa.list_(pa.string())),
+            }
+        )
         if len(df) == 0:
-            return df.drop(columns=["blocked"]).assign(action=pd.Series([], dtype=str))
+            return empty
         df = df.sort_values(
             ["host_fp", "priority", "url_fp"],
             ascending=[True, False, True],
@@ -131,28 +195,15 @@ def make_select_fn(budget: int):
         # eligible-rank of each row within its host (0-based, valid where nb==1)
         base = np.repeat(c[starts] - nb[starts], counts)
         rank = c - base - 1
-        action = np.where(
-            blocked, "robots_blocked", np.where(rank < budget, "fetched", "budget_deferred")
-        )
-        return df.drop(columns=["blocked"]).assign(action=action)
+        fetched_mask = (~blocked) & (rank < budget)
+        deferred_mask = (~blocked) & (rank >= budget)
 
-    return select
-
-
-def make_fetch_fn(sf: float, seed: int):
-    """Simulated fetch + parse + link discovery. Stateless task fn: the
-    Universe is a cheap read-only structure cached per worker process
-    (``get_universe`` lru_cache — SURVEY §2.3 T1 pattern), so task-pool
-    workers reuse it across batches AND epochs with no actor-spawn
-    cost. Real deployments replace ``synth_page`` with an async HTTP
-    client actor pool; the row contract stays identical."""
-
-    def fetch(batch: pa.Table) -> pa.Table:
+        # --- fetch + discover (selected rows only) --------------------
         from ..sources.synth import get_universe
         from .common import discover_links
 
         uni = get_universe(sf, seed)
-        urls = batch.column("canon_url").to_pylist()
+        urls = df["canon_url"][fetched_mask].tolist()
         status = np.zeros(len(urls), dtype=np.int16)
         links_col: list[list[str]] = []
         for i, u in enumerate(urls):
@@ -163,11 +214,115 @@ def make_fetch_fn(sf: float, seed: int):
             else:
                 status[i] = 200
                 links_col.append(discover_links(u, rec))
-        return batch.append_column("http_status", pa.array(status)).append_column(
-            "links", pa.array(links_col, pa.list_(pa.string()))
+
+        # --- side outputs --------------------------------------------
+        log_parts = [
+            _log_table(epoch, df, fetched_mask, "fetched", status),
+            _log_table(epoch, df, blocked, "robots_blocked"),
+            _log_table(epoch, df, deferred_mask, "budget_deferred"),
+        ]
+        _side_write(pa.concat_tables(log_parts), raw_log_dir, "a")
+        deferred = df[deferred_mask]
+        if len(deferred):
+            _side_write(
+                pa.table(
+                    {
+                        "canon_url": pa.array(deferred["canon_url"].tolist(), pa.string()),
+                        "host": pa.array(deferred["host"].tolist(), pa.string()),
+                        "host_fp": pa.array(deferred["host_fp"].to_numpy(), pa.int64()),
+                        "domain_fp": pa.array(deferred["domain_fp"].to_numpy(), pa.int64()),
+                        "url_fp": pa.array(deferred["url_fp"].to_numpy(), pa.int64()),
+                        "root_domain_fp": pa.array(
+                            deferred["root_domain_fp"].to_numpy(), pa.int64()
+                        ),
+                        "depth": pa.array(
+                            deferred["depth"].to_numpy().astype(np.int32), pa.int32()
+                        ),
+                        "priority": pa.array(deferred["priority"].to_numpy(), pa.float64()),
+                        "discovered_epoch": pa.array(
+                            deferred["discovered_epoch"].to_numpy().astype(np.int32),
+                            pa.int32(),
+                        ),
+                    }
+                ),
+                next_frontier_dir,
+                "def",
+            )
+        if not len(urls):
+            return empty
+        return pa.table(
+            {
+                "depth": pa.array(
+                    df["depth"][fetched_mask].to_numpy().astype(np.int32), pa.int32()
+                ),
+                "links": pa.array(links_col, pa.list_(pa.string())),
+            }
         )
 
-    return fetch
+    return run
+
+
+def make_discover_writer_fn(
+    epoch: int, raw_log_dir: str, next_frontier_dir: str, log_dups: bool
+):
+    """Final per-block pass of the discovery job: split on the URL-seen
+    verdict, side-write newly-admitted frontier rows (priority =
+    1/(depth+1), discovered next epoch) and dup-skipped log rows;
+    return per-block admit/dup counts only."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        is_new = batch.column("is_new").to_numpy(zero_copy_only=False)
+        new_t = batch.filter(pa.array(is_new))
+        dup_t = batch.filter(pa.array(~is_new))
+        if new_t.num_rows:
+            depth = new_t.column("depth").to_numpy().astype(np.int32)
+            _side_write(
+                pa.table(
+                    {
+                        "canon_url": new_t.column("canon_url"),
+                        "host": new_t.column("host"),
+                        "host_fp": new_t.column("host_fp"),
+                        "domain_fp": new_t.column("domain_fp"),
+                        "url_fp": new_t.column("url_fp"),
+                        "root_domain_fp": new_t.column("root_domain_fp"),
+                        "depth": pa.array(depth, pa.int32()),
+                        "priority": pa.array(1.0 / (depth + 1.0), pa.float64()),
+                        "discovered_epoch": pa.array(
+                            np.full(new_t.num_rows, epoch + 1, dtype=np.int32), pa.int32()
+                        ),
+                    }
+                ),
+                next_frontier_dir,
+                "new",
+            )
+        if log_dups and dup_t.num_rows:
+            ddepth = dup_t.column("depth").to_numpy().astype(np.int32)
+            n = dup_t.num_rows
+            _side_write(
+                pa.table(
+                    {
+                        "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+                        "seq": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "url_fp": dup_t.column("url_fp"),
+                        "host_fp": dup_t.column("host_fp"),
+                        "canon_url": dup_t.column("canon_url"),
+                        "action": pa.array(["dup_skipped"] * n, pa.string()),
+                        "http_status": pa.array(np.zeros(n, dtype=np.int16), pa.int16()),
+                        "priority": pa.array(1.0 / (ddepth + 1.0), pa.float64()),
+                        "depth": pa.array(ddepth, pa.int32()),
+                    }
+                ),
+                raw_log_dir,
+                "c",
+            )
+        return pa.table(
+            {
+                "admitted": pa.array([new_t.num_rows], pa.int64()),
+                "dups": pa.array([dup_t.num_rows], pa.int64()),
+            }
+        )
+
+    return run
 
 
 def candidates_batch(batch: pa.Table) -> pa.Table:
@@ -427,140 +582,99 @@ def crawl(
         frontier = rd.read_parquet(frontier_dir, override_num_blocks=n_part)
         res.epochs_run = epoch + 1
 
-        # 1+2. robots check fused into the politeness shuffle: one Ray
-        # job does map(robots) -> groupby(host_fp) -> select. The
-        # result is materialized because three branches (fetch,
-        # deferred, log) consume it — unpinned, every branch would
-        # re-run the shuffle.
+        import shutil as _shutil
         import time as _time
 
+        # crash hygiene: no manifest for this epoch => any partial
+        # side-output dirs from a previous attempt are garbage
+        raw_log_dir = os.path.join(ckpt_dir, f".rawlog_{epoch}")
+        log_dir = os.path.join(ckpt_dir, f"fetch_log_{epoch}")
+        next_dir = os.path.join(ckpt_dir, f"frontier_{epoch + 1}")
+        seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
+        for d in (raw_log_dir, log_dir, next_dir, seen_dir):
+            _shutil.rmtree(d, ignore_errors=True)
+
         stage_t: dict[str, float] = {}
+
+        # --- Job A: robots -> sort(host_fp) -> select+fetch fused ----
         _t0 = _time.time()
-        selected_all = (
+        fetched = (
             frontier.map_batches(
                 make_robots_fn(robots_pool.actors, epoch),
                 batch_format="pyarrow",
                 batch_size=None,  # preserve input blocks -> keep shuffle width
             )
             .sort("host_fp")  # range shuffle: whole host groups per block
-            .map_batches(make_select_fn(budget), batch_format="pandas", batch_size=None)
+            .map_batches(
+                make_select_fetch_fn(
+                    budget, epoch, cfg.sf, cfg.seed, raw_log_dir, next_dir
+                ),
+                batch_format="pandas",
+                batch_size=None,
+            )
             .materialize()
         )
-        stage_t["select"] = round(_time.time() - _t0, 2)
-        blocked = selected_all.filter(expr="action == 'robots_blocked'")
-        to_fetch = selected_all.filter(expr="action == 'fetched'")
-        deferred = selected_all.filter(expr="action == 'budget_deferred'")
+        stage_t["select_fetch"] = round(_time.time() - _t0, 2)
 
-        # 3. fetch + discover (stateless task pool; universe cached per
-        # worker process across batches and epochs)
+        # --- Job C: explode links -> dedup -> URL-seen -> admit ------
         _t0 = _time.time()
-        fetched = to_fetch.drop_columns(["action"]).map_batches(
-            make_fetch_fn(cfg.sf, cfg.seed),
-            batch_format="pyarrow",
-            batch_size=256,
-        ).materialize()
-        stage_t["fetch"] = round(_time.time() - _t0, 2)
-
-        # 4. candidate links: explode + canonicalize + fingerprint
-        candidates = fetched.map_batches(
-            candidates_batch, batch_format="pyarrow", batch_size=256
+        (
+            dedup_candidates(
+                fetched.map_batches(candidates_batch, batch_format="pyarrow", batch_size=256)
+            )
+            .map_batches(
+                make_seen_fn(seen_pool.actors, cfg.num_seen_partitions),
+                batch_format="pyarrow",
+                batch_size=8192,
+            )
+            .map_batches(
+                make_discover_writer_fn(epoch, raw_log_dir, next_dir, cfg.log_dups),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .materialize()
         )
-        # 5. cross-batch intra-epoch dedup (shallowest discovery wins)
-        candidates = dedup_candidates(candidates)
-        # 6. URL-seen anti-join via the partitioned actor pool
-        _t0 = _time.time()
-        checked_cand = candidates.map_batches(
-            make_seen_fn(seen_pool.actors, cfg.num_seen_partitions),
-            batch_format="pyarrow",
-            batch_size=8192,
-        ).materialize()
-        stage_t["candidates"] = round(_time.time() - _t0, 2)
-        new_cand = checked_cand.filter(expr="is_new == True").drop_columns(["is_new"])
-        dup_cand = checked_cand.filter(expr="is_new == False").drop_columns(["is_new"])
+        stage_t["discover"] = round(_time.time() - _t0, 2)
 
-        # 7. epoch log: union all actions, deterministic global order
-        def _log_rows(ds, action: str, with_status: bool = False):
-            def to_log(b: pa.Table) -> pa.Table:
-                n = b.num_rows
-                status = (
-                    b.column("http_status")
-                    if with_status
-                    else pa.array(np.zeros(n, dtype=np.int16))
-                )
-                prio = (
-                    b.column("priority")
-                    if "priority" in b.column_names
-                    else pa.array(1.0 / (b.column("depth").to_numpy() + 1.0))
-                )
-                return pa.table(
-                    {
-                        "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
-                        "seq": pa.array(np.full(n, -1, dtype=np.int64)),
-                        "url_fp": b.column("url_fp"),
-                        "host_fp": b.column("host_fp"),
-                        "canon_url": b.column("canon_url"),
-                        "action": pa.array([action] * n, pa.string()),
-                        "http_status": status,
-                        "priority": prio,
-                        "depth": b.column("depth"),
-                        "action_rank": pa.array(
-                            np.full(n, ACTION_RANK[action], dtype=np.int32)
-                        ),
-                    }
-                )
-
-            return ds.map_batches(to_log, batch_format="pyarrow")
-
-        log_parts = [
-            _log_rows(fetched.drop_columns(["links"]), "fetched", with_status=True),
-            _log_rows(blocked, "robots_blocked"),
-            _log_rows(deferred, "budget_deferred"),
-        ]
-        if cfg.log_dups:
-            log_parts.append(_log_rows(dup_cand, "dup_skipped"))
-        epoch_log = log_parts[0].union(*log_parts[1:])
+        # --- driver: assemble the epoch log (bounded; pure file IO) --
         # seq stamping: driver-side sort of the bounded per-epoch log
         # (cheaper than a distributed sort at this log volume; at truly
         # unbounded log sizes switch to ds.sort + per-file row offsets
         # recorded in the manifest — same total order)
         _t0 = _time.time()
-        log_df = epoch_log.to_pandas()
-        stage_t["log_collect"] = round(_time.time() - _t0, 2)
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(raw_log_dir):
+            raw_tbl = pads.dataset(raw_log_dir).to_table()
+        else:
+            raw_tbl = pa.table(
+                {
+                    "epoch": pa.array([], pa.int32()),
+                    "seq": pa.array([], pa.int64()),
+                    "url_fp": pa.array([], pa.int64()),
+                    "host_fp": pa.array([], pa.int64()),
+                    "canon_url": pa.array([], pa.string()),
+                    "action": pa.array([], pa.string()),
+                    "http_status": pa.array([], pa.int16()),
+                    "priority": pa.array([], pa.float64()),
+                    "depth": pa.array([], pa.int32()),
+                }
+            )
+        log_df = raw_tbl.to_pandas()
+        log_df["action_rank"] = log_df["action"].map(ACTION_RANK)
         log_df = log_df.sort_values(
             ["action_rank", "priority", "host_fp", "url_fp"],
             ascending=[True, False, True, True],
             kind="mergesort",
         ).reset_index(drop=True)
-        log_tbl = pa.Table.from_pandas(log_df, preserve_index=False)
-        log_tbl = log_tbl.drop_columns(["action_rank"])
-        log_tbl = log_tbl.set_column(
-            log_tbl.column_names.index("seq"),
-            "seq",
-            pa.array(np.arange(log_tbl.num_rows, dtype=np.int64)),
-        )
-        log_dir = os.path.join(ckpt_dir, f"fetch_log_{epoch}")
+        log_df = log_df.drop(columns=["action_rank"])
+        log_df["seq"] = np.arange(len(log_df), dtype=np.int64)
+        log_tbl = pa.Table.from_pandas(log_df, preserve_index=False).cast(raw_tbl.schema)
         os.makedirs(log_dir, exist_ok=True)
-        import pyarrow.parquet as pq
-
         pq.write_table(log_tbl, os.path.join(log_dir, "part-00000.parquet"))
-
-        # 8. next frontier = deferred + newly admitted
-        next_frontier = deferred.drop_columns(["action"])
-        new_rows = new_cand.map_batches(
-            lambda b: b.append_column(
-                "priority", pa.array(1.0 / (b.column("depth").to_numpy() + 1.0))
-            ).append_column(
-                "discovered_epoch",
-                pa.array(np.full(b.num_rows, epoch + 1, dtype=np.int32)),
-            ),
-            batch_format="pyarrow",
-        )
-        next_dir = os.path.join(ckpt_dir, f"frontier_{epoch + 1}")
-        cols = [f.name for f in _FRONTIER_FIELDS]
-        _t0 = _time.time()
-        nf = next_frontier.select_columns(cols).union(new_rows.select_columns(cols))
-        nf.write_parquet(next_dir)
-        stage_t["frontier_write"] = round(_time.time() - _t0, 2)
+        _shutil.rmtree(raw_log_dir, ignore_errors=True)
+        os.makedirs(next_dir, exist_ok=True)  # may be empty (frontier drained)
+        stage_t["log_assemble"] = round(_time.time() - _t0, 2)
 
         # 9. url_seen checkpoint + manifest (manifest LAST => epoch complete)
         seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
