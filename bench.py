@@ -80,15 +80,20 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
     ckpt = tempfile.mkdtemp(prefix="cc_ray_bench_crawl_")
     from commoncrawl_ray.state.politeness import PolitenessPolicy
 
-    # Heavier politeness budget than the parity default (burst 16 vs 4):
+    # Heavier politeness budget than the parity default (burst 64 vs 4):
     # the bench measures sustained fetch/discovery throughput, so each
     # epoch must carry real per-host work, not just scheduler overhead.
+    # num_seen_partitions is sized by DATA scale (partition state must
+    # fit one actor), never by CPU count: every seen-check batch costs
+    # one RPC per touched partition, so an oversized pool turns the
+    # anti-join into pure fan-out latency (measured: 32 partitions at
+    # 32 cpus doubled crawl wall time vs 8 partitions).
     cfg = CrawlConfig(
         sf=sf,
         seed=42,
         max_epochs=3,
-        num_seen_partitions=min(32, max(8, num_cpus)),
-        policy=PolitenessPolicy(burst=16, refill=16),
+        num_seen_partitions=8,
+        policy=PolitenessPolicy(burst=64, refill=64),
     )
     t = time.time()
     res = crawl(cfg, ckpt, fetch_concurrency=(2, max(2, num_cpus // 2)))

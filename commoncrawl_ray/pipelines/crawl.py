@@ -381,40 +381,47 @@ def candidates_batch(batch: pa.Table) -> pa.Table:
 def dedup_candidates(candidates):
     """Intra-epoch duplicate discoveries: shallowest wins (common.py).
 
-    Every column except ``depth`` is a pure function of ``url_fp``
-    (same canon_url/host/fps for every duplicate), so the reduce is a
-    vectorized hash aggregate (Min over each column) rather than a
-    per-group Python call — per-group ``map_groups`` over millions of
-    1-row groups would dominate epoch wall time.
+    ``sort(url_fp)`` range shuffle + a vectorized first-of-run pass per
+    block (equal fps are co-located by range partitioning; every column
+    except ``depth`` is a pure function of ``url_fp``, so keeping the
+    min-depth row of each run IS the min-reduce). Chosen over a hash
+    aggregate because the output blocks then hold CONTIGUOUS fp ranges,
+    co-partitioned with the range-routed URL-seen pool — the downstream
+    anti-join touches ~P/num_blocks actors per batch instead of all P.
     """
-    from ray.data.aggregate import Min
 
-    return candidates.groupby("url_fp").aggregate(
-        Min("depth", alias_name="depth"),
-        Min("canon_url", alias_name="canon_url"),
-        Min("host", alias_name="host"),
-        Min("host_fp", alias_name="host_fp"),
-        Min("domain_fp", alias_name="domain_fp"),
-        Min("root_domain_fp", alias_name="root_domain_fp"),
+    def first_of_run(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(["url_fp", "depth"], kind="mergesort").reset_index(drop=True)
+        fp = df["url_fp"].to_numpy()
+        keep = np.r_[True, fp[1:] != fp[:-1]]
+        return df[keep]
+
+    return candidates.sort("url_fp").map_batches(
+        first_of_run, batch_format="pandas", batch_size=None
     )
 
 
 def make_seen_fn(seen_actors, num_partitions: int):
     """URL-seen anti-join: routes url_fps to the UrlSeenActor pool;
     marks newly-admitted rows. Stateless task fn — the seen state lives
-    in the partitioned actor pool (J5/T5); each batch costs one
-    round-trip per touched partition."""
+    in the partitioned actor pool (J5/T5). Routing is the RANGE scheme
+    of ``state.url_seen.partition_of``, co-partitioned with the
+    discovery job's ``sort(url_fp)`` shuffle: each sorted block spans a
+    contiguous fp range, so a batch touches ~P/num_blocks partitions —
+    the fan-out stays constant as the pool scales out."""
+    from ..state.url_seen import partition_of
 
     def seen_check(batch: pa.Table) -> pa.Table:
         fps = batch.column("url_fp").to_numpy()
-        parts = fps.view(np.uint64) % np.uint64(num_partitions)
+        parts = partition_of(fps, num_partitions)
         new_mask = np.zeros(len(fps), dtype=bool)
         refs, idxs = [], []
-        for p in range(num_partitions):
+        for p in np.unique(parts):
             sel = np.nonzero(parts == p)[0]
-            if len(sel):
-                refs.append(seen_actors[p].check_and_add.remote(fps[sel]))
-                idxs.append(sel)
+            refs.append(seen_actors[int(p)].check_and_add.remote(fps[sel]))
+            idxs.append(sel)
         for sel, res in zip(idxs, ray.get(refs)):
             new_mask[sel] = res
         return batch.append_column("is_new", pa.array(new_mask))
@@ -596,31 +603,29 @@ def crawl(
 
         stage_t: dict[str, float] = {}
 
-        # --- Job A: robots -> sort(host_fp) -> select+fetch fused ----
-        _t0 = _time.time()
-        fetched = (
-            frontier.map_batches(
-                make_robots_fn(robots_pool.actors, epoch),
-                batch_format="pyarrow",
-                batch_size=None,  # preserve input blocks -> keep shuffle width
-            )
-            .sort("host_fp")  # range shuffle: whole host groups per block
-            .map_batches(
-                make_select_fetch_fn(
-                    budget, epoch, cfg.sf, cfg.seed, raw_log_dir, next_dir
-                ),
-                batch_format="pandas",
-                batch_size=None,
-            )
-            .materialize()
-        )
-        stage_t["select_fetch"] = round(_time.time() - _t0, 2)
-
-        # --- Job C: explode links -> dedup -> URL-seen -> admit ------
+        # --- the epoch job: ONE streaming pipeline with two all-to-all
+        # exchanges (sort(host_fp) for politeness, groupby(url_fp) for
+        # discovery dedup). The select+fetch output has exactly one
+        # consumer, so no mid-epoch materialize: blocks stream from the
+        # host shuffle straight into link explosion with backpressure.
+        # Log/frontier rows leave via idempotent side-writes.
         _t0 = _time.time()
         (
             dedup_candidates(
-                fetched.map_batches(candidates_batch, batch_format="pyarrow", batch_size=256)
+                frontier.map_batches(
+                    make_robots_fn(robots_pool.actors, epoch),
+                    batch_format="pyarrow",
+                    batch_size=None,  # preserve input blocks -> keep shuffle width
+                )
+                .sort("host_fp")  # range shuffle: whole host groups per block
+                .map_batches(
+                    make_select_fetch_fn(
+                        budget, epoch, cfg.sf, cfg.seed, raw_log_dir, next_dir
+                    ),
+                    batch_format="pandas",
+                    batch_size=None,
+                )
+                .map_batches(candidates_batch, batch_format="pyarrow", batch_size=256)
             )
             .map_batches(
                 make_seen_fn(seen_pool.actors, cfg.num_seen_partitions),
@@ -634,7 +639,7 @@ def crawl(
             )
             .materialize()
         )
-        stage_t["discover"] = round(_time.time() - _t0, 2)
+        stage_t["epoch_job"] = round(_time.time() - _t0, 2)
 
         # --- driver: assemble the epoch log (bounded; pure file IO) --
         # seq stamping: driver-side sort of the bounded per-epoch log

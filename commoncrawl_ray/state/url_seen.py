@@ -28,9 +28,19 @@ from .bloom import BloomFilter
 
 
 def partition_of(url_fps: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Deterministic partition routing: low bits of the (unsigned) fp.
-    Must be identical in the oracle and the engine (manifest records P)."""
-    return (url_fps.view(np.uint64) % np.uint64(num_partitions)).astype(np.int64)
+    """Deterministic partition routing: RANGE of the unsigned fp
+    (``floor(u64/2^64 * P)`` in integer math). fps are 64-bit hashes,
+    so ranges are uniformly loaded like modulo — but range routing
+    CO-PARTITIONS with the discovery job's ``sort(url_fp)`` shuffle:
+    a sorted block spans a contiguous fp range and therefore touches
+    ~P/num_blocks seen-actors instead of all P, keeping the anti-join
+    RPC fan-out constant as the pool grows (measured: an all-partition
+    fan-out at P=32 doubled crawl wall time vs P=8).
+    Must be identical wherever routing happens (manifest records P)."""
+    u = url_fps.view(np.uint64)
+    return (((u >> np.uint64(32)) * np.uint64(num_partitions)) >> np.uint64(32)).astype(
+        np.int64
+    )
 
 
 class _SeenCore:
