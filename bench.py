@@ -91,17 +91,17 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
     cfg = CrawlConfig(
         sf=sf,
         seed=42,
-        max_epochs=3,
+        max_epochs=5,
         num_seen_partitions=8,
         policy=PolitenessPolicy(burst=64, refill=64),
     )
     t = time.time()
     res = crawl(cfg, ckpt, fetch_concurrency=(2, max(2, num_cpus // 2)))
-    timings["crawl_3_epochs"] = time.time() - t
+    timings["crawl_epochs"] = time.time() - t
     fetched = sum(c["fetched"] for c in res.counters)
     discovered = res.seen_total
-    extras["fetched_pages_per_sec"] = round(fetched / timings["crawl_3_epochs"], 1)
-    extras["discovered_urls_per_sec"] = round(discovered / timings["crawl_3_epochs"], 1)
+    extras["fetched_pages_per_sec"] = round(fetched / timings["crawl_epochs"], 1)
+    extras["discovered_urls_per_sec"] = round(discovered / timings["crawl_epochs"], 1)
     shutil.rmtree(ckpt, ignore_errors=True)
 
     # --- relational / dedup / similarity benches ----------------------

@@ -80,10 +80,9 @@ def make_robots_fn(robots_actors, epoch: int):
 
     def robots_check(batch: pa.Table) -> pa.Table:
         hosts = batch.column("host").to_pylist()
-        urls = batch.column("canon_url").to_pylist()
         n = len(hosts)
         missing = sorted(set(hosts))
-        host_fps = np.fromiter((fp64(h) for h in missing), dtype=np.int64, count=len(missing))
+        host_fps = fp64_batch(missing)  # vectorized Rabin (NOT per-char Python)
         parts = host_fps.view(np.uint64) % np.uint64(num_actors)
         refs, groups = [], []
         for a in range(num_actors):
@@ -91,15 +90,20 @@ def make_robots_fn(robots_actors, epoch: int):
             if sel:
                 refs.append(robots_actors[a].rules_for.remote(sel, epoch))
                 groups.append(sel)
-        rules_by_host: dict[str, tuple] = {}
+        # only hosts WITH rules need the per-URL path check — the vast
+        # majority of hosts have an empty rule set and short-circuit
+        hosts_with_rules: dict[str, tuple] = {}
         for sel, rules_list in zip(groups, ray.get(refs)):
             for h, rules in zip(sel, rules_list):
-                rules_by_host[h] = tuple(rules)
-        blocked = np.fromiter(
-            (is_blocked(u, rules_by_host[h]) for u, h in zip(urls, hosts)),
-            dtype=bool,
-            count=n,
-        )
+                if rules:
+                    hosts_with_rules[h] = tuple(rules)
+        blocked = np.zeros(n, dtype=bool)
+        if hosts_with_rules:
+            urls = batch.column("canon_url").to_pylist()
+            for i, (u, h) in enumerate(zip(urls, hosts)):
+                r = hosts_with_rules.get(h)
+                if r is not None:
+                    blocked[i] = is_blocked(u, r)
         return batch.append_column("blocked", pa.array(blocked))
 
     return robots_check

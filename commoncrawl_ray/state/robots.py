@@ -22,16 +22,21 @@ import ray
 from ..functions.fingerprint import fp64
 
 
-def robots_rules_for_host(host: str) -> tuple[str, ...]:
-    """Deterministic disallow prefix list for a host (simulated
-    robots.txt fetch+parse). ~1/7 of hosts disallow '/dir', ~1/23
-    disallow everything."""
-    h = fp64(host)
+def rules_from_fp(h: int) -> tuple[str, ...]:
+    """Rules derived from a host fingerprint (see
+    :func:`robots_rules_for_host`)."""
     if h % 23 == 3:
         return ("/",)
     if h % 7 == 0:
         return ("/dir",)
     return ()
+
+
+def robots_rules_for_host(host: str) -> tuple[str, ...]:
+    """Deterministic disallow prefix list for a host (simulated
+    robots.txt fetch+parse). ~1/7 of hosts disallow '/dir', ~1/23
+    disallow everything."""
+    return rules_from_fp(fp64(host))
 
 
 def path_of(canon_url: str) -> str:
@@ -58,17 +63,24 @@ class RobotsCacheActor:
         self.fetches = 0
 
     def rules_for(self, hosts: list[str], epoch: int) -> list[tuple[str, ...]]:
-        out = []
-        for h in hosts:
-            hit = self.cache.get(h)
-            if hit is None or epoch - hit[0] >= self.ttl:
-                self.fetches += 1  # simulated robots.txt fetch
-                rules = robots_rules_for_host(h)
-                self.cache[h] = (epoch, rules)
-                out.append(rules)
-            else:
-                out.append(hit[1])
-        return out
+        cache = self.cache
+        missing = [
+            h
+            for h in hosts
+            if (hit := cache.get(h)) is None or epoch - hit[0] >= self.ttl
+        ]
+        if missing:
+            # simulated robots.txt fetch+parse, VECTORIZED: the rules
+            # derive from the host fingerprint, so hash all misses in
+            # one numpy pass instead of a per-host Python Rabin loop
+            # (the actor serializes all callers — scalar hashing here
+            # was the top cost of the whole robots stage)
+            from ..functions.fingerprint import fp64_batch
+
+            self.fetches += len(missing)
+            for h, fp in zip(missing, fp64_batch(missing).tolist()):
+                cache[h] = (epoch, rules_from_fp(fp))
+        return [cache[h][1] for h in hosts]
 
     def stats(self) -> dict:
         return {"hosts_cached": len(self.cache), "fetches": self.fetches}
