@@ -329,19 +329,27 @@ def make_discover_writer_fn(
     return run
 
 
+_CANON_MEMO: dict[str, tuple] = {}
+_CANON_MEMO_CAP = 500_000
+
+
 def candidates_batch(batch: pa.Table) -> pa.Table:
     """Explode links -> canonicalize+fingerprint candidate rows.
 
     Combiner semantics: within the batch, duplicate URLs reduce to
     their min depth BEFORE the cross-batch shuffle (partial aggregation
     ahead of the groupby — SURVEY §2.5 A4 / ray_guide pre-aggregate
-    pattern), and canonicalization results are memoized per distinct
-    raw URL."""
+    pattern). Canonicalization results are memoized in a bounded
+    per-worker-process dict (nav links repeat across pages and
+    batches; canonicalize+FP64 is the parity kernel and the costliest
+    per-link step)."""
     from ..functions.canonicalize import host_from_canonical, url_fpv2
 
     parent_depth = batch.column("depth").to_pylist()
     links_lists = batch.column("links").to_pylist()
-    cache: dict[str, tuple] = {}
+    if len(_CANON_MEMO) > _CANON_MEMO_CAP:
+        _CANON_MEMO.clear()
+    cache = _CANON_MEMO
     best: dict[int, tuple] = {}  # url_fp -> (depth, canon, host, dfp, rfp)
     for d0, links in zip(parent_depth, links_lists):
         d = d0 + 1
