@@ -109,6 +109,75 @@ def make_robots_fn(robots_actors, epoch: int):
     return robots_check
 
 
+def make_combine_fn(budget: int, epoch: int, raw_log_dir: str, next_frontier_dir: str):
+    """Pre-shuffle skew combiner (the engine's answer to the north
+    rule's mega-host salting): within each INPUT block, rows that are
+    not in their host's per-block top-``budget`` (priority desc,
+    url_fp) provably cannot be in the host's global top-``budget``
+    either (global top-B ⊆ union of per-block top-Bs), so they are
+    deferred AT SOURCE — side-written as next-epoch frontier rows +
+    'budget_deferred' log rows — and robots-blocked rows are logged and
+    dropped here too. The sort(host_fp) exchange then moves at most
+    budget × num_blocks rows per host no matter how skewed the
+    frontier is: a 10^7-URL mega-host costs the shuffle the same as a
+    small host. Selection downstream stays EXACT (same fetched set,
+    same deferred set, same log)."""
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.drop(columns=["blocked"])
+        blocked_df = df[df["blocked"]]
+        if len(blocked_df):
+            _side_write(
+                _log_table(epoch, blocked_df, None, "robots_blocked"),
+                raw_log_dir,
+                "b",
+            )
+        df = (
+            df[~df["blocked"]]
+            .drop(columns=["blocked"])
+            .sort_values(
+                ["host_fp", "priority", "url_fp"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .reset_index(drop=True)
+        )
+        if len(df) == 0:
+            return df
+        host = df["host_fp"].to_numpy()
+        n = len(df)
+        starts = np.r_[0, np.flatnonzero(host[1:] != host[:-1]) + 1]
+        counts = np.diff(np.r_[starts, n])
+        rank = np.arange(n) - np.repeat(starts, counts)
+        keep = rank < budget
+        deferred = df[~keep]
+        if len(deferred):
+            _side_write(_log_table(epoch, deferred, None, "budget_deferred"), raw_log_dir, "bd")
+            _side_write(_frontier_table(deferred), next_frontier_dir, "cdef")
+        return df[keep]
+
+    return run
+
+
+def _frontier_table(df: pd.DataFrame) -> pa.Table:
+    return pa.table(
+        {
+            "canon_url": pa.array(df["canon_url"].tolist(), pa.string()),
+            "host": pa.array(df["host"].tolist(), pa.string()),
+            "host_fp": pa.array(df["host_fp"].to_numpy(), pa.int64()),
+            "domain_fp": pa.array(df["domain_fp"].to_numpy(), pa.int64()),
+            "url_fp": pa.array(df["url_fp"].to_numpy(), pa.int64()),
+            "root_domain_fp": pa.array(df["root_domain_fp"].to_numpy(), pa.int64()),
+            "depth": pa.array(df["depth"].to_numpy().astype(np.int32), pa.int32()),
+            "priority": pa.array(df["priority"].to_numpy(), pa.float64()),
+            "discovered_epoch": pa.array(
+                df["discovered_epoch"].to_numpy().astype(np.int32), pa.int32()
+            ),
+        }
+    )
+
+
 def _side_write(table: pa.Table, directory: str, prefix: str) -> None:
     """Idempotent side-output write from inside a map task: the file
     name is a content hash of the rows, so a RETRIED task rewrites the
@@ -190,17 +259,12 @@ def make_select_fetch_fn(
             kind="mergesort",
         ).reset_index(drop=True)
         host = df["host_fp"].to_numpy()
-        blocked = df["blocked"].to_numpy()
         n = len(df)
         starts = np.r_[0, np.flatnonzero(host[1:] != host[:-1]) + 1]
         counts = np.diff(np.r_[starts, n])
-        nb = (~blocked).astype(np.int64)
-        c = np.cumsum(nb)
-        # eligible-rank of each row within its host (0-based, valid where nb==1)
-        base = np.repeat(c[starts] - nb[starts], counts)
-        rank = c - base - 1
-        fetched_mask = (~blocked) & (rank < budget)
-        deferred_mask = (~blocked) & (rank >= budget)
+        rank = np.arange(n) - np.repeat(starts, counts)
+        fetched_mask = rank < budget
+        deferred_mask = rank >= budget
 
         # --- fetch + discover (selected rows only) --------------------
         from ..sources.synth import get_universe
@@ -222,36 +286,12 @@ def make_select_fetch_fn(
         # --- side outputs --------------------------------------------
         log_parts = [
             _log_table(epoch, df, fetched_mask, "fetched", status),
-            _log_table(epoch, df, blocked, "robots_blocked"),
             _log_table(epoch, df, deferred_mask, "budget_deferred"),
         ]
         _side_write(pa.concat_tables(log_parts), raw_log_dir, "a")
         deferred = df[deferred_mask]
         if len(deferred):
-            _side_write(
-                pa.table(
-                    {
-                        "canon_url": pa.array(deferred["canon_url"].tolist(), pa.string()),
-                        "host": pa.array(deferred["host"].tolist(), pa.string()),
-                        "host_fp": pa.array(deferred["host_fp"].to_numpy(), pa.int64()),
-                        "domain_fp": pa.array(deferred["domain_fp"].to_numpy(), pa.int64()),
-                        "url_fp": pa.array(deferred["url_fp"].to_numpy(), pa.int64()),
-                        "root_domain_fp": pa.array(
-                            deferred["root_domain_fp"].to_numpy(), pa.int64()
-                        ),
-                        "depth": pa.array(
-                            deferred["depth"].to_numpy().astype(np.int32), pa.int32()
-                        ),
-                        "priority": pa.array(deferred["priority"].to_numpy(), pa.float64()),
-                        "discovered_epoch": pa.array(
-                            deferred["discovered_epoch"].to_numpy().astype(np.int32),
-                            pa.int32(),
-                        ),
-                    }
-                ),
-                next_frontier_dir,
-                "def",
-            )
+            _side_write(_frontier_table(deferred), next_frontier_dir, "def")
         if not len(urls):
             return empty
         return pa.table(
@@ -628,6 +668,15 @@ def crawl(
                     make_robots_fn(robots_pool.actors, epoch),
                     batch_format="pyarrow",
                     batch_size=None,  # preserve input blocks -> keep shuffle width
+                )
+                .map_batches(
+                    # skew combiner: blocked rows logged+dropped and
+                    # per-block non-top-budget rows deferred AT SOURCE,
+                    # so the host shuffle moves <= budget*blocks rows
+                    # per host regardless of mega-host skew
+                    make_combine_fn(budget, epoch, raw_log_dir, next_dir),
+                    batch_format="pandas",
+                    batch_size=None,
                 )
                 .sort("host_fp")  # range shuffle: whole host groups per block
                 .map_batches(
