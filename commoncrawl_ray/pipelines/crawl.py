@@ -183,7 +183,12 @@ def _side_write(table: pa.Table, directory: str, prefix: str) -> None:
     name is a content hash of the rows, so a RETRIED task rewrites the
     identical file under the same name (tmp+rename = atomic). Partial
     dirs from a crashed epoch are deleted on restart; the epoch
-    manifest (written last) is the only completeness marker."""
+    manifest (written last) is the only completeness marker.
+
+    Log tables (any table with an 'action' column) also get a
+    ``<name>.counts.json`` sidecar with per-action row counts, so the
+    driver can build epoch counters by summing tiny jsons instead of
+    scanning log rows."""
     if table.num_rows == 0:
         return
     import hashlib
@@ -203,6 +208,15 @@ def _side_write(table: pa.Table, directory: str, prefix: str) -> None:
     tmp = os.path.join(directory, f".{name}.tmp{os.getpid()}")
     pq.write_table(table, tmp)
     os.replace(tmp, os.path.join(directory, name))
+    if "action" in table.column_names:
+        import collections
+        import json as _json
+
+        counts = collections.Counter(table.column("action").to_pylist())
+        ctmp = os.path.join(directory, f".{name}.counts.tmp{os.getpid()}")
+        with open(ctmp, "w") as f:
+            _json.dump(dict(counts), f)
+        os.replace(ctmp, os.path.join(directory, f"{name}.counts.json"))
 
 
 def _log_table(epoch: int, df: pd.DataFrame, action_mask, action: str, status=None) -> pa.Table:
@@ -225,34 +239,20 @@ def _log_table(epoch: int, df: pd.DataFrame, action_mask, action: str, status=No
     )
 
 
-def make_select_fetch_fn(
-    budget: int,
-    epoch: int,
-    sf: float,
-    seed: int,
-    raw_log_dir: str,
-    next_frontier_dir: str,
-):
-    """Fused per-block pass after the sort(host_fp) shuffle: politeness
-    selection (vectorized across ALL hosts in the block — range
-    partitioning puts every row of a host in one block), simulated
-    fetch + link discovery for the selected rows, and side-writes of
-    the block's log + deferred-frontier parts. Returns only the
-    (depth, links) rows the discovery job consumes.
+def make_select_fn(budget: int, epoch: int, raw_log_dir: str, next_frontier_dir: str):
+    """Per-block politeness selection after the sort(host_fp) shuffle
+    (vectorized across ALL hosts in the block — range partitioning puts
+    every row of a host in one block). Side-writes deferred log +
+    frontier rows; returns the selected rows (light columns only) for
+    the fetch stage. Fetch is deliberately NOT fused here: selected
+    rows per sort block are uneven (Zipf hosts), so the caller
+    rebalances them with a cheap ``repartition`` before the heavy
+    fetch+discover pass."""
 
-    The Universe is a cheap read-only structure cached per worker
-    process (``get_universe`` lru_cache — SURVEY §2.3 T1 pattern);
-    task-pool workers reuse it across batches AND epochs."""
-
-    def run(df: pd.DataFrame) -> pa.Table:
-        empty = pa.table(
-            {
-                "depth": pa.array([], pa.int32()),
-                "links": pa.array([], pa.list_(pa.string())),
-            }
-        )
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["canon_url", "url_fp", "host_fp", "priority", "depth"]
         if len(df) == 0:
-            return empty
+            return df[cols]
         df = df.sort_values(
             ["host_fp", "priority", "url_fp"],
             ascending=[True, False, True],
@@ -263,16 +263,45 @@ def make_select_fetch_fn(
         starts = np.r_[0, np.flatnonzero(host[1:] != host[:-1]) + 1]
         counts = np.diff(np.r_[starts, n])
         rank = np.arange(n) - np.repeat(starts, counts)
-        fetched_mask = rank < budget
-        deferred_mask = rank >= budget
+        deferred = df[rank >= budget]
+        if len(deferred):
+            _side_write(_log_table(epoch, deferred, None, "budget_deferred"), raw_log_dir, "a")
+            _side_write(_frontier_table(deferred), next_frontier_dir, "def")
+        return df[rank < budget][cols]
 
-        # --- fetch + discover (selected rows only) --------------------
+    return run
+
+
+def make_fetch_discover_fn(epoch: int, sf: float, seed: int, raw_log_dir: str):
+    """Fused fetch + parse + link-explosion over REBALANCED blocks of
+    selected rows: simulated fetch (the synthetic web is a pure
+    function of the URL; a real deployment swaps in an async HTTP
+    client with the same row contract), 'fetched' log side-write (the
+    only stage that knows http_status), then link
+    canonicalize+fingerprint straight into candidate rows (in-batch
+    combiner semantics of :func:`candidates_batch`).
+
+    The Universe is a cheap read-only structure cached per worker
+    process (``get_universe`` lru_cache — SURVEY §2.3 T1 pattern);
+    task-pool workers reuse it across batches AND epochs."""
+
+    def run(batch: pa.Table) -> pa.Table:
         from ..sources.synth import get_universe
         from .common import discover_links
 
+        n = batch.num_rows
+        if n == 0:
+            return candidates_batch(
+                pa.table(
+                    {
+                        "depth": pa.array([], pa.int32()),
+                        "links": pa.array([], pa.list_(pa.string())),
+                    }
+                )
+            )
         uni = get_universe(sf, seed)
-        urls = df["canon_url"][fetched_mask].tolist()
-        status = np.zeros(len(urls), dtype=np.int16)
+        urls = batch.column("canon_url").to_pylist()
+        status = np.zeros(n, dtype=np.int16)
         links_col: list[list[str]] = []
         for i, u in enumerate(urls):
             rec = uni.synth_page(u)
@@ -282,25 +311,19 @@ def make_select_fetch_fn(
             else:
                 status[i] = 200
                 links_col.append(discover_links(u, rec))
-
-        # --- side outputs --------------------------------------------
-        log_parts = [
-            _log_table(epoch, df, fetched_mask, "fetched", status),
-            _log_table(epoch, df, deferred_mask, "budget_deferred"),
-        ]
-        _side_write(pa.concat_tables(log_parts), raw_log_dir, "a")
-        deferred = df[deferred_mask]
-        if len(deferred):
-            _side_write(_frontier_table(deferred), next_frontier_dir, "def")
-        if not len(urls):
-            return empty
-        return pa.table(
-            {
-                "depth": pa.array(
-                    df["depth"][fetched_mask].to_numpy().astype(np.int32), pa.int32()
-                ),
-                "links": pa.array(links_col, pa.list_(pa.string())),
-            }
+        df = batch.to_pandas()
+        _side_write(
+            _log_table(epoch, df, np.ones(n, dtype=bool), "fetched", status),
+            raw_log_dir,
+            "f",
+        )
+        return candidates_batch(
+            pa.table(
+                {
+                    "depth": pa.array(df["depth"].to_numpy().astype(np.int32), pa.int32()),
+                    "links": pa.array(links_col, pa.list_(pa.string())),
+                }
+            )
         )
 
     return run
@@ -526,16 +549,36 @@ class CrawlRunResult:
     frontier_left: int = 0
 
     def log_table(self) -> pa.Table:
-        import pyarrow.dataset as pads
+        """Global crawl log in (epoch, seq) order. Log files are
+        written pre-sorted by the per-epoch distributed sort, and
+        lexicographic filename order == global sort order within an
+        epoch, so ``seq`` is materialized here as the row offset."""
+        import pyarrow.parquet as pq
 
         dirs = sorted(
-            os.path.join(self.ckpt_dir, d)
+            (
+                int(d[len("fetch_log_") :]),
+                os.path.join(self.ckpt_dir, d),
+            )
             for d in os.listdir(self.ckpt_dir)
             if d.startswith("fetch_log_")
         )
-        tables = [pads.dataset(d).to_table() for d in dirs]
-        t = pa.concat_tables(tables) if tables else pa.table({c: [] for c in _LOG_COLS})
-        return t.sort_by([("epoch", "ascending"), ("seq", "ascending")])
+        tables = []
+        for _e, d in dirs:
+            files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            parts = [pq.read_table(os.path.join(d, f)) for f in files]
+            if not parts:
+                continue
+            t = pa.concat_tables(parts)
+            t = t.set_column(
+                t.column_names.index("seq"),
+                "seq",
+                pa.array(np.arange(t.num_rows, dtype=np.int64)),
+            )
+            tables.append(t)
+        if not tables:
+            return pa.table({c: [] for c in _LOG_COLS})
+        return pa.concat_tables(tables)
 
     def seen_table(self) -> pa.Table:
         import pyarrow.dataset as pads
@@ -547,22 +590,66 @@ class CrawlRunResult:
         ).to_table()
 
 
-def _seed_frontier_table(cfg: CrawlConfig) -> pa.Table:
-    """Admit the seed list (driver-side; seed lists are small)."""
+def _canonicalize_seed_batch(batch: pa.Table) -> pa.Table:
+    """Batch kernel for distributed seed admission: raw URL ->
+    candidate row (same kernel chain as discovery: P9-P13)."""
     from ..functions.canonicalize import host_from_canonical, url_fpv2
-    from ..sources.synth import get_universe
 
-    uni = get_universe(cfg.sf, cfg.seed)
-    rows: dict[int, tuple] = {}
-    for url in uni.seed_urls():
+    out: dict[int, tuple] = {}
+    for url in batch.column("url").to_pylist():
         fps = url_fpv2(url)
         if fps is None:
             continue
         canon, dfp, ufp, rfp = fps
         host = host_from_canonical(canon)
-        if host is None or ufp in rows:
+        if host is None or ufp in out:
             continue
-        rows[ufp] = (canon, host, fp64(host), dfp, ufp, rfp, 0, cfg.priority_for_depth(0), 0)
+        out[ufp] = (canon, host, dfp, rfp)
+    ufps = list(out.keys())
+    vals = list(out.values())
+    hosts = [v[1] for v in vals]
+    return pa.table(
+        {
+            "canon_url": pa.array([v[0] for v in vals], pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "host_fp": pa.array(fp64_batch(hosts) if hosts else [], pa.int64()),
+            "domain_fp": pa.array([v[2] for v in vals], pa.int64()),
+            "url_fp": pa.array(ufps, pa.int64()),
+            "root_domain_fp": pa.array([v[3] for v in vals], pa.int64()),
+        }
+    )
+
+
+def _seed_frontier_table(cfg: CrawlConfig) -> pa.Table:
+    """Admit the seed list. Canonicalize+fingerprint runs DISTRIBUTED
+    (one small Ray job — the per-URL kernel is Python and a 10^5-seed
+    list would serialize the driver for seconds); the dedup + final
+    assembly of the small result stays driver-side."""
+    from ..sources.synth import get_universe
+
+    uni = get_universe(cfg.sf, cfg.seed)
+    seeds = uni.seed_urls()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    cand = (
+        rd.from_items([{"url": u} for u in seeds], override_num_blocks=min(ncpu, max(1, len(seeds) // 256)))
+        .map_batches(_canonicalize_seed_batch, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    rows: dict[int, tuple] = {}
+    for r in cand.itertuples(index=False):
+        if r.url_fp in rows:
+            continue
+        rows[r.url_fp] = (
+            r.canon_url,
+            r.host,
+            r.host_fp,
+            r.domain_fp,
+            r.url_fp,
+            r.root_domain_fp,
+            0,
+            cfg.priority_for_depth(0),
+            0,
+        )
     cols = list(zip(*rows.values())) if rows else [[]] * 9
     return pa.table(
         {
@@ -637,7 +724,10 @@ def crawl(
         # partition keeps a partition's slice well under worker heap
         # even with discovered-link fan-out; floor of 2 CPUs/partition
         # keeps the cluster busy at small frontiers.
-        n_part = max(ncpu, frontier_rows // 65536 + 1)
+        n_part = max(
+            int(os.environ.get("CCRAY_PART_MULT", "1")) * ncpu,
+            frontier_rows // 65536 + 1,
+        )
         frontier = rd.read_parquet(frontier_dir, override_num_blocks=n_part)
         res.epochs_run = epoch + 1
 
@@ -680,13 +770,21 @@ def crawl(
                 )
                 .sort("host_fp")  # range shuffle: whole host groups per block
                 .map_batches(
-                    make_select_fetch_fn(
-                        budget, epoch, cfg.sf, cfg.seed, raw_log_dir, next_dir
-                    ),
+                    make_select_fn(budget, epoch, raw_log_dir, next_dir),
                     batch_format="pandas",
                     batch_size=None,
                 )
-                .map_batches(candidates_batch, batch_format="pyarrow", batch_size=256)
+                # rebalance: selected rows per sort block are uneven
+                # (Zipf hosts); an even split removes the straggler
+                # tail of the heavy fetch stage (split-only, no
+                # all-to-all exchange of any size that matters — the
+                # selected set is budget*hosts light rows)
+                .repartition(n_part)
+                .map_batches(
+                    make_fetch_discover_fn(epoch, cfg.sf, cfg.seed, raw_log_dir),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
             )
             .map_batches(
                 make_seen_fn(seen_pool.actors, cfg.num_seen_partitions),
@@ -702,61 +800,64 @@ def crawl(
         )
         stage_t["epoch_job"] = round(_time.time() - _t0, 2)
 
-        # --- driver: assemble the epoch log (bounded; pure file IO) --
-        # seq stamping: driver-side sort of the bounded per-epoch log
-        # (cheaper than a distributed sort at this log volume; at truly
-        # unbounded log sizes switch to ds.sort + per-file row offsets
-        # recorded in the manifest — same total order)
+        # --- epoch log: DISTRIBUTED sort + file-offset seq -----------
+        # A driver-side pandas sort was the serial Amdahl fraction at
+        # high parallelism (22% of 32-cpu wall at heavy budgets). The
+        # log is now sorted by a small Ray job; ``seq`` is implied by
+        # (file order, row order) — files of a sorted dataset hold the
+        # global order (verified) — and is materialized lazily by
+        # ``CrawlRunResult.log_table`` from the per-file row counts.
+        # Per-action counters come from the writers' sidecar jsons.
         _t0 = _time.time()
-        import pyarrow.parquet as pq
-
+        epoch_counts: dict[str, int] = {}
+        log_rows_total = 0
         if os.path.isdir(raw_log_dir):
-            raw_tbl = pads.dataset(raw_log_dir).to_table()
-        else:
-            raw_tbl = pa.table(
-                {
-                    "epoch": pa.array([], pa.int32()),
-                    "seq": pa.array([], pa.int64()),
-                    "url_fp": pa.array([], pa.int64()),
-                    "host_fp": pa.array([], pa.int64()),
-                    "canon_url": pa.array([], pa.string()),
-                    "action": pa.array([], pa.string()),
-                    "http_status": pa.array([], pa.int16()),
-                    "priority": pa.array([], pa.float64()),
-                    "depth": pa.array([], pa.int32()),
-                }
+            for name in os.listdir(raw_log_dir):
+                if name.endswith(".counts.json"):
+                    with open(os.path.join(raw_log_dir, name)) as f:
+                        for k, v in json.load(f).items():
+                            epoch_counts[k] = epoch_counts.get(k, 0) + v
+            log_rows_total = sum(epoch_counts.values())
+        if log_rows_total:
+            rank_map = pd.Series(ACTION_RANK)
+
+
+            def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+                return df.assign(action_rank=df["action"].map(rank_map).astype(np.int32))
+
+            raw_files = sorted(
+                os.path.join(raw_log_dir, f)
+                for f in os.listdir(raw_log_dir)
+                if f.endswith(".parquet")
             )
-        log_df = raw_tbl.to_pandas()
-        log_df["action_rank"] = log_df["action"].map(ACTION_RANK)
-        log_df = log_df.sort_values(
-            ["action_rank", "priority", "host_fp", "url_fp"],
-            ascending=[True, False, True, True],
-            kind="mergesort",
-        ).reset_index(drop=True)
-        log_df = log_df.drop(columns=["action_rank"])
-        log_df["seq"] = np.arange(len(log_df), dtype=np.int64)
-        log_tbl = pa.Table.from_pandas(log_df, preserve_index=False).cast(raw_tbl.schema)
-        os.makedirs(log_dir, exist_ok=True)
-        pq.write_table(log_tbl, os.path.join(log_dir, "part-00000.parquet"))
+            (
+                rd.read_parquet(
+                    raw_files,
+                    override_num_blocks=max(ncpu, log_rows_total // 262144 + 1),
+                )
+                .map_batches(add_rank, batch_format="pandas", batch_size=None)
+                .sort(
+                    ["action_rank", "priority", "host_fp", "url_fp"],
+                    descending=[False, True, False, False],
+                )
+                .drop_columns(["action_rank"])
+                .write_parquet(log_dir)
+            )
+        else:
+            os.makedirs(log_dir, exist_ok=True)
         _shutil.rmtree(raw_log_dir, ignore_errors=True)
         os.makedirs(next_dir, exist_ok=True)  # may be empty (frontier drained)
-        stage_t["log_assemble"] = round(_time.time() - _t0, 2)
+        stage_t["log_sort"] = round(_time.time() - _t0, 2)
 
         # 9. url_seen checkpoint + manifest (manifest LAST => epoch complete)
         seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
         seen_total = seen_pool.checkpoint(seen_dir)
         counters = {
             "epoch": epoch,
-            "fetched": int(log_tbl.filter(pa.compute.equal(log_tbl["action"], "fetched")).num_rows),
-            "robots_blocked": int(
-                log_tbl.filter(pa.compute.equal(log_tbl["action"], "robots_blocked")).num_rows
-            ),
-            "budget_deferred": int(
-                log_tbl.filter(pa.compute.equal(log_tbl["action"], "budget_deferred")).num_rows
-            ),
-            "dup_skipped": int(
-                log_tbl.filter(pa.compute.equal(log_tbl["action"], "dup_skipped")).num_rows
-            ),
+            "fetched": epoch_counts.get("fetched", 0),
+            "robots_blocked": epoch_counts.get("robots_blocked", 0),
+            "budget_deferred": epoch_counts.get("budget_deferred", 0),
+            "dup_skipped": epoch_counts.get("dup_skipped", 0),
             "seen_total": seen_total,
             "stage_seconds": stage_t,
         }

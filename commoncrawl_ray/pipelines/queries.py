@@ -672,6 +672,26 @@ def q_crawl_log(sf_dir: str):
         return res.log_table()
 
 
+def q_crawl_host_stats(sf_dir: str):
+    """Crawl analytics (SURVEY A2 histogram + §3.3 report shape): per
+    host_fp action counts + mean depth over a short crawl's fetch log,
+    computed distributed (groupby shuffle keyed by host_fp)."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    log = q_crawl_log(sf_dir)
+    ds = rd.from_arrow(log)
+    return (
+        ds.groupby("host_fp")
+        .aggregate(
+            Count(alias_name="n_actions"),
+            Mean("depth", alias_name="mean_depth"),
+            Max("seq", alias_name="last_seq"),
+        )
+        .sort("n_actions", descending=True)
+        .limit(25)
+    )
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -694,4 +714,5 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (q_text_quality, None),
     "parse_extract": (q_parse_extract, None),
     "crawl_log": (q_crawl_log, None),
+    "crawl_host_stats": (q_crawl_host_stats, None),
 }

@@ -111,3 +111,28 @@ def test_resume_parity(ray_session, oracle_result, tmp_path_factory):
     want_fps = [r["url_fp"] for r in oracle_result.log]
     assert got_fps == want_fps
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_skewed_budget_parity(ray_session, tmp_path_factory):
+    """Tiny budget + Zipf mega-host => most frontier rows are trimmed
+    by the pre-shuffle skew combiner; the fetched/deferred/log split
+    must still match the oracle exactly (combiner-deferred rows are
+    provably not in any host's global top-budget)."""
+    from commoncrawl_ray.pipelines.crawl import crawl
+    from commoncrawl_ray.state.politeness import PolitenessPolicy
+
+    cfg = CrawlConfig(
+        sf=0.001,
+        seed=42,
+        max_epochs=3,
+        num_seen_partitions=4,
+        policy=PolitenessPolicy(burst=2, refill=2),
+    )
+    want = oracle_crawl(cfg)
+    ckpt = str(tmp_path_factory.mktemp("crawl_skew"))
+    res = crawl(cfg, ckpt)
+    assert res.epochs_run == want.epochs_run
+    assert set(res.seen_table().column("url_fp").to_pylist()) == want.seen
+    got = res.log_table().to_pylist()
+    keys = ("epoch", "seq", "url_fp", "host_fp", "canon_url", "action", "http_status", "depth")
+    assert [{k: r[k] for k in keys} for r in got] == [{k: r[k] for k in keys} for r in want.log]
