@@ -1,27 +1,41 @@
 """Distributed crawl engine — the Ray-Data epoch loop.
 
 Each epoch is a bounded batch (SURVEY §2.9): select → robots → fetch →
-extract → discover → merge. To keep per-epoch fixed cost at two Ray
-jobs (fixed job/shuffle overhead is what caps scaling efficiency on
-short epochs), the stages are FUSED into two pipelines:
+extract → discover → merge, expressed as ONE streaming Ray Data job
+plus a small distributed log-sort job — fixed job/shuffle overhead is
+what caps scaling efficiency on short epochs, so everything else is
+fused into the epoch pipeline:
 
-**Job A (host shuffle):** read frontier → robots ``map_batches``
-(consulting the ``RobotsCacheActor`` pool, J6) → ``sort(host_fp)``
-range shuffle (whole host groups land in one block — the per-host
-priority queue realized as a shuffle, north rule) → one per-block pass
-that (a) ranks candidates per host with vectorized cumsums (no
-per-group Python), (b) fetches the selected rows (simulated fetch: the
-synthetic web is a pure function of the URL; a real deployment swaps
-in an async-HTTP client with the same row contract), (c) side-writes
-this block's log rows (fetched/blocked/deferred) and deferred-frontier
-rows as parquet parts, and (d) returns only the (depth, links) rows
-the discovery job needs.
+read frontier (block count sized to data) →
+robots ``map_batches`` (consulting the ``RobotsCacheActor`` pool, J6;
+vectorized host hashing) →
+**skew combiner** (per-block per-host top-budget trim: trimmed rows
+are provably deferred globally and leave as side-written frontier/log
+parts — host shuffle volume is bounded at budget×blocks per host, the
+north rule's mega-host salting, strengthened) →
+``sort(host_fp)`` range shuffle (whole host groups per block — the
+per-host priority queue realized as a shuffle) →
+vectorized per-block politeness selection (cumsum ranks, no per-group
+Python; deferred rows side-written) →
+``repartition`` (rebalance the uneven selected set before the heavy
+stage) →
+fused fetch+discover (simulated fetch — the synthetic web is a pure
+function of the URL; a real deployment swaps in an async-HTTP client
+with the same row contract — 'fetched' log side-writes, then link
+explode+canonicalize+fingerprint with in-batch combining) →
+``sort(url_fp)`` range shuffle + first-of-run dedup (min depth wins;
+equal fps co-located) →
+URL-seen anti-join against the range-routed ``UrlSeenActor`` pool
+(partitioned bloom + exact set, J5/T5; a sorted block spans a
+contiguous fp range so each batch touches ~P/num_blocks actors) →
+side-write newly-admitted frontier rows + dup-skipped log rows.
 
-**Job C (url_fp shuffle):** A → explode+canonicalize+fingerprint
-candidates (in-batch combiner) → ``groupby(url_fp)`` min-depth hash
-aggregate → URL-seen anti-join against the ``UrlSeenActor`` pool
-(partitioned bloom + exact set, J5/T5) → side-write newly-admitted
-frontier rows and dup-skipped log rows.
+The epoch log is then sorted by a small distributed job on
+(action_rank, priority desc, host_fp, url_fp); ``seq`` is implied by
+(file order, row order) of the sorted output and materialized lazily
+on read — no driver-side row processing anywhere (a driver pandas sort
+was the serial Amdahl fraction at high parallelism). Per-action
+counters come from writer sidecar jsons.
 
 Side-output files are named by a content hash of their rows, so a
 retried task rewrites the identical file under the same name
@@ -31,17 +45,15 @@ completeness marker — mirroring the attempt-dir→rename pattern of
 query/Query.java:246-260).
 
 Determinism: all ordering via explicit sort keys (pipelines.common);
-the per-epoch log is sorted by (action_rank, priority desc, host_fp,
-url_fp) and sequence-stamped. State between epochs lives ONLY in
-parquet checkpoints + the seen-actor pool, so a killed run resumes
-from the last complete manifest with an identical frontier.
+log sort keys are unique per row (a url_fp appears at most once per
+action per epoch), so the distributed sort yields one total order.
+State between epochs lives ONLY in parquet checkpoints + the
+seen-actor pool, so a killed run resumes from the last complete
+manifest with an identical frontier.
 
 Scale notes (10^10 frontier): the frontier and logs stream through
-parquet each epoch (never driver-materialized); the one driver-side
-materialization is the per-epoch log *sequence stamping*, which is
-bounded by hosts×budget + robots/deferred/dup rows per epoch — for
-truly unbounded logs, stamp seq from per-file row offsets recorded in
-the manifest instead (same total order, no materialization).
+parquet each epoch; nothing is driver-materialized except per-epoch
+counter sums (tiny sidecars) and the bounded seed/result tables.
 """
 
 from __future__ import annotations
