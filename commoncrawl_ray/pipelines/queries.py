@@ -672,6 +672,61 @@ def q_crawl_log(sf_dir: str):
         return res.log_table()
 
 
+def q_arc_roundtrip(sf_dir: str):
+    """ARC format layer (SURVEY S1/S11/P1): write a shard of the pages
+    universe as gzip-member-per-record .arc.gz files, read them back
+    through the Ray Data ARC source, and run the parse/extract kernel —
+    returns (url, url_fp, http_status, mime_norm, digest_hex) rows.
+    Byte-parity of the payloads is asserted in tests/test_arc.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.arc import read_arc_pages, write_arc
+    from ..sources.synth import get_universe
+    from ..stages.parse_extract import parse_extract_batch
+
+    uni = get_universe(0.001, 42)
+    rows = []
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            rows.append((url, ts, rec))
+    tmp = tempfile.mkdtemp(prefix="cc_ray_arc_q_")
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    write_arc(rd.from_arrow(t), tmp).count()
+    paths = [os.path.join(tmp, f) for f in sorted(os.listdir(tmp)) if f.endswith(".arc.gz")]
+
+    def digest(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "url_fp": b.column("url_fp"),
+                "http_status": b.column("http_status"),
+                "mime_norm": b.column("mime_norm"),
+                "digest_hex": pa.array(
+                    [
+                        hashlib.md5((t_ or "").encode()).hexdigest()
+                        for t_ in b.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        read_arc_pages(paths)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(digest, batch_format="pyarrow")
+    )
+
+
 def q_crawl_host_stats(sf_dir: str):
     """Crawl analytics (SURVEY A2 histogram + §3.3 report shape): per
     host_fp action counts + mean depth over a short crawl's fetch log,
@@ -715,4 +770,5 @@ REGISTRY: dict[str, tuple] = {
     "parse_extract": (q_parse_extract, None),
     "crawl_log": (q_crawl_log, None),
     "crawl_host_stats": (q_crawl_host_stats, None),
+    "arc_roundtrip": (q_arc_roundtrip, None),
 }
