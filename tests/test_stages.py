@@ -139,3 +139,29 @@ def test_multimodal_stub(ray_session):
     a = out.sort_values("media_id")["feat"].tolist()
     b = out2.sort_values("media_id")["feat"].tolist()
     assert all((np.array(x) == np.array(y)).all() for x, y in zip(a, b))
+
+
+def test_dns_cache_pool(ray_session):
+    from commoncrawl_ray.state.dns import MIN_DNS_CACHE_TIME_MS, DnsCachePool, DnsTrie
+
+    pool = DnsCachePool(2)
+    hosts = ["a.com", "www.a.com", "b.org", "a.com"]
+    t0 = 1_000_000
+    ips = pool.resolve(hosts, t0)
+    assert len(ips) == 4 and all(ip.startswith("10.") for ip in ips)
+    assert ips[0] == ips[3]  # same host, same answer
+    # second call is all cache hits (resolve counters don't grow)
+    pool.resolve(hosts, t0 + 1000)
+    stats = sum(s["resolves"] for s in __import__("ray").get([a.stats.remote() for a in pool.actors]))
+    assert stats == 3  # 3 distinct hosts resolved exactly once
+
+    # trie TTL semantics: expired entries re-resolve; reversed-label sharing
+    trie = DnsTrie()
+    trie.put("x.example.com", 42, t0 + 100)
+    trie.put("example.com", 43, t0 + 100)
+    assert trie.get("x.example.com", t0) == 42
+    assert trie.get("example.com", t0) == 43
+    assert trie.get("x.example.com", t0 + 200) is None  # expired
+    assert trie.get("unknown.com", t0) is None
+    # TTL floor honored in the pool path
+    assert MIN_DNS_CACHE_TIME_MS == 3600 * 1000
