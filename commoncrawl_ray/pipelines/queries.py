@@ -628,12 +628,12 @@ def q_parse_extract(sf_dir: str):
     driver; byte-parity asserted in tests/test_parse_stage.py."""
     import os
 
-    from ..sources.synth import sf_from_dir, write_pages_parquet
+    from ..sources.synth import sf_from_dir, write_pages_parquet_ray
 
     sf = min(sf_from_dir(sf_dir), 0.01)
-    path = f"/tmp/cc_ray_pages_sf{sf}.parquet"
-    if not os.path.exists(path):
-        write_pages_parquet(path, sf)
+    path = f"/tmp/cc_ray_pages_sf{sf}_dir"
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
     from ..stages.parse_extract import parse_extract_batch
 
     ds = rd.read_parquet(path)
