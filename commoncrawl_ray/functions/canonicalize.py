@@ -119,6 +119,10 @@ def _canon_host(raw: str) -> str | None:
             return None
     if ".." in host:
         return None
+    # a host that is nothing but dots canonicalizes to empty after the
+    # trailing-dot strip downstream => invalid URL, not "http:///"
+    if host.strip(".") == "":
+        return None
     return host
 
 
@@ -258,7 +262,10 @@ def canonicalize_parts(parts: UrlParts, strip_www: bool = True) -> str:
     if parts.query:
         out.append("?")
         out.append(parts.query)
-    return normalize_sessionid("".join(out))
+    canon = normalize_sessionid("".join(out))
+    # a query emptied by session-id stripping (or a raw "?") must not
+    # leave a dangling separator — canonicalization is idempotent
+    return canon.rstrip("?&")
 
 
 def host_from_canonical(canon_url: str) -> str | None:
