@@ -202,12 +202,14 @@ def _run_scaling() -> dict:
         "efficiency_discovered_urls": eff_disc,
         "efficiency_parse": eff_parse,
         "efficiency_suite_seconds": eff_suite,
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "throughput_8": lo["throughput"],
-        "throughput_32": hi["throughput"],
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        "lo_cpus": lo_cpus,
+        "hi_cpus": hi_cpus,
+        f"sec_{lo_cpus}": lo["value"],
+        f"sec_{hi_cpus}": hi["value"],
+        f"throughput_{lo_cpus}": lo["throughput"],
+        f"throughput_{hi_cpus}": hi["throughput"],
+        f"queries_{lo_cpus}": lo["queries"],
+        f"queries_{hi_cpus}": hi["queries"],
     }
 
 

@@ -57,10 +57,12 @@ def _ngrams_hashed(text: str, n: int = 5) -> np.ndarray:
             h = (h ^ v) * _SHINGLE_MIX
         return np.array([h], dtype=np.uint64)
     win = np.lib.stride_tricks.sliding_window_view(wh, n)
-    powers = np.empty(n, dtype=np.uint64)
-    powers[0] = 1
-    for j in range(1, n):
-        powers[j] = powers[j - 1] * _SHINGLE_MIX
+    # powers computed in Python ints (mod 2^64) — uint64 scalar multiplies
+    # would raise an overflow RuntimeWarning on every worker (VERDICT r1 #6)
+    mix = int(_SHINGLE_MIX)
+    powers = np.array(
+        [pow(mix, j, 1 << 64) for j in range(n)], dtype=np.uint64
+    )
     with np.errstate(over="ignore"):
         hashes = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(hashes)

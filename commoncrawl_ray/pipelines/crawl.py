@@ -71,6 +71,7 @@ import ray.data as rd
 from ..functions.fingerprint import fp64, fp64_batch
 from ..schemas import FETCH_LOG
 from ..state.robots import RobotsCachePool, is_blocked
+from ..state.url_seen import ROUTING_SCHEME as _ROUTING_SCHEME
 from ..state.url_seen import UrlSeenPool
 from .common import ACTION_RANK, CrawlConfig
 
@@ -696,9 +697,22 @@ def crawl(
         last = latest_complete_epoch(ckpt_dir)
         if last is not None:
             start_epoch = last + 1
-            seen_pool.restore(os.path.join(ckpt_dir, f"url_seen_{last}"))
             with open(_manifest_path(ckpt_dir, last)) as f:
                 man = json.load(f)
+            ckpt_scheme = man.get("seen_routing_scheme", _ROUTING_SCHEME)
+            if ckpt_scheme != _ROUTING_SCHEME:
+                raise ValueError(
+                    f"url_seen checkpoint uses routing scheme {ckpt_scheme!r} but "
+                    f"this build routes with {_ROUTING_SCHEME!r}; resuming would "
+                    "silently re-admit seen URLs. Re-crawl or migrate the checkpoint."
+                )
+            if man.get("num_seen_partitions", cfg.num_seen_partitions) != cfg.num_seen_partitions:
+                raise ValueError(
+                    "num_seen_partitions mismatch between checkpoint "
+                    f"({man.get('num_seen_partitions')}) and config "
+                    f"({cfg.num_seen_partitions}); resume would misroute seen fps."
+                )
+            seen_pool.restore(os.path.join(ckpt_dir, f"url_seen_{last}"))
             res.counters = man.get("all_counters", [])
 
     if start_epoch == 0:
@@ -842,19 +856,32 @@ def crawl(
                 for f in os.listdir(raw_log_dir)
                 if f.endswith(".parquet")
             )
-            (
-                rd.read_parquet(
-                    raw_files,
-                    override_num_blocks=max(ncpu, log_rows_total // 262144 + 1),
+            # seq is derived from write_parquet FILE ORDER, so the job
+            # between sort() and the writer must preserve block order.
+            # With the default preserve_order=False the drop_columns
+            # map stage hands blocks to the writer in task-COMPLETION
+            # order, which only coincidentally matches sorted order at
+            # small scale (ADVICE r1, high). Force ordered execution
+            # for this one job and restore the executor default after.
+            exec_opts = rd.DataContext.get_current().execution_options
+            prev_preserve = exec_opts.preserve_order
+            exec_opts.preserve_order = True
+            try:
+                (
+                    rd.read_parquet(
+                        raw_files,
+                        override_num_blocks=max(ncpu, log_rows_total // 262144 + 1),
+                    )
+                    .map_batches(add_rank, batch_format="pandas", batch_size=None)
+                    .sort(
+                        ["action_rank", "priority", "host_fp", "url_fp"],
+                        descending=[False, True, False, False],
+                    )
+                    .drop_columns(["action_rank"])
+                    .write_parquet(log_dir)
                 )
-                .map_batches(add_rank, batch_format="pandas", batch_size=None)
-                .sort(
-                    ["action_rank", "priority", "host_fp", "url_fp"],
-                    descending=[False, True, False, False],
-                )
-                .drop_columns(["action_rank"])
-                .write_parquet(log_dir)
-            )
+            finally:
+                exec_opts.preserve_order = prev_preserve
         else:
             os.makedirs(log_dir, exist_ok=True)
         _shutil.rmtree(raw_log_dir, ignore_errors=True)
@@ -882,6 +909,7 @@ def crawl(
                 "counters": counters,
                 "all_counters": res.counters,
                 "num_seen_partitions": cfg.num_seen_partitions,
+                "seen_routing_scheme": _ROUTING_SCHEME,
             },
         )
         res.seen_total = seen_total

@@ -111,6 +111,38 @@ class QueryResultHandle:
         return (self.total_rows + page_size - 1) // page_size
 
 
+def _check_file_order(directory: str, files: list, primary_sort) -> None:
+    """Fail loudly if the written files' parquet footer min/max stats on
+    the primary sort key are not monotonic in filename order — the
+    invariant the pagination manifest depends on (ADVICE r1 medium).
+    Footer-only: no data pages are read."""
+    col, direction = primary_sort
+    lo_hi = []
+    for name in files:
+        md = pq.read_metadata(os.path.join(directory, name))
+        names = md.schema.to_arrow_schema().names
+        if col not in names or md.num_rows == 0:
+            return  # nested/absent key or empty file: nothing checkable
+        j = names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            if st is None or not st.has_min_max:
+                return  # stats unavailable: can't verify, don't false-alarm
+            mins.append(st.min)
+            maxs.append(st.max)
+        lo_hi.append((min(mins), max(maxs)))
+    descending = direction == "descending"
+    for (lo_a, hi_a), (lo_b, hi_b), fa, fb in zip(lo_hi, lo_hi[1:], files, files[1:]):
+        ok = (lo_b >= hi_a) if not descending else (hi_b <= lo_a)
+        if not ok:
+            raise RuntimeError(
+                f"query result file order is not sorted on {col!r}: "
+                f"{fa} [{lo_a!r},{hi_a!r}] vs {fb} [{lo_b!r},{hi_b!r}] — "
+                "pagination manifest would serve misordered pages"
+            )
+
+
 def run_query(
     query: ShardedQuery,
     body,
@@ -139,7 +171,20 @@ def run_query(
 
     attempt = os.path.join(cache_root, f".attempt-{query.cache_fp()}-{uuid.uuid4().hex[:8]}")
     os.makedirs(attempt, exist_ok=True)
-    ds.write_parquet(attempt)
+    # The manifest equates lexicographic FILE order with global sort
+    # order, which holds only when the writer receives blocks in
+    # partition order — undocumented with preserve_order unset (any
+    # added stage or Ray upgrade could scramble it, ADVICE r1 medium).
+    # Force ordered execution for the write, then VERIFY below.
+    import ray.data as rd
+
+    exec_opts = rd.DataContext.get_current().execution_options
+    prev_preserve = exec_opts.preserve_order
+    exec_opts.preserve_order = True
+    try:
+        ds.write_parquet(attempt)
+    finally:
+        exec_opts.preserve_order = prev_preserve
 
     # Build the pagination index. Ray writes one file per block with
     # the block's position in the filename (verified: after ds.sort,
@@ -148,6 +193,8 @@ def run_query(
     # parquet footers only, no data read.
     files = sorted(f for f in os.listdir(attempt) if f.endswith(".parquet"))
     keyed = [(name, pq.read_metadata(os.path.join(attempt, name)).num_rows) for name in files]
+    if query.sort_by:
+        _check_file_order(attempt, files, query.sort_by[0])
     manifest = {
         "query": {"domain_id": query.domain_id, "params": query.params},
         "sort_by": [list(s) for s in query.sort_by],

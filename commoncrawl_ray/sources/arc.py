@@ -94,7 +94,12 @@ def record_member(
     line terminator + blank line are appended here (mirroring
     ``headers.toString()+"\\r\\n"`` of the reference writer, where
     toString() CRLF-terminates every line)."""
-    header_bytes = (header_text + "\r\n\r\n").encode("utf-8") if header_text else b"\r\n"
+    # headerless records still get an empty header + blank line
+    # ("\r\n\r\n") so the reader's terminator scan always finds an
+    # accepting "\n\r\n" before the payload; bare "\r\n" is NOT a
+    # terminator the CRLF state machine recognizes and would make the
+    # scan run into binary payload bytes (ADVICE r1)
+    header_bytes = (header_text + "\r\n\r\n").encode("utf-8") if header_text else b"\r\n\r\n"
     record_len = len(header_bytes) + len(payload)
     meta = f"{url} {ip} {format_timestamp14(ts_ms)} {mime} {record_len}\n"
     return _gzip_member(meta.encode("utf-8") + header_bytes + payload + b"\n")
@@ -198,9 +203,12 @@ def parse_arc_record(member: bytes) -> ArcRecord:
     url, ip, ts14, mime, record_len_s = parts
     record_len = int(record_len_s)
     rest = member[nl + 1 :]
-    term = _find_header_terminator(rest)
+    # bound the terminator search to the declared record length so a
+    # record whose header bytes lack a terminator can't have the scan
+    # latch onto a \n\n occurring inside the NEXT record's bytes
+    term = _find_header_terminator(rest[:record_len])
     if term == -1:
-        term = len(rest)
+        term = min(len(rest), record_len)
     raw_header = rest[:term]
     payload_len = max(0, record_len - len(raw_header))
     payload = rest[term : term + payload_len]

@@ -26,6 +26,13 @@ import ray
 
 from .bloom import BloomFilter
 
+# Version tag for the fp->partition routing function below. Recorded in
+# every crawl manifest; resume REFUSES on mismatch, because a seen-pool
+# checkpoint written under a different scheme would restore fps into
+# partitions the new routing never consults and silently re-admit
+# already-seen URLs (ADVICE r1). Bump when partition_of changes.
+ROUTING_SCHEME = "range-v2"
+
 
 def partition_of(url_fps: np.ndarray, num_partitions: int) -> np.ndarray:
     """Deterministic partition routing: RANGE of the unsigned fp

@@ -182,3 +182,21 @@ def test_ray_arc_source_sink_roundtrip(ray_session, tmp_path):
     assert set(got) == set(want)
     mismatches = [u for u in want if got[u] != want[u]]
     assert not mismatches, mismatches[:3]
+
+
+def test_headerless_record_roundtrip():
+    """A record written with empty header_text must still round-trip
+    byte-exactly: the writer emits an empty header + blank line
+    ("\\r\\n\\r\\n") so the reader's terminator scan never runs into the
+    payload (ADVICE r1)."""
+    payload = bytes(range(256)) * 3  # binary payload containing \n\n etc.
+    records = [
+        ("http://h.com/raw", "10.0.0.1", BASE_TS, "application/octet-stream", "", payload),
+        ("http://h.com/next", "10.0.0.2", BASE_TS + 1000, "text/html", "HTTP/1.1 200 OK", b"hi"),
+    ]
+    blob = _write_corpus(records)
+    got = list(iter_arc_records(blob))
+    assert [r.url for r in got] == [r[0] for r in records]
+    assert got[0].payload == payload
+    assert got[0].headers == []
+    assert got[1].payload == b"hi"
