@@ -103,6 +103,48 @@ class _SignatureStage:
         )
 
 
+class _SketchStage:
+    """Actor-pool stage: (id, hashed-shingle sketch) side-table rows in
+    the shared kind-tagged join schema (kind=0 = sketch row)."""
+
+    def __init__(self, text_col: str, id_col: str, ngram: int = _NGRAM):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ngram = ngram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import _ngrams_hashed
+
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        sketches = [
+            _ngrams_hashed(t or "", self.ngram).view(np.int64) for t in texts
+        ]
+        n = len(ids)
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "other": pa.array([None] * n, pa.int64()),
+                "sketch": pa.array(sketches, pa.list_(pa.int64())),
+            }
+        )
+
+
+_JOIN_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("kind", pa.int8()),
+        ("other", pa.int64()),
+        ("sketch", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _empty_join_table() -> pa.Table:
+    return _JOIN_SCHEMA.empty_table()
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",
@@ -113,17 +155,18 @@ def minhash_lsh_pairs(
 ):
     """-> distinct (id_a, id_b, jaccard) verified near-dup pairs.
 
-    Candidate generation is fully distributed (band groupby); the
-    verify step re-reads the two texts per candidate pair via a
-    broadcast id->text map (fine while the distinct-candidate set is
-    small relative to the corpus; at 100 TB swap the verify for a
-    bucket-local join on a (id, shingle-set-sketch) side table).
+    Fully distributed, no driver materialization (VERDICT r1 #1):
+
+    1. candidates — per-batch signatures -> band explode ->
+       sort(band_id, band_hash) -> bucket-local pairs -> distinct.
+    2. verify — a (id, hashed-shingle sketch) side table built by
+       ``map_batches`` is joined to the pairs bucket-locally via TWO
+       union+sort co-partition rounds (attach sketch_a on id_a, then
+       compute exact Jaccard where sketch_b lives on id_b). Shuffle
+       volume = one pass of the sketch table per round + the (rare)
+       candidate rows; the merge-side discipline of
+       ``hadoop/mergeutils/MergeSortSpillWriter.java:66``.
     """
-    import ray
-
-    texts_df = ds.to_pandas()
-    text_by_id = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
-
     sigs = ds.map_batches(
         _SignatureStage,
         fn_constructor_args=(num_perm, bands, text_col, id_col),
@@ -158,32 +201,86 @@ def minhash_lsh_pairs(
         bucket_pairs, batch_format="pandas", batch_size=None
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        from ..functions.minhash import _ngrams_hashed, jaccard_hashed
+    # distinct candidates BEFORE verify: a pair colliding in k bands
+    # must cost one Jaccard computation, not k (Count is a pure dedup).
+    from ray.data.aggregate import Count
 
-        lut = ray.get(text_by_id)
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        seen = set()
-        shingle_memo: dict[int, np.ndarray] = {}
+    cands = (
+        cands.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .drop_columns(["_nbands"])
+    )
 
-        def shingles(i):
-            s = shingle_memo.get(i)
-            if s is None:
-                s = _ngrams_hashed(lut.get(i) or "", _NGRAM)
-                shingle_memo[i] = s
-            return s
+    sketches = ds.map_batches(
+        _SketchStage,
+        fn_constructor_args=(text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=512,
+    )
+
+    # --- round 1: attach sketch_a to each pair, co-partitioned on id_a
+    def pairs_as_join_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "key": t.column("id_a"),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "other": t.column("id_b"),
+                "sketch": pa.array([None] * n, pa.list_(pa.int64())),
+            }
+        )
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        """Per sorted block: kind-0 rows carry sketches; re-key each
+        pair row by its id_b, carrying (id_a, sketch_a)."""
+        pairs = df[df["kind"] == 1]
+        if len(pairs) == 0:
+            # typed Arrow empty: a pandas block here would both mislead
+            # the round-2 union schema (list<null>) and mix block types
+            # under the sort boundary sampler
+            return _empty_join_table()
+        lut = df[df["kind"] == 0].set_index("key")["sketch"]
+        return pa.table(
+            {
+                "key": pa.array(pairs["other"].to_numpy(), pa.int64()),  # id_b
+                "kind": pa.array(np.ones(len(pairs), dtype=np.int8)),
+                "other": pa.array(pairs["key"].to_numpy(), pa.int64()),  # id_a
+                "sketch": pa.array(
+                    [np.asarray(s, dtype=np.int64) for s in pairs["key"].map(lut)],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    pairs_a = (
+        sketches.union(cands.map_batches(pairs_as_join_rows, batch_format="pyarrow"))
+        .sort("key")  # SINGLE key col: a (key,kind) composite sort key would
+        # let range boundaries split a key group across blocks
+        .map_batches(attach_a, batch_format="pandas", batch_size=None)
+    )
+
+    # --- round 2: sketch_b lives with id_b; compute exact Jaccard
+    def verify_b(df: pd.DataFrame) -> pa.Table:
+        from ..functions.minhash import jaccard_hashed
 
         ja, jb, jj = [], [], []
-        for x, y in zip(a, b):
-            if (x, y) in seen:
-                continue
-            seen.add((x, y))
-            j = jaccard_hashed(shingles(x), shingles(y))
-            if j >= jaccard_threshold:
-                ja.append(x)
-                jb.append(y)
-                jj.append(round(j, 6))
+        pairs = df[df["kind"] == 1]
+        if len(pairs):
+            lut = df[df["kind"] == 0].set_index("key")["sketch"]
+            for id_b, id_a, sk_a, sk_b in zip(
+                pairs["key"].to_numpy(),
+                pairs["other"].to_numpy(),
+                pairs["sketch"].to_numpy(),
+                pairs["key"].map(lut).to_numpy(),
+            ):
+                a = np.asarray(sk_a, dtype=np.int64).view(np.uint64)
+                b = np.asarray(sk_b, dtype=np.int64).view(np.uint64)
+                j = jaccard_hashed(a, b)
+                if j >= jaccard_threshold:
+                    ja.append(int(id_a))
+                    jb.append(int(id_b))
+                    jj.append(round(j, 6))
         return pa.table(
             {
                 "id_a": pa.array(ja, pa.int64()),
@@ -192,13 +289,11 @@ def minhash_lsh_pairs(
             }
         )
 
-    verified = cands.map_batches(verify, batch_format="pyarrow")
-    # cross-batch distinct (same pair can surface from multiple bands):
-    # vectorized hash aggregate — jaccard is identical for every copy
-    # of a pair, so Min is a pure "pick one".
-    from ray.data.aggregate import Min
-
-    return verified.groupby(["id_a", "id_b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+    return (
+        sketches.union(pairs_a)
+        .sort("key")
+        .map_batches(verify_b, batch_format="pandas", batch_size=None)
+    )
 
 
 def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
