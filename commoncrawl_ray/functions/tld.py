@@ -8,22 +8,28 @@ Reimplements the semantics of the reference's
 ``*.ck`` becomes ``map["ck"] += "*"`` and ``!www.ck`` becomes
 ``map["ck"] += "!www"``).
 
-The rule table below is in Public Suffix List line format but is our own
-curated subset (the PSL itself is public, MPL-licensed data); it covers
-every shape the algorithm branches on — plain TLDs, two-level suffixes,
-``*`` wildcards, ``!`` exceptions, two-part wildcards ``*.x.y`` — plus
-the TLDs the synthetic fixture universe uses. It is a module-level
-read-only singleton (reference's lazy static multimap), safe to share
-across Ray map_batches tasks (SURVEY §2.3 T1).
+The rule table is the FULL Public Suffix List shipped as package data
+(``commoncrawl_ray/data/effective_tld_list.txt`` — the same
+MPL-licensed public dataset the reference ships as
+``conf/effective_tld_list.txt``; license block retained in the file).
+Parsing mirrors ``TLDNamesCollection.initialize``: skip ``//`` and
+blank lines, split each rule at its LAST dot. A small curated fallback
+table below keeps the module importable if the package data file is
+ever missing. The map is a module-level read-only singleton
+(reference's lazy static multimap), safe to share across Ray
+map_batches tasks (SURVEY §2.3 T1).
 """
 
 from __future__ import annotations
 
+import os
 import re
 from functools import lru_cache
 
-# Curated public-suffix rules (PSL line format). Extend freely; the
-# parser mirrors TLDNamesCollection.initialize.
+_PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "effective_tld_list.txt")
+
+# Curated fallback rules (PSL line format), used only if the package
+# data file is absent; covers every shape the algorithm branches on.
 _RULES = """
 com
 org
@@ -120,16 +126,23 @@ ck
 
 
 def _build_map() -> dict[str, frozenset[str]]:
+    try:
+        with open(_PSL_PATH, encoding="utf-8") as f:
+            text = f.read()
+    except OSError:
+        text = _RULES
     out: dict[str, set[str]] = {}
-    for line in _RULES.splitlines():
+    for line in text.splitlines():
+        if line.startswith("//"):
+            continue
         line = line.strip()
-        if not line or line.startswith("//"):
+        if not line:
             continue
         dot = line.rfind(".")
         if dot == -1:
             out.setdefault(line, set()).add("")
         else:
-            out.setdefault(line[dot + 1 :], set()).add(line[:dot])
+            out.setdefault(line[dot + 1 :].strip(), set()).add(line[:dot].strip())
     return {k: frozenset(v) for k, v in out.items()}
 
 
