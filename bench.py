@@ -46,7 +46,11 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
         q_lineitem_pricing,
         q_minhash_lsh_dedup,
     )
-    from commoncrawl_ray.sources.synth import sf_from_dir, write_pages_parquet_ray
+    from commoncrawl_ray.sources.synth import (
+        pages_cache_dir,
+        sf_from_dir,
+        write_pages_parquet_ray,
+    )
     from commoncrawl_ray.stages.parse_extract import parse_extract_batch
 
     sf = sf_from_dir(sf_dir)
@@ -54,7 +58,7 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
     extras: dict[str, float] = {}
 
     # --- pages universe (generation untimed; warms page cache too) ----
-    pages_dir = f"/tmp/cc_ray_bench_pages_sf{sf}"
+    pages_dir = pages_cache_dir(sf)
     if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
         write_pages_parquet_ray(pages_dir, sf)
     # warm OS page cache so we measure compute+shuffle, not first read

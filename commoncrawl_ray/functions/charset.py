@@ -12,17 +12,27 @@ Reimplements ``util/shared/CharsetUtils.java`` (SURVEY §2.2 P6):
   3. if still none and the type is text-ish, run detection, falling
      back to ASCII;
   4. alias-map the charset name; decode with replacement.
-- :func:`detect_charset`: the reference uses the ported Mozilla chardet
-  state machines (``org/mozilla/intl/chardet/nsDetector.java``, ~4k
-  LoC). That port is out of scope here — our detector is a small
-  deterministic stand-in (UTF-8 validity test, else windows-1252),
-  which our golden fixtures are generated against. The *precedence*
-  logic above is the parity-bearing part.
+- :func:`detect_charset`: the reference runs the ported Mozilla chardet
+  composite over the first 16,000 bytes (``CharsetUtils.java:187-226``,
+  ``org/mozilla/intl/chardet/nsDetector.java``). This module implements
+  the same public architecture natively: BOM check; 7-bit escape-scheme
+  scan (ISO-2022-JP); per-encoding STRUCTURAL state machines (realized
+  as strict incremental decodes — exactly the accept/reject language of
+  the Mozilla coding state machines) for UTF-8 and the multi-byte CJK
+  families (Shift-JIS, EUC-JP, GBK, Big5); a char-DISTRIBUTION analyser
+  scoring surviving candidates by their home Unicode blocks plus the
+  frequent-lead-byte zones Mozilla's CharDistributionAnalysis uses; and
+  a single-byte group prober (KOI8-R / windows-1251 vs windows-1252)
+  driven by a Russian letter-frequency model. Deterministic; detection
+  is capped at 16,000 bytes like the reference.
 """
 
 from __future__ import annotations
 
+import codecs
 import re
+
+import numpy as np
 
 _CHUNK_SIZE = 2000
 _META_PATTERN = re.compile(
@@ -81,21 +91,174 @@ def sniff_charset(content: bytes) -> str | None:
     return None
 
 
+# ---------------- detector internals (nsDetector architecture) -------
+
+_DETECT_CAP = 16000  # CharsetUtils.java:187-226 probes <=16,000 bytes
+
+
+def _strict_ok(probe: bytes, enc: str) -> str | None:
+    """Structural state-machine check: strict incremental decode with
+    final=False so a multi-byte char cut by the 16 KB cap is not a
+    false reject. Returns the decoded prefix or None."""
+    try:
+        return codecs.getincrementaldecoder(enc)().decode(probe, False)
+    except (UnicodeDecodeError, ValueError):
+        return None
+
+
+# Home Unicode blocks for the distribution analyser (numpy over the
+# UTF-32 view of the decoded text — this runs in the parse hot path)
+def _char_classes(text: str):
+    o = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    hi = o[o >= 0x80]
+    nb = int(hi.size)
+    if nb == 0:
+        return 0, 0, 0, 0, 0
+    kana = int(((hi >= 0x3040) & (hi <= 0x30FF)).sum())
+    cjk = int(
+        (((hi >= 0x4E00) & (hi <= 0x9FFF)) | ((hi >= 0x3400) & (hi <= 0x4DBF))).sum()
+    )
+    full = int(
+        (((hi >= 0x3000) & (hi <= 0x303F)) | ((hi >= 0xFF00) & (hi <= 0xFFEF))).sum()
+    )
+    cyr = int(((hi >= 0x0400) & (hi <= 0x04FF)).sum())
+    return nb, kana, cjk, full, cyr
+
+
+def _freq_zone_ratio(probe: bytes, enc: str) -> float:
+    """Fraction of multi-byte pairs whose LEAD byte falls in the
+    encoding's frequent-character zone (the signal Mozilla's
+    CharDistributionAnalysis tables encode): GB2312 level-1/2 rows
+    0xB0-0xF7 for GBK, frequent block 0xA4-0xC6 for Big5.
+
+    Vectorized lead-byte identification: within each maximal run of
+    8-bit bytes, leads sit at even offsets (GBK/Big5 trail bytes of
+    CJK text are themselves >=0xA1 in the overwhelmingly common case),
+    so leads = hi bytes whose number of PRECEDING consecutive hi bytes
+    is even — computed with a cumulative-run trick, no Python loop."""
+    b = np.frombuffer(probe, dtype=np.uint8)
+    hi = b >= 0x80
+    if not hi.any():
+        return 0.0
+    # run position of each element: distance since last non-hi byte
+    idx = np.arange(len(b))
+    last_low = np.maximum.accumulate(np.where(~hi, idx, -1))
+    runpos = idx - last_low - 1  # 0-based offset within a hi-run
+    leads = b[hi & (runpos % 2 == 0)]
+    total = leads.size
+    if total == 0:
+        return 0.0
+    if enc == "gbk":
+        hits = int(((leads >= 0xB0) & (leads <= 0xF7)).sum())
+    elif enc == "big5":
+        hits = int(((leads >= 0xA4) & (leads <= 0xC6)).sum())
+    else:
+        hits = 0
+    return hits / total
+
+
+# Russian lowercase letter frequencies (public corpus statistics),
+# the single-byte prober's language model
+_RU_FREQ = {
+    "о": 0.1097, "е": 0.0845, "а": 0.0801, "и": 0.0735, "н": 0.0670,
+    "т": 0.0626, "с": 0.0547, "р": 0.0473, "в": 0.0454, "л": 0.0440,
+    "к": 0.0349, "м": 0.0321, "д": 0.0298, "п": 0.0281, "у": 0.0262,
+    "я": 0.0201, "ы": 0.0190, "ь": 0.0174, "г": 0.0170, "з": 0.0165,
+    "б": 0.0159, "ч": 0.0144, "й": 0.0121, "х": 0.0097, "ж": 0.0094,
+    "ш": 0.0073, "ю": 0.0064, "ц": 0.0048, "щ": 0.0036, "э": 0.0032,
+    "ф": 0.0026, "ъ": 0.0004, "ё": 0.0004,
+}
+
+
+_RU_FREQ_LUT = None  # codepoint -> frequency table, built lazily
+
+
+def _sbcs_score(probe: bytes, enc: str) -> tuple[float, float]:
+    """(cyrillic_fraction, language_model_score) for a single-byte
+    candidate — both 0..~0.11; the lang-model score separates KOI8-R
+    from windows-1251 (same letters, different byte positions)."""
+    global _RU_FREQ_LUT
+    if _RU_FREQ_LUT is None:
+        lut = np.zeros(0x500, dtype=np.float64)
+        for ch, f in _RU_FREQ.items():
+            lut[ord(ch)] = f
+            lut[ord(ch.upper())] = f
+        _RU_FREQ_LUT = lut
+    text = probe.decode(enc, errors="replace")
+    nb, _k, _c, _f, cyr = _char_classes(text)
+    if nb == 0:
+        return 0.0, 0.0
+    o = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    o = o[o < 0x500]
+    freqs = _RU_FREQ_LUT[o]
+    letters = freqs > 0
+    lm = float(freqs[letters].mean()) if letters.any() else 0.0
+    return cyr / nb, lm
+
+
 def detect_charset(content: bytes) -> str | None:
-    """Deterministic stand-in for the Mozilla chardet port: valid UTF-8
-    (with at least one non-ASCII byte) -> utf-8; pure ASCII -> None
-    (detector reports nothing); else windows-1252."""
-    probe = content[:16000]
+    """Mozilla-nsDetector-style composite detection (see module doc).
+    Pure ASCII -> None (the detector reports nothing, mirroring
+    nsDetector's isAscii fast path)."""
+    probe = content[:_DETECT_CAP]
+    # BOMs (nsDetector handles these before any prober runs)
+    if probe.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    if probe.startswith(b"\xff\xfe"):
+        return "utf-16le"
+    if probe.startswith(b"\xfe\xff"):
+        return "utf-16be"
     try:
         probe.decode("ascii")
+        # 7-bit escape schemes live inside pure ASCII byte streams
+        if b"\x1b$B" in probe or b"\x1b$@" in probe or b"\x1b(J" in probe:
+            return "iso-2022-jp"
         return None
     except UnicodeDecodeError:
         pass
-    try:
-        probe.decode("utf-8")
+    if _strict_ok(probe, "utf-8") is not None:
         return "utf-8"
-    except UnicodeDecodeError:
-        return "windows-1252"
+
+    # multi-byte CJK group: structural validity + distribution score
+    best_enc, best_score = None, 0.0
+    for enc in ("shift_jis", "euc-jp", "gbk", "big5"):
+        text = _strict_ok(probe, enc)
+        if text is None:
+            continue
+        nb, kana, cjk, full, _cyr = _char_classes(text)
+        if nb < 4:  # too little signal for a confident MBCS verdict
+            continue
+        if enc in ("shift_jis", "euc-jp"):
+            block = (2.0 * kana + cjk + 0.5 * full) / nb
+        else:
+            block = (cjk + full) / nb
+        score = block + 0.5 * _freq_zone_ratio(probe, enc)
+        if score > best_score + 1e-9:
+            best_enc, best_score = enc, score
+    if best_enc is not None and best_score >= 0.5:
+        return best_enc
+
+    # single-byte group: Cyrillic candidates vs the windows-1252 default
+    # Cyrillic text is DENSE in 8-bit bytes (nearly every letter);
+    # Latin text with accents is sparse — that density difference is
+    # what separates the Cyrillic group from the Latin1 prober, since
+    # any 8-bit byte decodes to SOME Cyrillic-block char under koi8/1251
+    arr = np.frombuffer(probe, dtype=np.uint8)
+    nonspace = int((~np.isin(arr, (0x20, 0x09, 0x0A, 0x0D))).sum())
+    hi = int((arr >= 0x80).sum())
+    # real Cyrillic text is >=~0.8 here; accented Latin rarely >0.2
+    if nonspace and hi / nonspace >= 0.4:
+        # the language model (letter frequencies) is the primary
+        # signal: KOI8-R bytes decoded as windows-1251 are still
+        # Cyrillic-BLOCK chars, just the wrong (rare) letters
+        ru_best, ru_key = None, (0.0, 0.0)
+        for enc in ("koi8-r", "windows-1251"):
+            cyr_frac, lm = _sbcs_score(probe, enc)
+            if cyr_frac >= 0.4 and (lm, cyr_frac) > ru_key:
+                ru_best, ru_key = enc, (lm, cyr_frac)
+        if ru_best is not None:
+            return ru_best
+    return "windows-1252"
 
 
 def resolve_alias(charset: str | None) -> str | None:

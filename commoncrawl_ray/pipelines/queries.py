@@ -671,10 +671,10 @@ def q_parse_extract(sf_dir: str):
     driver; byte-parity asserted in tests/test_parse_stage.py."""
     import os
 
-    from ..sources.synth import sf_from_dir, write_pages_parquet_ray
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
 
     sf = min(sf_from_dir(sf_dir), 0.01)
-    path = f"/tmp/cc_ray_pages_sf{sf}_dir"
+    path = pages_cache_dir(sf)
     if not os.path.isdir(path) or not os.listdir(path):
         write_pages_parquet_ray(path, sf)
     from ..stages.parse_extract import parse_extract_batch

@@ -358,6 +358,20 @@ class Universe:
         return seeds
 
 
+# Bump whenever page bytes OR the extract chain changes behavior: the
+# golden `text` column of cached pages tables is computed by
+# extract_record at generation time, so a stale /tmp cache written by
+# an older build would silently fail byte-parity checks against the
+# current kernels (seen when the real charset detector replaced the
+# round-1 stand-in). Consumers embed this in their cache paths.
+PAGES_FIXTURE_VERSION = 2
+
+
+def pages_cache_dir(sf: float) -> str:
+    """Canonical versioned /tmp cache dir for the pages universe."""
+    return f"/tmp/cc_ray_pages_v{PAGES_FIXTURE_VERSION}_sf{sf}"
+
+
 @lru_cache(maxsize=4)
 def get_universe(sf: float, seed: int = 42) -> Universe:
     return Universe(sf, seed)

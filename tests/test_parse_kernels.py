@@ -135,3 +135,30 @@ def test_timestamp14():
     assert ms == 1341100800000
     assert format_timestamp14(ms) == "20120701000000"
     assert parse_timestamp14("garbage") is None
+
+
+def test_detect_charset_legacy_encodings():
+    """The detector must separate the main legacy encodings on golden
+    byte fixtures (VERDICT r1 #4; nsDetector composite subset:
+    structural state machines + distribution + Cyrillic lang model)."""
+    ja = "日本語のテキストです。東京都内に住んでいます。ひらがなとカタカナの文字が含まれるサンプル文章。"
+    zh_s = "这是一个中文文本的例子，用于检测字符编码。汉字数量很多，应该能够区分国标码。"
+    zh_t = "這是一個中文測試文字，繁體字編碼範例。許多漢字應該能夠區分編碼。"
+    ru = "Пример русского текста для определения кодировки. Это предложение содержит много обычных слов."
+    cases = [
+        (ja.encode("shift_jis"), "shift_jis"),
+        (ja.encode("euc-jp"), "euc-jp"),
+        (ja.encode("iso-2022-jp"), "iso-2022-jp"),
+        (zh_s.encode("gbk"), "gbk"),
+        (zh_t.encode("big5"), "big5"),
+        (ru.encode("koi8-r"), "koi8-r"),
+        (ru.encode("windows-1251"), "windows-1251"),
+        (ja.encode("utf-8"), "utf-8"),
+        ("﻿bom text".encode("utf-8"), "utf-8"),
+        ("héllo".encode("utf-16"), "utf-16le"),  # BOM-carrying
+        # html wrappers (ASCII markup diluting the signal)
+        (("<html><body>" + ja * 3 + "</body></html>").encode("shift_jis"), "shift_jis"),
+        (("<html><body>" + ru * 3 + "</body></html>").encode("windows-1251"), "windows-1251"),
+    ]
+    for raw, want in cases:
+        assert detect_charset(raw) == want, (want, raw[:40])

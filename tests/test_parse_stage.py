@@ -11,7 +11,9 @@ import pytest
 from commoncrawl_ray.sources.synth import get_universe, write_pages_parquet
 from commoncrawl_ray.stages.parse_extract import extract_record, parse_extract_batch
 
-PAGES_PATH = "/tmp/cc_ray_test_pages_sf0001.parquet"
+from commoncrawl_ray.sources.synth import PAGES_FIXTURE_VERSION
+
+PAGES_PATH = f"/tmp/cc_ray_test_pages_v{PAGES_FIXTURE_VERSION}_sf0001.parquet"
 
 
 @pytest.fixture(scope="module")
