@@ -283,6 +283,21 @@ def best_effort_decode(
 ) -> tuple[str | None, str | None]:
     """-> (decoded_text, charset_used). None text when undecodable /
     typeless, mirroring bestEffortDecodeBytes returning null."""
+    text, used, _declared, _detected = best_effort_decode_ex(
+        content_type, header_charset, body
+    )
+    return text, used
+
+
+def best_effort_decode_ex(
+    content_type: str | None, header_charset: str | None, body: bytes
+) -> tuple[str | None, str | None, str | None, str | None]:
+    """-> (decoded_text, charset_used, charset_declared,
+    charset_detected). ``charset_declared`` is the header/meta claim
+    (post meta-override, pre-alias); ``charset_detected`` is the byte
+    detector's verdict WHEN the detector ran — the
+    charset=8 / detectedCharset=15 pair of ArcFileMetadata
+    (protocol/shared/protocol.jr:89,115)."""
     from .mime import is_text_type
 
     charset = header_charset
@@ -290,20 +305,22 @@ def best_effort_decode(
         sniffed = sniff_charset(body)
         if sniffed is not None:
             charset = sniffed
+    declared = charset
+    detected: str | None = None
     if charset is None:
         if content_type is not None and is_text_type(content_type):
             detected = detect_charset(body)
             charset = detected if detected is not None else "ascii"
     if charset is None:
-        return None, None
+        return None, None, declared, detected
     charset = resolve_alias(charset)
     codec = _codec_or_none(charset)
     if codec is None:
         detected = detect_charset(body)
         codec = _codec_or_none(resolve_alias(detected))
     if codec is None:
-        return None, charset
+        return None, charset, declared, detected
     try:
-        return body.decode(codec, errors="replace"), codec
+        return body.decode(codec, errors="replace"), codec, declared, detected
     except Exception:
-        return None, codec
+        return None, codec, declared, detected

@@ -35,11 +35,27 @@ DOCS = pa.schema(
         ("mime_norm", pa.string()),
         ("disposition", pa.int8()),
         ("charset_used", pa.string()),
+        ("charset_declared", pa.string()),  # protocol.jr:89 charset
+        ("charset_detected", pa.string()),  # protocol.jr:115 detectedCharset
         ("flags", pa.int32()),
         ("text", pa.string()),
         ("text_digest", pa.binary(16)),
         ("simhash", pa.int64()),
         ("n_links", pa.int32()),
+        # ArcFileMetadata parity block (protocol.jr:56-128)
+        ("anchors", pa.string()),  # href<LF>text<LF>... (anchorTags)
+        ("title", pa.string()),  # titleText
+        ("base_url", pa.string()),  # baseURL
+        ("meta_tags", pa.string()),  # name<LF>value<LF>... (otherMetaTags)
+        ("refresh_url", pa.string()),  # HTMLMetaTags optionalRefreshURL
+        ("refresh_time", pa.int32()),  # HTMLMetaTags optionalRefreshTime
+        ("http_date", pa.int64()),  # epoch ms, -1 absent
+        ("last_modified", pa.int64()),
+        ("expires", pa.int64()),
+        ("etag", pa.string()),
+        ("age", pa.int64()),
+        ("max_age", pa.int64()),
+        ("cache_flags", pa.int8()),  # CacheControlFlags byte
     ]
 )
 

@@ -71,3 +71,90 @@ def test_urls_fingerprinted(pages_file):
     canons = out.column("canon_url").to_pylist()
     assert sum(c is not None for c in canons) > 250
     assert len(set(fps)) > 250
+
+
+def test_arcfilemetadata_parity_fields():
+    """ArcFileMetadata parity block (protocol/shared/protocol.jr:56-128):
+    meta tags, anchor text, cache-control fields, declared+detected
+    charset (VERDICT r1 #5)."""
+    body = (
+        '<html><head>'
+        '<meta http-equiv="Content-Type" content="text/html; charset=utf-8">'
+        '<meta name="keywords" content="alpha, beta">'
+        '<meta name="description" content="a test page">'
+        '<meta http-equiv="refresh" content="5; url=http://next.example.com/">'
+        '<meta http-equiv="pragma" content="no-cache">'
+        '<title>Hello Title</title><base href="http://ex.com/sub/">'
+        '</head><body>'
+        '<a href="/one">First Link</a> middle '
+        '<a href="http://other.com/two">Second <b>bold</b> link</a>'
+        '</body></html>'
+    ).encode("utf-8")
+    headers = "\r\n".join(
+        [
+            "HTTP/1.1 200 OK",
+            "Content-Type: text/html; charset=utf-8",
+            "Date: Sun, 01 Jul 2012 00:00:00 GMT",
+            "Last-Modified: Sat, 30 Jun 2012 12:00:00 GMT",
+            "Expires: Mon, 02 Jul 2012 00:00:00 GMT",
+            'ETag: "abc123"',
+            "Age: 70",
+            "Cache-Control: private, no-store, max-age=3600, must-revalidate",
+            "Vary: Accept-Encoding",
+        ]
+    )
+    rec = headers.encode() + b"\r\n\r\n" + body
+    r = extract_record("http://ex.com/page", rec)
+    assert r["title"] == "Hello Title"
+    assert r["base"] == "http://ex.com/sub/"
+    # anchorTags href<LF>text<LF> stream
+    assert r["anchors"] == "/one\nFirst Link\nhttp://other.com/two\nSecond bold link\n"
+    # otherMetaTags name<LF>value<LF> stream (refresh/pragma extracted
+    # separately per HTMLMetaTags)
+    assert "keywords\nalpha, beta\n" in r["meta_tags"]
+    assert "description\na test page\n" in r["meta_tags"]
+    assert r["refresh_url"] == "http://next.example.com/"
+    assert r["refresh_time"] == 5
+    assert r["charset_declared"] == "utf-8"
+    assert r["charset_detected"] is None  # declared => detector not run
+    from commoncrawl_ray.stages.parse_extract import (
+        CACHE_MUST_REVALIDATE,
+        CACHE_NO_CACHE,
+        CACHE_NO_STORE,
+        CACHE_PRIVATE,
+        CACHE_VARY,
+    )
+
+    assert r["cache_flags"] == (
+        CACHE_NO_CACHE | CACHE_NO_STORE | CACHE_VARY | CACHE_MUST_REVALIDATE | CACHE_PRIVATE
+    )
+    assert r["max_age"] == 3600 and r["age"] == 70
+    assert r["etag"] == '"abc123"'
+    assert r["http_date"] == 1341100800000
+    assert r["last_modified"] < r["http_date"] < r["expires"]
+
+
+def test_detected_charset_field_populated():
+    """Undeclared non-ASCII page: detectedCharset records the byte
+    detector's verdict (protocol.jr:115)."""
+    body = "Пример русского текста для определения кодировки и проверки поля.".encode("koi8-r")
+    rec = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + (
+        b"<html><body>" + body * 3 + b"</body></html>"
+    )
+    r = extract_record("http://ru.example.com/", rec)
+    assert r["charset_declared"] is None
+    assert r["charset_detected"] == "koi8-r"
+    assert r["charset_used"] == "koi8-r"
+
+
+def test_parity_fields_via_ray(ray_session, pages_file):
+    """The synth universe's pages carry anchors + meta charset tags —
+    the batch kernel must surface them over Ray."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_file)
+    out = ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256).to_pandas()
+    html_rows = out[out["disposition"] == 1]
+    assert (html_rows["anchors"].notna()).sum() > 0.5 * len(html_rows)
+    assert (html_rows["title"].notna()).sum() > 0.9 * len(html_rows)
+    assert (out["meta_tags"].notna() | out["charset_declared"].notna()).sum() > 0
