@@ -665,6 +665,53 @@ def q_text_quality(sf_dir: str):
     return quality_stage(_pq(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
 
+def q_text_stats(sf_dir: str):
+    """SQL-checkable projection of the text-analysis family (VERDICT r1
+    #9): exact INTEGER counts (no float-rounding hash hazards) computed
+    with pure Arrow RE2 kernels — words, punctuation chars, total
+    chars, BPE-ish tokens (the textstats token_count_bpeish
+    pre-tokenizer shape)."""
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+                ),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(
+                        text, pattern=r"[.,;:!?'\"()\[\]{}\-]"
+                    ),
+                    pa.int64(),
+                ),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "tokens_bpeish": pc.cast(
+                    pc.count_substring_regex(
+                        text, pattern=r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '[.,;:!?''"()\[\]{}\-]')) AS BIGINT) AS n_punct,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS tokens_bpeish
+FROM documents
+"""
+
+
 def q_parse_extract(sf_dir: str):
     """The flagship parse/extract pipeline over the engine's own pages
     universe at a matching scale (input_hint shape). Rows-only for the
@@ -826,6 +873,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_docs": (q_simhash_docs, None),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
     "text_quality": (q_text_quality, None),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "parse_extract": (q_parse_extract, None),
     "crawl_log": (q_crawl_log, None),
     "crawl_host_stats": (q_crawl_host_stats, None),
