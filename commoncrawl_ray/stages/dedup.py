@@ -145,6 +145,15 @@ def _empty_join_table() -> pa.Table:
     return _JOIN_SCHEMA.empty_table()
 
 
+_HALF_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("sketch", pa.list_(pa.int64())),
+    ]
+)
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",
@@ -219,67 +228,79 @@ def minhash_lsh_pairs(
         batch_size=512,
     )
 
-    # --- round 1: attach sketch_a to each pair, co-partitioned on id_a
-    def pairs_as_join_rows(t: pa.Table) -> pa.Table:
+    # --- round 1 (the ONLY corpus-sized exchange): emit BOTH halves of
+    # every candidate pair keyed by their own doc id, union with the
+    # sketch table, ONE sort(key) co-partitions each half with its
+    # sketch. (Sketches are computed once — single consumer.)
+    def pairs_as_half_rows(t: pa.Table) -> pa.Table:
         n = len(t)
+        ia = t.column("id_a")
+        ib = t.column("id_b")
         return pa.table(
             {
-                "key": t.column("id_a"),
-                "kind": pa.array(np.ones(n, dtype=np.int8)),
-                "other": t.column("id_b"),
-                "sketch": pa.array([None] * n, pa.list_(pa.int64())),
+                "key": pa.concat_arrays(
+                    [ia.combine_chunks(), ib.combine_chunks()]
+                    if isinstance(ia, pa.ChunkedArray)
+                    else [ia, ib]
+                ),
+                "kind": pa.array(np.ones(2 * n, dtype=np.int8)),
+                "other": pa.concat_arrays(
+                    [ib.combine_chunks(), ia.combine_chunks()]
+                    if isinstance(ib, pa.ChunkedArray)
+                    else [ib, ia]
+                ),
+                "sketch": pa.array([None] * (2 * n), pa.list_(pa.int64())),
             }
         )
 
-    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
-        """Per sorted block: kind-0 rows carry sketches; re-key each
-        pair row by its id_b, carrying (id_a, sketch_a)."""
-        pairs = df[df["kind"] == 1]
-        if len(pairs) == 0:
-            # typed Arrow empty: a pandas block here would both mislead
-            # the round-2 union schema (list<null>) and mix block types
-            # under the sort boundary sampler
-            return _empty_join_table()
+    def attach(df: pd.DataFrame) -> pa.Table:
+        """Per sorted block: kind-0 rows carry sketches; each pair-half
+        row picks up ITS OWN id's sketch. Output keyed by the
+        canonical (id_a, id_b) pair."""
+        halves = df[df["kind"] == 1]
+        if len(halves) == 0:
+            return _HALF_SCHEMA.empty_table()
         lut = df[df["kind"] == 0].set_index("key")["sketch"]
+        k = halves["key"].to_numpy()
+        o = halves["other"].to_numpy()
         return pa.table(
             {
-                "key": pa.array(pairs["other"].to_numpy(), pa.int64()),  # id_b
-                "kind": pa.array(np.ones(len(pairs), dtype=np.int8)),
-                "other": pa.array(pairs["key"].to_numpy(), pa.int64()),  # id_a
+                "id_a": pa.array(np.minimum(k, o), pa.int64()),
+                "id_b": pa.array(np.maximum(k, o), pa.int64()),
                 "sketch": pa.array(
-                    [np.asarray(s, dtype=np.int64) for s in pairs["key"].map(lut)],
+                    [np.asarray(s, dtype=np.int64) for s in halves["key"].map(lut)],
                     pa.list_(pa.int64()),
                 ),
             }
         )
 
-    pairs_a = (
-        sketches.union(cands.map_batches(pairs_as_join_rows, batch_format="pyarrow"))
-        .sort("key")  # SINGLE key col: a (key,kind) composite sort key would
-        # let range boundaries split a key group across blocks
-        .map_batches(attach_a, batch_format="pandas", batch_size=None)
+    halves = (
+        sketches.union(cands.map_batches(pairs_as_half_rows, batch_format="pyarrow"))
+        .sort("key")  # SINGLE key col: a composite sort key would let
+        # range boundaries split a key group across blocks
+        .map_batches(attach, batch_format="pandas", batch_size=None)
     )
 
-    # --- round 2: sketch_b lives with id_b; compute exact Jaccard
-    def verify_b(df: pd.DataFrame) -> pa.Table:
+    # --- round 2 (pair-sized, tiny): co-locate the two halves of each
+    # pair and compute the exact Jaccard. Rows with identical
+    # (id_a, id_b) can never be split by the range shuffle.
+    def verify(df: pd.DataFrame) -> pa.Table:
         from ..functions.minhash import jaccard_hashed
 
         ja, jb, jj = [], [], []
-        pairs = df[df["kind"] == 1]
-        if len(pairs):
-            lut = df[df["kind"] == 0].set_index("key")["sketch"]
-            for id_b, id_a, sk_a, sk_b in zip(
-                pairs["key"].to_numpy(),
-                pairs["other"].to_numpy(),
-                pairs["sketch"].to_numpy(),
-                pairs["key"].map(lut).to_numpy(),
-            ):
-                a = np.asarray(sk_a, dtype=np.int64).view(np.uint64)
-                b = np.asarray(sk_b, dtype=np.int64).view(np.uint64)
+        if len(df):
+            df = df.sort_values(["id_a", "id_b"], kind="mergesort")
+            ids_a = df["id_a"].to_numpy()
+            ids_b = df["id_b"].to_numpy()
+            sk = df["sketch"].to_numpy()
+            starts, counts = _group_slices(ids_a, ids_b)
+            for s, c in zip(starts[counts == 2], counts[counts == 2]):
+                a = np.asarray(sk[s], dtype=np.int64).view(np.uint64)
+                b = np.asarray(sk[s + 1], dtype=np.int64).view(np.uint64)
                 j = jaccard_hashed(a, b)
                 if j >= jaccard_threshold:
-                    ja.append(int(id_a))
-                    jb.append(int(id_b))
+                    ja.append(int(ids_a[s]))
+                    jb.append(int(ids_b[s]))
                     jj.append(round(j, 6))
         return pa.table(
             {
@@ -289,10 +310,8 @@ def minhash_lsh_pairs(
             }
         )
 
-    return (
-        sketches.union(pairs_a)
-        .sort("key")
-        .map_batches(verify_b, batch_format="pandas", batch_size=None)
+    return halves.sort(["id_a", "id_b"]).map_batches(
+        verify, batch_format="pandas", batch_size=None
     )
 
 
