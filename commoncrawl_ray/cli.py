@@ -1,0 +1,163 @@
+"""Command-line entry point — the ``ray job submit`` surface.
+
+The north rule runs the engine on a fixed-size cluster via
+``ray job submit -- python -m commoncrawl_ray <cmd> ...``. On a
+cluster, ``ray.init(address="auto")`` attaches to the running Ray; in
+the sandbox it falls back to a local session. This module (together
+with bench.py and the test fixture) is the ONLY place that owns a Ray
+session — the library never calls ray.init.
+
+Commands:
+  crawl   — run/resume the epoch crawl loop against a checkpoint dir
+  parse   — parse/extract a pages parquet table to a docs table
+  query   — run a registry query (see ``queries --list``) to parquet/stdout
+  synth   — generate a synthetic pages universe parquet table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if num_cpus is not None and addr == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=addr, **kwargs)
+    return ray
+
+
+def _cmd_crawl(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .pipelines.common import CrawlConfig
+    from .pipelines.crawl import crawl
+    from .state.politeness import PolitenessPolicy
+
+    cfg = CrawlConfig(
+        sf=args.sf,
+        seed=args.seed,
+        max_epochs=args.epochs,
+        num_seen_partitions=args.seen_partitions,
+        policy=PolitenessPolicy(burst=args.burst, refill=args.burst),
+    )
+    res = crawl(cfg, args.ckpt, resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "epochs_run": res.epochs_run,
+                "seen_total": res.seen_total,
+                "frontier_left": res.frontier_left,
+                "counters": res.counters,
+            },
+            default=str,
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def _cmd_parse(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.parse_extract import parse_extract_batch
+
+    ds = rd.read_parquet(args.input)
+    docs = ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+    docs.write_parquet(args.output)
+    print(json.dumps({"rows": docs.count(), "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from .pipelines.queries import REGISTRY
+
+    if args.list:
+        for name, (_fn, sql) in REGISTRY.items():
+            print(f"{name}\t{'sql-checked' if sql else 'rows-only'}")
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    ray = _init_ray(args.num_cpus)
+    fn = REGISTRY[args.name][0]
+    res = fn(args.sf_dir)
+    if args.output:
+        if hasattr(res, "write_parquet"):
+            res.write_parquet(args.output)
+        else:
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = res if isinstance(res, pa.Table) else pa.Table.from_pandas(
+                res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            )
+            os.makedirs(args.output, exist_ok=True)
+            pq.write_table(table, os.path.join(args.output, "part-00000.parquet"))
+        print(json.dumps({"query": args.name, "output": args.output}))
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        print(df.head(args.head).to_string())
+    ray.shutdown()
+    return 0
+
+
+def _cmd_synth(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .sources.synth import write_pages_parquet_ray
+
+    n = write_pages_parquet_ray(args.output, args.sf, args.seed)
+    print(json.dumps({"pages": n, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="commoncrawl_ray")
+    p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run/resume the epoch crawl loop")
+    c.add_argument("--ckpt", required=True)
+    c.add_argument("--sf", type=float, default=0.001)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--epochs", type=int, default=3)
+    c.add_argument("--burst", type=int, default=4)
+    c.add_argument("--seen-partitions", type=int, default=8)
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=_cmd_crawl)
+
+    pp = sub.add_parser("parse", help="pages parquet -> docs parquet")
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output", required=True)
+    pp.set_defaults(fn=_cmd_parse)
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name", nargs="?")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--output", default=None)
+    q.add_argument("--head", type=int, default=20)
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=_cmd_query)
+
+    s = sub.add_parser("synth", help="generate a synthetic pages universe")
+    s.add_argument("--output", required=True)
+    s.add_argument("--sf", type=float, default=0.001)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=_cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -256,6 +256,105 @@ def q_events_sessions(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    """Hopping/sliding window aggregate (SURVEY §2.9 extension): 1-hour
+    windows every 15 minutes. Each event explodes into the 4 windows
+    covering it (vectorized repeat+arange), then one hash-aggregate
+    shuffle — the standard distributed sliding-window shape (no
+    windowed state, no ordering requirement)."""
+    width = 3600 * 1_000_000
+    hop = 900 * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_pylist()
+        w_hi = ts // hop
+        w_lo = (ts - width) // hop + 1
+        counts = (w_hi - w_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts)), counts)
+        # window ids: for each row, w_lo[i]..w_hi[i]
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        win = np.repeat(w_lo, counts) + (np.arange(counts.sum()) - np.repeat(offsets, counts))
+        return pa.table(
+            {
+                "event_type": pa.array([et[i] for i in idx], pa.string()),
+                "window_id": pa.array(win.astype(np.int64)),
+                "value": batch.column("value").take(pa.array(idx)),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       CAST(h AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events, LATERAL (
+  SELECT unnest(generate_series(
+    (epoch_us(ts) - 3600000000) // 900000000 + 1,
+    epoch_us(ts) // 900000000)) AS h
+) w
+GROUP BY 1, 2
+"""
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join (custom operator, stages/joins.py): every purchase
+    event picks up the user's most recent STRICTLY preceding click
+    (ts and value; null when none). One union+sort(user_id) exchange;
+    vectorized searchsorted merge per block."""
+    from ..stages.joins import asof_join
+
+    events = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = events.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"]
+    )
+    clicks = events.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    joined = asof_join(
+        purchases, clicks, by="user_id", on="ts", right_cols=["ts", "value"]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "value": batch.column("value"),
+                "last_click_ts_us": batch.column("ts_asof").cast(pa.int64()),
+                "last_click_value": batch.column("value_asof"),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us, p.value,
+       epoch_us(c.ts) AS last_click_ts_us,
+       c.value AS last_click_value
+FROM events p LEFT JOIN LATERAL (
+  SELECT ts, value FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+  ORDER BY c.ts DESC LIMIT 1
+) c ON true
+WHERE p.event_type = 'purchase'
+"""
+
+
 SQL_EVENTS_SESSIONS = """
 WITH gaps AS (
   SELECT user_id, ts,
@@ -861,6 +960,8 @@ REGISTRY: dict[str, tuple] = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "suppliers_by_region": (q_suppliers_by_region, SQL_SUPPLIERS_BY_REGION),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),

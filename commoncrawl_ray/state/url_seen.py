@@ -51,11 +51,21 @@ def partition_of(url_fps: np.ndarray, num_partitions: int) -> np.ndarray:
 
 
 class _SeenCore:
-    """The per-partition state, actor-agnostic (reused by the oracle)."""
+    """The per-partition state, actor-agnostic (reused by the oracle).
 
-    def __init__(self, expected_elements: int = 1 << 16):
+    ``filter_kind``: "bloom" (default; parity-locked) or "cuckoo"
+    (state/cuckoo.py — deletable, for recrawl expiry). Either way the
+    filter is only the fast path; the exact set stays authoritative,
+    so the choice cannot change crawl parity."""
+
+    def __init__(self, expected_elements: int = 1 << 16, filter_kind: str = "bloom"):
         self.exact: set[int] = set()
-        self.bloom = BloomFilter(max(expected_elements, 1024))
+        if filter_kind == "cuckoo":
+            from .cuckoo import CuckooFilter
+
+            self.bloom = CuckooFilter(max(expected_elements, 1024))
+        else:
+            self.bloom = BloomFilter(max(expected_elements, 1024))
 
     def check_and_add(self, fps: np.ndarray) -> np.ndarray:
         fps = np.asarray(fps, dtype=np.int64)
@@ -91,9 +101,11 @@ class UrlSeenActor:
     and sits idle otherwise, so reserving whole CPUs would deadlock
     small clusters and waste big ones."""
 
-    def __init__(self, partition: int, expected_elements: int = 1 << 16):
+    def __init__(
+        self, partition: int, expected_elements: int = 1 << 16, filter_kind: str = "bloom"
+    ):
         self.partition = partition
-        self.core = _SeenCore(expected_elements)
+        self.core = _SeenCore(expected_elements, filter_kind)
 
     def check_and_add(self, fps: np.ndarray) -> np.ndarray:
         return self.core.check_and_add(fps)
@@ -137,11 +149,12 @@ class UrlSeenActor:
         fps = pq.read_table(path).column("url_fp").to_numpy()
         self.core.exact = set(fps.tolist())
         blob = os.path.join(directory, f"bloom-{self.partition:05d}.bin")
+        filter_cls = type(self.core.bloom)  # bloom or cuckoo, per construction
         if os.path.exists(blob):
             with open(blob, "rb") as f:
-                self.core.bloom = BloomFilter.from_bytes(f.read())
+                self.core.bloom = filter_cls.from_bytes(f.read())
         else:
-            self.core.bloom = BloomFilter(max(len(fps) * 2, 1024))
+            self.core.bloom = filter_cls(max(len(fps) * 2, 1024))
             if len(fps):
                 self.core.bloom.add_batch(fps)
         return len(fps)
@@ -150,10 +163,16 @@ class UrlSeenActor:
 class UrlSeenPool:
     """Driver-side handle on the P-partition actor pool."""
 
-    def __init__(self, num_partitions: int, expected_per_partition: int = 1 << 16):
+    def __init__(
+        self,
+        num_partitions: int,
+        expected_per_partition: int = 1 << 16,
+        filter_kind: str = "bloom",
+    ):
         self.num_partitions = num_partitions
         self.actors = [
-            UrlSeenActor.remote(i, expected_per_partition) for i in range(num_partitions)
+            UrlSeenActor.remote(i, expected_per_partition, filter_kind)
+            for i in range(num_partitions)
         ]
 
     def check_and_add(self, fps: np.ndarray) -> np.ndarray:
