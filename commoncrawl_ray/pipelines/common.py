@@ -30,6 +30,10 @@ class CrawlConfig:
     policy: PolitenessPolicy = field(default_factory=PolitenessPolicy)
     log_dups: bool = True
     priority_decay: str = "inverse_depth"  # priority = 1/(depth+1)
+    # URL-seen fast-path filter: "bloom" (default) or "cuckoo"
+    # (deletable; state/cuckoo.py). The exact per-partition set stays
+    # authoritative either way, so this cannot change crawl parity.
+    seen_filter_kind: str = "bloom"
 
     def priority_for_depth(self, depth: int) -> float:
         return 1.0 / (depth + 1)

@@ -736,7 +736,9 @@ def crawl(
     os.makedirs(ckpt_dir, exist_ok=True)
     res = CrawlRunResult(ckpt_dir=ckpt_dir)
 
-    seen_pool = UrlSeenPool(cfg.num_seen_partitions)
+    seen_pool = UrlSeenPool(
+        cfg.num_seen_partitions, filter_kind=getattr(cfg, "seen_filter_kind", "bloom")
+    )
     robots_pool = RobotsCachePool(num_actors=max(2, cfg.num_seen_partitions // 4))
 
     start_epoch = 0

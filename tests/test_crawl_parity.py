@@ -136,3 +136,23 @@ def test_skewed_budget_parity(ray_session, tmp_path_factory):
     got = res.log_table().to_pylist()
     keys = ("epoch", "seq", "url_fp", "host_fp", "canon_url", "action", "http_status", "depth")
     assert [{k: r[k] for k in keys} for r in got] == [{k: r[k] for k in keys} for r in want.log]
+
+
+def test_cuckoo_filter_parity(ray_session, oracle_result, tmp_path_factory):
+    """Swapping the URL-seen fast path from bloom to the cuckoo filter
+    must not change the crawl AT ALL — the exact set is authoritative
+    (state/url_seen.py); the filter only short-circuits lookups."""
+    import dataclasses
+
+    from commoncrawl_ray.pipelines.crawl import crawl
+
+    cfg = dataclasses.replace(CFG, seen_filter_kind="cuckoo")
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt_cuckoo"))
+    res = crawl(cfg, ckpt)
+    seen_engine = set(res.seen_table().column("url_fp").to_pylist())
+    assert seen_engine == oracle_result.seen
+    log = res.log_table().to_pylist()
+    assert len(log) == len(oracle_result.log)
+    for got, want in zip(log, oracle_result.log):
+        assert got["epoch"] == want["epoch"] and got["seq"] == want["seq"]
+        assert got["url_fp"] == want["url_fp"] and got["action"] == want["action"]

@@ -186,3 +186,37 @@ def test_embedding_lsh_recall_vs_bruteforce(ray_session):
     # verified inside buckets => no false positives; full recall at the
     # tuned table count => exact set equality
     assert got_pairs == truth_pairs
+
+
+def test_asof_join_generic(ray_session):
+    """stages/joins.asof_join as a standalone operator: strictly
+    preceding `on`, per-key, nulls when no match."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.joins import asof_join
+
+    left = rd.from_items(
+        [
+            {"k": 1, "t": 10, "x": "a"},
+            {"k": 1, "t": 20, "x": "b"},
+            {"k": 2, "t": 5, "x": "c"},
+            {"k": 3, "t": 9, "x": "d"},
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"k": 1, "t": 10, "v": 100},  # NOT <= strict: excluded at t=10
+            {"k": 1, "t": 15, "v": 150},
+            {"k": 2, "t": 1, "v": 20},
+            {"k": 2, "t": 4, "v": 40},
+        ]
+    )
+    out = (
+        asof_join(left, right, by="k", on="t", right_cols=["t", "v"])
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert out["x"].tolist() == ["a", "b", "c", "d"]
+    assert out["v_asof"].fillna(-1).tolist() == [-1, 150, 40, -1]
+    assert out["t_asof"].fillna(-1).tolist() == [-1, 15, 4, -1]
