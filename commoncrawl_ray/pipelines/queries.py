@@ -811,6 +811,48 @@ def q_minhash_lsh_dedup(sf_dir: str):
     )
 
 
+def q_jaccard_neardup(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (inverted shingle index;
+    stages/dedup.ngram_jaccard_pairs) at threshold 0.8 — integer
+    (inter, union_n) output so the DuckDB all-pairs oracle hash-matches
+    with no float rounding hazard."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _pq(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", text_col="text"
+    )
+
+
+SQL_JACCARD_NEARDUP = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 4)) AS i
+  ) s
+  WHERE len(ws) >= 5
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS gram
+  FROM w WHERE len(ws) BETWEEN 1 AND 4
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_n
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE 5 * i.inter >= 4 * (sa.sz + sb.sz - i.inter)
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF ANN (kmeans coarse quantizer + nprobe inverted-list scan)
     top-10 neighbours for query vectors vec_id 0..3 — the scale path
@@ -1077,6 +1119,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_ivf": (q_knn_ivf, None),
     "simhash_docs": (q_simhash_docs, None),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
+    "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, None),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "parse_extract": (q_parse_extract, None),

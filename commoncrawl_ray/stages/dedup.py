@@ -315,6 +315,132 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = _NGRAM,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_gram_docs: int | None = None,
+):
+    """EXACT word-n-gram Jaccard near-dup pairs via a distributed
+    inverted shingle index (the classic set-similarity-join shape) —
+    SQL-hash-checkable because the output is pure integers:
+    (id_a, id_b, inter, union_n) for pairs with
+    jaccard >= threshold_num/threshold_den, compared in exact integer
+    arithmetic (den*inter >= num*union).
+
+    Shape: one pass emits (gram_hash, doc_id, doc_size) rows (distinct
+    grams per doc; size carried on every row so NO sizes join is
+    needed); sort(gram_hash) co-locates each gram's posting list; a
+    block pass emits co-occurrence pairs; one hash aggregate counts
+    intersections. Shuffle volume = total distinct grams.
+
+    Caveats (documented): gram identity is the 64-bit FNV shingle hash
+    (collisions would miscount vs a string oracle; ~0 at any practical
+    corpus size); a boilerplate gram shared by d docs emits d(d-1)/2
+    pairs — cap with ``max_gram_docs`` at web scale (cap => recall<1
+    for pairs only co-occurring in ultra-frequent grams, which a 0.8
+    threshold never needs; default None = exact)."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import _ngrams_hashed
+
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_g, out_id, out_sz = [], [], []
+        for i, t in zip(ids, texts):
+            g = _ngrams_hashed(t or "", ngram)
+            if g.size == 0:
+                continue
+            out_g.append(g.view(np.int64))
+            out_id.append(np.full(g.size, i, dtype=np.int64))
+            out_sz.append(np.full(g.size, g.size, dtype=np.int64))
+        if not out_g:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(out_g)),
+                "doc": pa.array(np.concatenate(out_id)),
+                "sz": pa.array(np.concatenate(out_sz)),
+            }
+        )
+
+    def posting_pairs(df: pd.DataFrame) -> pa.Table:
+        a_out, b_out, sa_out, sb_out = [], [], [], []
+        if len(df):
+            df = df.sort_values(["gram", "doc"], kind="mergesort")
+            grams = df["gram"].to_numpy()
+            docs = df["doc"].to_numpy()
+            szs = df["sz"].to_numpy()
+            starts, counts = _group_slices(grams)
+            for s, c in zip(starts[counts > 1], counts[counts > 1]):
+                if max_gram_docs is not None and c > max_gram_docs:
+                    continue
+                gd = docs[s : s + c]
+                gs = szs[s : s + c]
+                iu, ju = np.triu_indices(int(c), k=1)
+                a_out.append(gd[iu])
+                b_out.append(gd[ju])
+                sa_out.append(gs[iu])
+                sb_out.append(gs[ju])
+        if not a_out:
+            return pa.schema(
+                [
+                    ("id_a", pa.int64()),
+                    ("id_b", pa.int64()),
+                    ("sz_a", pa.int64()),
+                    ("sz_b", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out)),
+                "id_b": pa.array(np.concatenate(b_out)),
+                "sz_a": pa.array(np.concatenate(sa_out)),
+                "sz_b": pa.array(np.concatenate(sb_out)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    co = (
+        ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=512)
+        .sort("gram")
+        .map_batches(posting_pairs, batch_format="pandas", batch_size=None)
+        .groupby(["id_a", "id_b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Min("sz_a", alias_name="sz_a"),  # constant per doc: pure pick-one
+            Min("sz_b", alias_name="sz_b"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch.column("inter").to_numpy()
+        union = (
+            batch.column("sz_a").to_numpy() + batch.column("sz_b").to_numpy() - inter
+        )
+        keep = threshold_den * inter >= threshold_num * union
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "inter": pa.array(inter[keep]),
+                "union_n": pa.array(union[keep]),
+            }
+        )
+
+    return co.map_batches(finalize, batch_format="pyarrow")
+
+
 def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
     """SimHash near-dup pairs: bucket by the 4 16-bit sub-bands (any
     pair within hamming<=3 of 64 bits shares at least one exact 16-bit
