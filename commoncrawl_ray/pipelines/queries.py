@@ -878,6 +878,67 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_knn_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe = n_centroids: every query probes every inverted
+    list, so the result is EXACT top-k — which makes the whole IVF
+    machinery (quantizer fit, broadcast, per-list scan, distributed
+    top-k reduce) SQL-hash-checkable against a DuckDB all-pairs oracle.
+    The approximate configuration stays registered rows-only as
+    knn_ivf."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    qmat = np.array(
+        [t.column("embedding")[ids.index(qid)].as_py() for qid in range(4)],
+        dtype=np.float64,
+    )
+    res = knn_ivf(
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qmat,
+        k=10,
+        n_centroids=32,
+        nprobe=32,  # == n_centroids: exhaustive => exact
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("query_id").cast(pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "cosine": pa.array(
+                    np.round(batch.column("cosine").to_numpy(), 6), pa.float64()
+                ),
+                "rank": batch.column("rank").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_KNN_IVF_EXHAUSTIVE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
+       ROUND(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank < 10
+"""
+
+
 def q_sharded_top_docs(sf_dir: str):
     """Sharded query layer (SURVEY §3.3): cached sorted result +
     manifest-indexed pagination; returns page 0 (50 rows) of documents
@@ -1117,6 +1178,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "sharded_top_docs": (q_sharded_top_docs, SQL_SHARDED_TOP_DOCS),
     "knn_ivf": (q_knn_ivf, None),
+    "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, None),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
