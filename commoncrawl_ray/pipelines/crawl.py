@@ -827,7 +827,7 @@ def crawl(
         # host shuffle straight into link explosion with backpressure.
         # Log/frontier rows leave via idempotent side-writes.
         _t0 = _time.time()
-        (
+        epoch_job = (
             dedup_candidates(
                 frontier.map_batches(
                     make_robots_fn(robots_pool.actors, epoch),
@@ -873,6 +873,8 @@ def crawl(
             )
             .materialize()
         )
+        if os.environ.get("CCRAY_STAGE_STATS"):
+            print(f"=== epoch {epoch} stats ===\n{epoch_job.stats()}", flush=True)
         stage_t["epoch_job"] = round(_time.time() - _t0, 2)
 
         # --- epoch log: DISTRIBUTED sort + file-offset seq -----------
