@@ -81,3 +81,15 @@ def test_extract_record_total(b):
 
     r = extract_record("http://x.com/", b)
     assert isinstance(r, dict)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_detect_charset_total(b):
+    """Detector totality: any byte string yields None or a resolvable
+    codec name, never an exception (nsDetector contract)."""
+    from commoncrawl_ray.functions.charset import _codec_or_none, detect_charset, resolve_alias
+
+    got = detect_charset(b)
+    if got is not None:
+        assert _codec_or_none(resolve_alias(got)) is not None

@@ -220,3 +220,73 @@ def test_asof_join_generic(ray_session):
     assert out["x"].tolist() == ["a", "b", "c", "d"]
     assert out["v_asof"].fillna(-1).tolist() == [-1, 150, 40, -1]
     assert out["t_asof"].fillna(-1).tolist() == [-1, 15, 4, -1]
+
+
+def test_asof_join_random_vs_pandas(ray_session):
+    """Property check: asof_join agrees with a brute-force pandas
+    oracle on random keys/timestamps (strict precedence, ties by ts
+    impossible here: unique ts per key enforced)."""
+    import ray.data as rd
+
+    rs = np.random.RandomState(11)
+    left_rows, right_rows = [], []
+    for i in range(200):
+        left_rows.append({"k": int(rs.randint(0, 12)), "t": int(rs.randint(0, 10000)) * 2, "x": i})
+    for j in range(300):
+        right_rows.append({"k": int(rs.randint(0, 12)), "t": int(rs.randint(0, 10000)) * 2 + 1, "v": j})
+    from commoncrawl_ray.stages.joins import asof_join
+
+    out = (
+        asof_join(
+            rd.from_items(left_rows), rd.from_items(right_rows), by="k", on="t", right_cols=["t", "v"]
+        )
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    rdf = pd.DataFrame(right_rows)
+    for _, row in out.iterrows():
+        cand = rdf[(rdf.k == row.k) & (rdf.t < row.t)]
+        if len(cand):
+            best = cand.sort_values("t").iloc[-1]
+            assert row.t_asof == best.t and row.v_asof == best.v, row.to_dict()
+        else:
+            assert pd.isna(row.t_asof), row.to_dict()
+
+
+def test_ngram_jaccard_vs_bruteforce(ray_session):
+    """Property check: the inverted-index Jaccard pipeline equals the
+    brute-force per-pair Jaccard over random small docs."""
+    import itertools
+
+    import ray.data as rd
+
+    from commoncrawl_ray.functions.minhash import _ngrams_hashed, jaccard_hashed
+    from commoncrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+    rs = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for i in range(40):
+        n = rs.randint(0, 30)
+        docs[i] = " ".join(rs.choice(vocab, size=n)) if n else ""
+    # plant a near-dup pair
+    docs[100] = " ".join(f"t{j}" for j in range(40))
+    docs[101] = " ".join(f"t{j}" for j in range(39)) + " zz"
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = ngram_jaccard_pairs(ds, threshold_num=1, threshold_den=2).to_pandas()
+    got_map = {
+        (a, b): (i, u)
+        for a, b, i, u in zip(got["id_a"], got["id_b"], got["inter"], got["union_n"])
+    }
+    want_map = {}
+    grams = {k: _ngrams_hashed(v, 5) for k, v in docs.items()}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        ga, gb = grams[a], grams[b]
+        if ga.size == 0 or gb.size == 0:
+            continue
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        union = ga.size + gb.size - inter
+        if 2 * inter >= union and inter > 0:
+            want_map[(a, b)] = (inter, union)
+    assert got_map == want_map
