@@ -30,8 +30,34 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
-def _pq(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _pq(sf_dir: str, table: str, columns=None, min_blocks: int = 1):
+    """Pruned parquet read with DATA-SIZED block count. Ray's default
+    split (~2 blocks/CPU regardless of size) turns a 2,000-row table
+    into 64 tiny blocks and every downstream stage into pure task
+    overhead (measured: 5x wall on knn_cosine at 32 cpus). Size by
+    max(bytes/16MB, rows/32k) — the rows term matters because parquet
+    compresses these tables ~10x, and a 600k-row aggregate on one
+    block would serialize (measured: 10s vs 2s on lineitem). Clamped
+    to [1, 256]: small tables collapse to one block, 100 TB inputs
+    still fan out wide.
+
+    ``min_blocks``: floor for stages whose PER-ROW compute dominates
+    (text sketching, per-doc hashing) — a byte-small docs table must
+    still fan out or the map stage serializes; bounded so blocks never
+    drop below ~16 rows."""
+    import os
+
+    import pyarrow.parquet as _pqm
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        size = os.path.getsize(path)
+        rows = _pqm.read_metadata(path).num_rows
+    except OSError:
+        size, rows = 0, 0
+    floor = min(min_blocks, max(1, rows // 16))
+    blocks = min(256, max(1, floor, -(-size // (16 << 20)), -(-rows // 32768)))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 # --------------------------------------------------------------------
@@ -119,7 +145,7 @@ def q_exact_dedup(sf_dir: str):
         return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
     return (
-        _pq(sf_dir, "documents", ["doc_id", "text"])
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32)
         .map_batches(add_hash, batch_format="pyarrow")
         .drop_columns(["text"])
         .groupby("text_hash")
@@ -796,7 +822,7 @@ def q_simhash_docs(sf_dir: str):
         vals = simhash_text_batch(batch.column("text").to_pylist())
         return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(vals)})
 
-    return _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32).map_batches(
         sh, batch_format="pyarrow"
     )
 
@@ -807,7 +833,9 @@ def q_minhash_lsh_dedup(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _pq(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", text_col="text"
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
+        id_col="doc_id",
+        text_col="text",
     )
 
 
@@ -819,7 +847,9 @@ def q_jaccard_neardup(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _pq(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", text_col="text"
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
+        id_col="doc_id",
+        text_col="text",
     )
 
 
@@ -966,7 +996,9 @@ def q_text_quality(sf_dir: str):
     """Quality + language scoring stage (actor pool)."""
     from ..stages.text_analysis import quality_stage
 
-    return quality_stage(_pq(sf_dir, "documents", ["doc_id", "text", "lang"]))
+    return quality_stage(
+        _pq(sf_dir, "documents", ["doc_id", "text", "lang"], min_blocks=32)
+    )
 
 
 def q_text_stats(sf_dir: str):
