@@ -457,14 +457,22 @@ def q_suppliers_by_region(sf_dir: str):
     region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup = ray.put({k: r2name[v] for k, v in n2r.items() if v in r2name})
+    flat = {k: r2name[v] for k, v in n2r.items() if v in r2name}
+    order = np.argsort(np.fromiter(flat.keys(), dtype=np.int64, count=len(flat)))
+    keys_sorted = np.fromiter(flat.keys(), dtype=np.int64, count=len(flat))[order]
+    names_sorted = np.array(list(flat.values()), dtype=object)[order]
+    lookup = ray.put((keys_sorted, names_sorted))
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup)
-        nk = batch.column("s_nationkey").to_pylist()
+        # vectorized searchsorted probe (same discipline as
+        # orders_by_segment — no per-row dict loop)
+        keys, names = ray.get(lookup)
+        nk = batch.column("s_nationkey").to_numpy()
+        pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+        hit = keys[pos] == nk
         return pa.table(
             {
-                "r_name": pa.array([lut.get(k, "UNKNOWN") for k in nk], pa.string()),
+                "r_name": pa.array(np.where(hit, names[pos], "UNKNOWN"), pa.string()),
                 "s_acctbal": batch.column("s_acctbal"),
             }
         )

@@ -165,3 +165,58 @@ def sample_frames(ds, n_frames: int = 4, fake: bool = True, concurrency=(1, 2), 
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class AudioFeatureStage:
+    """Audio feature extraction (the third media kind): windowed energy
+    features over the payload, normalized by the metadata sample rate.
+    Same environment gate as the image/video stages — fake=True derives
+    deterministic features from payload bytes so the Ray plumbing is
+    real; fake=False raises (no audio libs in this container)."""
+
+    N_WINDOWS = 8
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires an audio library not present in "
+                "this container; construct with fake=True for the "
+                "deterministic stub"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats, durs = [], [], []
+        for mid, kind, p, meta in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            arr = np.frombuffer(p, dtype=np.uint8).astype(np.float64) - 127.5
+            windows = np.array_split(arr, self.N_WINDOWS)
+            energy = np.array([float(np.sqrt((w**2).mean())) if len(w) else 0.0 for w in windows])
+            peak = energy.max()
+            ids.append(mid)
+            feats.append((energy / peak if peak else energy).astype(np.float32).tolist())
+            sr = meta["sample_rate"] or 1
+            durs.append(len(p) / sr)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "energy": pa.array(feats, pa.list_(pa.float32())),
+                "duration_s": pa.array(durs, pa.float64()),
+            }
+        )
+
+
+def audio_features(ds, fake: bool = True, concurrency=(1, 2), batch_size: int = 16):
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

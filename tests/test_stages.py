@@ -290,3 +290,30 @@ def test_ngram_jaccard_vs_bruteforce(ray_session):
         if 2 * inter >= union and inter > 0:
             want_map[(a, b)] = (inter, union)
     assert got_map == want_map
+
+
+def test_multimodal_audio_and_frames(ray_session):
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.multimodal import (
+        AudioFeatureStage,
+        FrameSampleStage,
+        audio_features,
+        sample_frames,
+        synth_media_table,
+    )
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(fake=False)
+    t = synth_media_table(48)
+    audio = audio_features(rd.from_arrow(t), fake=True).to_pandas()
+    n_audio = sum(1 for k in t.column("kind").to_pylist() if k == "audio")
+    assert len(audio) == n_audio
+    assert all(len(e) == 8 for e in audio["energy"])
+    assert (audio["duration_s"] > 0).all()
+    frames = sample_frames(rd.from_arrow(t), n_frames=3, fake=True).to_pandas()
+    n_video = sum(1 for k in t.column("kind").to_pylist() if k == "video")
+    assert len(frames) == 3 * n_video
+    assert set(frames["frame_idx"]) == {0, 1, 2}
