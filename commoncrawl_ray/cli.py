@@ -72,7 +72,16 @@ def _cmd_parse(args) -> int:
     ds = rd.read_parquet(args.input)
     docs = ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
     docs.write_parquet(args.output)
-    print(json.dumps({"rows": docs.count(), "output": args.output}))
+    # row count from the written files' footers — re-running the parse
+    # pipeline just to count would double the job's dominant cost
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.read_metadata(os.path.join(args.output, f)).num_rows
+        for f in os.listdir(args.output)
+        if f.endswith(".parquet")
+    )
+    print(json.dumps({"rows": rows, "output": args.output}))
     ray.shutdown()
     return 0
 
@@ -105,7 +114,11 @@ def _cmd_query(args) -> int:
             pq.write_table(table, os.path.join(args.output, "part-00000.parquet"))
         print(json.dumps({"query": args.name, "output": args.output}))
     else:
-        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        # only the displayed page leaves the cluster
+        if hasattr(res, "limit") and hasattr(res, "to_pandas"):
+            df = res.limit(args.head).to_pandas()
+        else:
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
         print(df.head(args.head).to_string())
     ray.shutdown()
     return 0

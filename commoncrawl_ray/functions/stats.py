@@ -86,10 +86,13 @@ class BandwidthHistory:
         self.stalled = False
 
     def _reset(self):
+        # zero the WHOLE ring (wget's speed-history reset): leaving
+        # stale slots would make later commits subtract pre-stall
+        # samples from freshly-zeroed totals, driving them negative
         self.pos = 0
         self.recent_bytes = 0
-        self.times[0] = 0
-        self.bytes[0] = 0
+        self.times = [0] * SPEED_HISTORY_SIZE
+        self.bytes = [0] * SPEED_HISTORY_SIZE
         self.total_time = 0
         self.total_bytes = 0
 

@@ -293,6 +293,14 @@ def q_events_sliding(sf_dir: str):
 
     def explode(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        if len(ts) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
         et = batch.column("event_type").to_pylist()
         w_hi = ts // hop
         w_lo = (ts - width) // hop + 1

@@ -99,8 +99,9 @@ class _HtmlWalker(HTMLParser):
                 # "N; url=..." (HTMLMetaTags optionalRefreshURL/Time)
                 head, _, tail = content.partition(";")
                 try:
-                    self.refresh_time = int(float(head.strip() or "0"))
-                except ValueError:
+                    t = int(float(head.strip() or "0"))
+                    self.refresh_time = _clamp_i32(t)
+                except (ValueError, OverflowError):
                     self.refresh_time = None
                 m = re.search(r"url\s*=\s*(\S+)", tail, re.IGNORECASE)
                 if m:
@@ -174,6 +175,22 @@ def html_to_text_and_links(html: str) -> tuple[str, list[str], str | None, str |
     return text, w.links, w.base, w.title
 
 
+# A hostile/buggy server can declare Age/max-age/refresh values beyond
+# the output column ranges; unclamped they'd raise OverflowError in the
+# numpy column assignment and kill the whole parse task on every retry
+# (totality: any byte stream must parse)
+_I32_MAX = (1 << 31) - 1
+_I64_MAX = (1 << 63) - 1
+
+
+def _clamp_i32(v: int) -> int:
+    return v if -(_I32_MAX + 1) <= v <= _I32_MAX else -1
+
+
+def _clamp_i64(v: int) -> int:
+    return v if -(_I64_MAX + 1) <= v <= _I64_MAX else -1
+
+
 # ArcFileMetadata CacheControlFlags (protocol/shared/protocol.jr:122-128)
 CACHE_NO_CACHE = 1
 CACHE_NO_STORE = 2
@@ -201,7 +218,7 @@ def _cache_fields(headers) -> dict:
     age = headers.find_value("age")
     if age is not None:
         try:
-            out["age"] = int(age.strip())
+            out["age"] = _clamp_i64(int(age.strip()))
         except ValueError:
             pass
     flags = 0
@@ -220,7 +237,7 @@ def _cache_fields(headers) -> dict:
             elif directive.startswith("max-age"):
                 _, _, v = directive.partition("=")
                 try:
-                    out["max_age"] = int(v.strip())
+                    out["max_age"] = _clamp_i64(int(v.strip()))
                 except ValueError:
                     pass
     pragma = headers.find_value("pragma")

@@ -88,9 +88,13 @@ class CuckooFilter:
         rng = np.random.RandomState((fp ^ (fp >> 32)) & 0x7FFFFFFF)
         bucket = i2 if rng.randint(2) else i1
         cur = f
+        undo = []  # (bucket, slot, displaced) so a failed chain rolls back
         for _ in range(_MAX_KICKS):
             slot = rng.randint(_SLOTS)
-            cur, self.table[bucket, slot] = int(self.table[bucket, slot]), cur
+            displaced = int(self.table[bucket, slot])
+            self.table[bucket, slot] = cur
+            undo.append((bucket, slot, displaced))
+            cur = displaced
             bucket = int(
                 self._alt_index(
                     np.array([bucket]), np.array([cur], dtype=np.uint16)
@@ -99,6 +103,10 @@ class CuckooFilter:
             if self._try_put(bucket, cur):
                 self.count += 1
                 return True
+        # chain failed: undo every swap (reverse order) so previously
+        # inserted fingerprints keep their no-false-negative guarantee
+        for b, s, displaced in reversed(undo):
+            self.table[b, s] = displaced
         return False
 
     def delete(self, fp: int) -> bool:

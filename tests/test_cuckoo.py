@@ -59,3 +59,18 @@ def test_full_filter_reports_failure():
             inserted += 1
     assert inserted < 200  # overflow surfaced, not silently dropped
     assert cf.count == inserted
+
+
+def test_failed_insert_rolls_back_no_false_negatives():
+    """A failed eviction chain must leave the table exactly as it was:
+    every previously-admitted fingerprint stays present (the AMQ
+    no-false-negative guarantee), and count matches occupancy."""
+    cf = CuckooFilter(expected_elements=16)  # minimum-size table
+    rs = np.random.RandomState(9)
+    admitted = []
+    for fp in rs.randint(-(2**62), 2**62, size=300, dtype=np.int64).tolist():
+        if cf.add(int(fp)):
+            admitted.append(fp)
+    assert len(admitted) < 300  # saturated: some adds failed
+    assert cf.maybe_present_batch(np.array(admitted, dtype=np.int64)).all()
+    assert cf.count == int((cf.table != 0).sum())

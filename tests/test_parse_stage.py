@@ -158,3 +158,32 @@ def test_parity_fields_via_ray(ray_session, pages_file):
     assert (html_rows["anchors"].notna()).sum() > 0.5 * len(html_rows)
     assert (html_rows["title"].notna()).sum() > 0.9 * len(html_rows)
     assert (out["meta_tags"].notna() | out["charset_declared"].notna()).sum() > 0
+
+
+def test_hostile_cache_values_dont_kill_batch():
+    """Overflowing Age/max-age/refresh declarations must clamp, not
+    raise OverflowError in the numpy column assignment (a hostile page
+    would otherwise fail the whole Ray parse task deterministically)."""
+    import pyarrow as pa
+
+    body = (
+        '<html><head><meta http-equiv="refresh" content="99999999999999999999">'
+        "<title>t</title></head><body>hi</body></html>"
+    ).encode()
+    rec = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Age: 99999999999999999999\r\n"
+        b"Cache-Control: max-age=88888888888888888888\r\n\r\n" + body
+    )
+    batch = pa.table(
+        {
+            "url": pa.array(["http://evil.com/x"]),
+            "warc_ts": pa.array([0], pa.timestamp("ms")),
+            "html": pa.array([rec], pa.binary()),
+        }
+    )
+    out = parse_extract_batch(batch)
+    assert out.column("age")[0].as_py() == -1
+    assert out.column("max_age")[0].as_py() == -1
+    assert out.column("refresh_time")[0].as_py() == -1
+    assert out.column("text")[0].as_py() == "t hi"  # title text is part of extracted text

@@ -76,3 +76,25 @@ def test_rate_limiter_one_second_windows():
     # window rolls after >=1000 ms
     clk.advance(1000)
     assert rl.check_rate_limit(4096) == 1000
+
+
+def test_bandwidth_history_stall_clears_whole_ring():
+    """A stall reset must zero every ring slot: stale pre-stall samples
+    would otherwise be subtracted from freshly-zeroed totals on later
+    commits, corrupting (even negating) the speed calculation."""
+    clk = FakeClock()
+    h = BandwidthHistory(clock=clk)
+    for _ in range(3):  # commit 3 samples of 200ms / 1000 bytes
+        clk.advance(200)
+        h.update(1000)
+    assert h.total_bytes == 3000
+    clk.advance(5000)
+    h.update(0)  # stall -> full reset
+    assert h.stalled
+    # two post-stall commits walk over previously-stale slots
+    clk.advance(200)
+    h.update(500)
+    clk.advance(200)
+    h.update(500)
+    assert h.total_bytes == 1000 and h.total_time >= 0
+    assert h.calc_speed()["bytes_per_second"] > 0
