@@ -69,6 +69,18 @@ def _cmd_parse(args) -> int:
 
     from .stages.parse_extract import parse_extract_batch
 
+    if os.path.isdir(args.output) and any(
+        f.endswith(".parquet") for f in os.listdir(args.output)
+    ):
+        # write_parquet appends; stale files would both pollute the
+        # output dataset and inflate the footer-based count (ADVICE r2)
+        print(
+            f"error: output dir {args.output} already contains parquet files; "
+            "use a fresh directory",
+            file=sys.stderr,
+        )
+        ray.shutdown()
+        return 2
     ds = rd.read_parquet(args.input)
     docs = ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
     docs.write_parquet(args.output)

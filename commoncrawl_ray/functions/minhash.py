@@ -51,10 +51,13 @@ def _ngrams_hashed(text: str, n: int = 5) -> np.ndarray:
         return np.empty(0, np.uint64)
     wh = _hash_words(words)
     if len(words) < n:
-        # single shingle = combine of all words
-        h = np.uint64(0xCBF29CE484222325)
+        # single shingle = combine of all words. Fold in Python ints
+        # (mod 2^64) — uint64 scalar multiplies raise an overflow
+        # RuntimeWarning on every worker (VERDICT r2 #4).
+        h = 0xCBF29CE484222325
+        mix = int(_SHINGLE_MIX)
         for v in wh:
-            h = (h ^ v) * _SHINGLE_MIX
+            h = ((h ^ int(v)) * mix) & 0xFFFFFFFFFFFFFFFF
         return np.array([h], dtype=np.uint64)
     win = np.lib.stride_tricks.sliding_window_view(wh, n)
     # powers computed in Python ints (mod 2^64) — uint64 scalar multiplies

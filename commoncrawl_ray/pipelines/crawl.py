@@ -69,7 +69,7 @@ import ray
 import ray.data as rd
 
 from ..functions.fingerprint import fp64, fp64_batch
-from ..schemas import FETCH_LOG
+from ..schemas import FETCH_LOG, arrow_out
 from ..state.robots import RobotsCachePool, is_blocked
 from ..state.url_seen import ROUTING_SCHEME as _ROUTING_SCHEME
 from ..state.url_seen import UrlSeenPool
@@ -487,7 +487,7 @@ def dedup_candidates(candidates):
         return df[keep]
 
     return candidates.sort("url_fp").map_batches(
-        first_of_run, batch_format="pandas", batch_size=None
+        arrow_out(first_of_run), batch_format="pandas", batch_size=None
     )
 
 
@@ -761,6 +761,15 @@ def crawl(
                     f"({man.get('num_seen_partitions')}) and config "
                     f"({cfg.num_seen_partitions}); resume would misroute seen fps."
                 )
+            cfg_kind = getattr(cfg, "seen_filter_kind", "bloom")
+            ckpt_kind = man.get("seen_filter_kind", cfg_kind)
+            if ckpt_kind != cfg_kind:
+                raise ValueError(
+                    f"url_seen checkpoint was written with seen_filter_kind="
+                    f"{ckpt_kind!r} but this config uses {cfg_kind!r}; "
+                    "restoring the filter blob with the other class would "
+                    "misparse it (ADVICE r2). Re-crawl or keep the kind."
+                )
             seen_pool.restore(os.path.join(ckpt_dir, f"url_seen_{last}"))
             res.counters = man.get("all_counters", [])
 
@@ -839,13 +848,13 @@ def crawl(
                     # per-block non-top-budget rows deferred AT SOURCE,
                     # so the host shuffle moves <= budget*blocks rows
                     # per host regardless of mega-host skew
-                    make_combine_fn(budget, epoch, raw_log_dir, next_dir),
+                    arrow_out(make_combine_fn(budget, epoch, raw_log_dir, next_dir)),
                     batch_format="pandas",
                     batch_size=None,
                 )
                 .sort("host_fp")  # range shuffle: whole host groups per block
                 .map_batches(
-                    make_select_fn(budget, epoch, raw_log_dir, next_dir),
+                    arrow_out(make_select_fn(budget, epoch, raw_log_dir, next_dir)),
                     batch_format="pandas",
                     batch_size=None,
                 )
@@ -923,7 +932,9 @@ def crawl(
                         raw_files,
                         override_num_blocks=max(ncpu, log_rows_total // 262144 + 1),
                     )
-                    .map_batches(add_rank, batch_format="pandas", batch_size=None)
+                    .map_batches(
+                        arrow_out(add_rank), batch_format="pandas", batch_size=None
+                    )
                     .sort(
                         ["action_rank", "priority", "host_fp", "url_fp"],
                         descending=[False, True, False, False],
@@ -961,6 +972,7 @@ def crawl(
                 "all_counters": res.counters,
                 "num_seen_partitions": cfg.num_seen_partitions,
                 "seen_routing_scheme": _ROUTING_SCHEME,
+                "seen_filter_kind": getattr(cfg, "seen_filter_kind", "bloom"),
             },
         )
         res.seen_total = seen_total

@@ -90,3 +90,30 @@ FETCH_LOG = pa.schema(
 )
 
 URL_SEEN = pa.schema([("partition", pa.int32()), ("url_fp", pa.int64())])
+
+
+def df_to_arrow(df) -> pa.Table:
+    """pandas batch -> metadata-free Arrow table.
+
+    Every ``batch_format="pandas"`` map stage must return through this:
+    Ray's own pandas->Arrow conversion (``pa.Table.from_pandas``) embeds
+    the pandas metadata dict in the schema, which makes ``pa.Schema``
+    unhashable and spams Ray's "Failed to hash the schemas (for
+    deduplication)" warning from every downstream concat while defeating
+    its schema-dedup fast path (VERDICT r2 #4).
+    """
+    if isinstance(df, pa.Table):  # mixed-return fns (some paths Arrow)
+        return df.replace_schema_metadata(None)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def arrow_out(fn):
+    """Decorator: route a pandas-in/pandas-out batch fn through
+    :func:`df_to_arrow` so its blocks enter Ray metadata-free."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(df):
+        return df_to_arrow(fn(df))
+
+    return wrapped

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..schemas import arrow_out
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
@@ -69,9 +71,21 @@ def knn_ivf(
     import ray
     import ray.data as rd
 
-    # 1. fit the coarse quantizer on a bounded, deterministic sample
-    sample_rows = ds.limit(sample_size).to_pandas()
-    sample = np.array(list(sample_rows[vec_col]), dtype=np.float64)
+    from ..functions.vec import list_to_matrix
+
+    # 1. fit the coarse quantizer on a bounded, seeded, UNBIASED sample
+    # (VERDICT r2 #6 — ds.limit alone reads the first file's prefix, a
+    # biased sample at corpus scale). random_sample is a streaming
+    # per-row Bernoulli filter, no shuffle; the over-sampled fraction
+    # (2x) keeps the follow-up limit() from starving.
+    n_rows = ds.count()  # parquet metadata for file-backed inputs
+    if n_rows > sample_size:
+        frac = min(1.0, (2.0 * sample_size) / n_rows)
+        sample_ds = ds.random_sample(frac, seed=seed).limit(sample_size)
+    else:
+        sample_ds = ds.limit(sample_size)
+    sample_tbl = sample_ds.take_batch(sample_size, batch_format="pyarrow")
+    sample = list_to_matrix(sample_tbl.column(vec_col))
     centroids = kmeans_fit(sample, n_centroids, seed=seed)
 
     qn = _normalize(np.asarray(query_mat, dtype=np.float64))
@@ -86,8 +100,10 @@ def knn_ivf(
 
     def scan(batch: pa.Table) -> pa.Table:
         cent, q, mask = ray.get(shared)
+        from ..functions.vec import list_to_matrix
+
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(batch.column(vec_col))
         if len(mat) == 0:
             return pa.table(
                 {
@@ -147,5 +163,5 @@ def knn_ivf(
     return (
         ds.map_batches(scan, batch_format="pyarrow", batch_size=2048)
         .sort("query_id")
-        .map_batches(topk_block, batch_format="pandas", batch_size=None)
+        .map_batches(arrow_out(topk_block), batch_format="pandas", batch_size=None)
     )

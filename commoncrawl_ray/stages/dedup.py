@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.minhash import MinHasher, band_hashes, jaccard, ngram_set
+from ..schemas import arrow_out
 
 _DEFAULT_PERMS = 128
 _DEFAULT_BANDS = 32
@@ -207,7 +208,7 @@ def minhash_lsh_pairs(
         )
 
     cands = sigs.sort(["band_id", "band_hash"]).map_batches(
-        bucket_pairs, batch_format="pandas", batch_size=None
+        arrow_out(bucket_pairs), batch_format="pandas", batch_size=None
     )
 
     # distinct candidates BEFORE verify: a pair colliding in k bands
@@ -253,24 +254,36 @@ def minhash_lsh_pairs(
             }
         )
 
-    def attach(df: pd.DataFrame) -> pa.Table:
+    def attach(t: pa.Table) -> pa.Table:
         """Per sorted block: kind-0 rows carry sketches; each pair-half
         row picks up ITS OWN id's sketch. Output keyed by the
-        canonical (id_a, id_b) pair."""
-        halves = df[df["kind"] == 1]
+        canonical (id_a, id_b) pair.
+
+        Pure Arrow (ADVICE r2): a pandas conversion would turn the
+        null-on-sketch-rows int64 ``other`` column into float64 and
+        round pair ids above 2^53."""
+        import pyarrow.compute as pc
+
+        kind = t.column("kind")
+        halves = t.filter(pc.equal(kind, 1))
         if len(halves) == 0:
             return _HALF_SCHEMA.empty_table()
-        lut = df[df["kind"] == 0].set_index("key")["sketch"]
-        k = halves["key"].to_numpy()
-        o = halves["other"].to_numpy()
+        sk = t.filter(pc.equal(kind, 0))
+        # block is sorted by key => sketch keys stay sorted after filter
+        sk_keys = sk.column("key").to_numpy(zero_copy_only=False)
+        hk = halves.column("key").to_numpy(zero_copy_only=False)
+        ho = halves.column("other").to_numpy(zero_copy_only=False)  # no nulls on kind-1 rows
+        idx = np.searchsorted(sk_keys, hk)
+        if len(sk_keys) == 0 or (idx >= len(sk_keys)).any() or not (sk_keys[idx] == hk).all():
+            raise ValueError("candidate key missing its sketch row in sorted block")
+        sketches_col = sk.column("sketch").combine_chunks().take(
+            pa.array(idx, pa.int64())
+        )
         return pa.table(
             {
-                "id_a": pa.array(np.minimum(k, o), pa.int64()),
-                "id_b": pa.array(np.maximum(k, o), pa.int64()),
-                "sketch": pa.array(
-                    [np.asarray(s, dtype=np.int64) for s in halves["key"].map(lut)],
-                    pa.list_(pa.int64()),
-                ),
+                "id_a": pa.array(np.minimum(hk, ho), pa.int64()),
+                "id_b": pa.array(np.maximum(hk, ho), pa.int64()),
+                "sketch": sketches_col,
             }
         )
 
@@ -278,7 +291,7 @@ def minhash_lsh_pairs(
         sketches.union(cands.map_batches(pairs_as_half_rows, batch_format="pyarrow"))
         .sort("key")  # SINGLE key col: a composite sort key would let
         # range boundaries split a key group across blocks
-        .map_batches(attach, batch_format="pandas", batch_size=None)
+        .map_batches(attach, batch_format="pyarrow", batch_size=None)
     )
 
     # --- round 2 (pair-sized, tiny): co-locate the two halves of each
@@ -311,7 +324,7 @@ def minhash_lsh_pairs(
         )
 
     return halves.sort(["id_a", "id_b"]).map_batches(
-        verify, batch_format="pandas", batch_size=None
+        arrow_out(verify), batch_format="pandas", batch_size=None
     )
 
 
@@ -322,7 +335,7 @@ def ngram_jaccard_pairs(
     ngram: int = _NGRAM,
     threshold_num: int = 4,
     threshold_den: int = 5,
-    max_gram_docs: int | None = None,
+    max_gram_docs: int | None = 256,
 ):
     """EXACT word-n-gram Jaccard near-dup pairs via a distributed
     inverted shingle index (the classic set-similarity-join shape) —
@@ -340,9 +353,11 @@ def ngram_jaccard_pairs(
     Caveats (documented): gram identity is the 64-bit FNV shingle hash
     (collisions would miscount vs a string oracle; ~0 at any practical
     corpus size); a boilerplate gram shared by d docs emits d(d-1)/2
-    pairs — cap with ``max_gram_docs`` at web scale (cap => recall<1
-    for pairs only co-occurring in ultra-frequent grams, which a 0.8
-    threshold never needs; default None = exact)."""
+    pairs — ``max_gram_docs`` (default 256) skips ultra-frequent grams
+    so that never goes quadratic at web scale. The cap only loses
+    pairs whose EVERY shared gram is ultra-frequent, which a 0.8
+    threshold never needs; ``max_gram_docs=None`` opts into exact
+    mode (VERDICT r2 #7)."""
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         from ..functions.minhash import _ngrams_hashed
@@ -414,7 +429,7 @@ def ngram_jaccard_pairs(
     co = (
         ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=512)
         .sort("gram")
-        .map_batches(posting_pairs, batch_format="pandas", batch_size=None)
+        .map_batches(arrow_out(posting_pairs), batch_format="pandas", batch_size=None)
         .groupby(["id_a", "id_b"])
         .aggregate(
             Count(alias_name="inter"),
@@ -441,11 +456,23 @@ def ngram_jaccard_pairs(
     return co.map_batches(finalize, batch_format="pyarrow")
 
 
-def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+def simhash_near_dup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_docs: int | None = 4096,
+):
     """SimHash near-dup pairs: bucket by the 4 16-bit sub-bands (any
     pair within hamming<=3 of 64 bits shares at least one exact 16-bit
-    band by pigeonhole over 4 bands), verify hamming within buckets."""
-    from ..functions.simhash import hamming, simhash_text_batch
+    band by pigeonhole over 4 bands), verify hamming within buckets.
+
+    ``max_bucket_docs`` caps the quadratic verify inside one 16-bit
+    bucket (VERDICT r2 #2) — a bucket wider than the cap is skipped,
+    like ``max_gram_docs`` in ngram_jaccard_pairs. At 16-bit keys a
+    wide bucket means a boilerplate-dominated sub-band; ``None``
+    opts into exact mode."""
+    from ..functions.simhash import simhash_text_batch
 
     def add_sim(batch: pa.Table) -> pa.Table:
         sims = simhash_text_batch(batch.column(text_col).to_pylist())
@@ -487,22 +514,35 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
         starts, counts = _group_slices(band, key)
         a_out, b_out, h_out = [], [], []
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
-            gi, gs = ids[s : s + c], sims[s : s + c]
-            for i in range(c):
-                for j in range(i + 1, c):
-                    h = hamming(int(gs[i]), int(gs[j]))
-                    if h <= max_hamming:
-                        a_out.append(int(gi[i]))
-                        b_out.append(int(gi[j]))
-                        h_out.append(h)
+            if max_bucket_docs is not None and c > max_bucket_docs:
+                continue
+            gi = ids[s : s + c]
+            gs = np.ascontiguousarray(sims[s : s + c]).view(np.uint64)
+            iu, ju = np.triu_indices(int(c), k=1)
+            # vectorized hamming: XOR + unpackbits popcount (VERDICT r2 #2)
+            x = gs[iu] ^ gs[ju]
+            h = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+                axis=1, dtype=np.int64
+            )
+            hit = h <= max_hamming
+            if hit.any():
+                a_out.append(gi[iu[hit]])
+                b_out.append(gi[ju[hit]])
+                h_out.append(h[hit])
         if not a_out:
             return empty
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "hamming": np.concatenate(h_out),
+            }
+        )
 
     pairs = (
         ds.map_batches(add_sim, batch_format="pyarrow", batch_size=512)
         .sort(["band", "key"])
-        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
+        .map_batches(arrow_out(bucket_pairs), batch_format="pandas", batch_size=None)
     )
 
     # distinct pairs via vectorized hash aggregate (hamming identical
@@ -537,7 +577,9 @@ def embedding_lsh_neardup(
     planes = rs.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from ..functions.vec import list_to_matrix
+
+        mat = list_to_matrix(batch.column(vec_col))
         n = len(mat)
         ids = batch.column(id_col)
         tb_ids, tb_buckets, tb_vecs = [], [], []
@@ -563,20 +605,21 @@ def embedding_lsh_neardup(
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype=np.int64),
-                "id_b": pd.Series([], dtype=np.int64),
-                "sim": pd.Series([], dtype=np.float64),
-            }
-        )
-        if len(df) == 0:
+    _PAIR_SCHEMA = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        from ..functions.vec import list_to_matrix
+
+        empty = _PAIR_SCHEMA.empty_table()
+        if len(t) == 0:
             return empty
-        df = df.sort_values(["bucket", "id"], kind="mergesort")
-        buckets = df["bucket"].to_numpy()
-        ids = df["id"].to_numpy()
-        vecs = np.array(list(df["vec"]), dtype=np.float64)
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        vecs = list_to_matrix(t.column("vec"))
+        order = np.lexsort((ids, buckets))
+        buckets, ids, vecs = buckets[order], ids[order], vecs[order]
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1
         vecs = vecs / norms[:, None]
@@ -587,21 +630,26 @@ def embedding_lsh_neardup(
             sims = vecs[s : s + c] @ vecs[s : s + c].T
             iu, ju = np.triu_indices(int(c), k=1)
             hit = sims[iu, ju] > threshold
-            for i, j, v in zip(iu[hit], ju[hit], sims[iu[hit], ju[hit]]):
-                a, b = int(gi[i]), int(gi[j])
-                if a > b:
-                    a, b = b, a
-                a_out.append(a)
-                b_out.append(b)
-                s_out.append(round(float(v), 6))
+            if hit.any():
+                hi, hj = iu[hit], ju[hit]
+                va, vb = gi[hi], gi[hj]
+                a_out.append(np.minimum(va, vb))
+                b_out.append(np.maximum(va, vb))
+                s_out.append(np.round(sims[hi, hj], 6))
         if not a_out:
             return empty
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "sim": s_out})
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "sim": pa.array(np.concatenate(s_out), pa.float64()),
+            }
+        )
 
     pairs = (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=1024)
         .sort("bucket")
-        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
+        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
     )
     if n_tables == 1:
         return pairs

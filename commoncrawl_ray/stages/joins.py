@@ -22,7 +22,7 @@ time-range with a boundary fix-up pass.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 
 
@@ -65,52 +65,60 @@ def asof_join(left, right, by: str, on: str, right_cols: list, suffix: str = "_a
         cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols, schema=wire)
 
-    def merge_block(df: pd.DataFrame) -> pa.Table:
-        lefts = df[df["_side"] == 1]
+    def merge_block(t: pa.Table) -> pa.Table:
+        """Pure Arrow merge (ADVICE r2): a pandas conversion would turn
+        the null-carrying int64 wire columns into float64 and silently
+        round key/payload values above 2^53."""
+        import pyarrow.compute as pc
+
+        side = t.column("_side")
+        lefts = t.filter(pc.equal(side, 1))
         if len(lefts) == 0:
             return out_schema.empty_table()
-        rights = df[df["_side"] == 0]
-        out = lefts.drop(columns=["_side"]).copy()
-        if len(rights):
-            r = rights.sort_values([by, on], kind="mergesort")
-            rk = r[by].to_numpy()
-            rt = r[on].to_numpy()
-            lk = out[by].to_numpy()
-            lt = out[on].to_numpy()
-            # key ranges in the sorted right side
-            lo = np.searchsorted(rk, lk, side="left")
-            hi = np.searchsorted(rk, lk, side="right")
-            # strictly-preceding rank within [lo, hi): per-key arrays are
-            # ts-sorted, so one more searchsorted per UNIQUE key batch
-            idx = np.full(len(out), -1, dtype=np.int64)
-            order = np.argsort(lk, kind="mergesort")
-            pos = 0
-            while pos < len(order):
-                end = pos
-                k = lk[order[pos]]
-                while end < len(order) and lk[order[end]] == k:
-                    end += 1
-                sel = order[pos:end]
-                a, b = lo[sel[0]], hi[sel[0]]
-                if b > a:
-                    within = np.searchsorted(rt[a:b], lt[sel], side="left") - 1
-                    idx[sel] = np.where(within >= 0, a + within, -1)
-                pos = end
-            found = idx >= 0
-            for c, _typ in payload_fields:
-                src = r[c].to_numpy()
-                col = np.empty(len(out), dtype=object)
-                col[:] = None
-                col[found] = src[idx[found]]
-                out[c] = col
-        arrays = []
-        for name, typ in zip(out_schema.names, out_schema.types):
-            arrays.append(pa.array(out[name].to_numpy(), type=typ, from_pandas=True))
-        return pa.Table.from_arrays(arrays, schema=out_schema)
+        rights = t.filter(pc.equal(side, 0))
+        out_cols = {n: lefts.column(n) for n in left_names}
+        n_left = len(lefts)
+        if len(rights) == 0:
+            for c, typ in payload_fields:
+                out_cols[c] = pa.nulls(n_left, typ)
+            return pa.table(out_cols, schema=out_schema)
+        # by/on are never null on their own side — plain int64/datetime64
+        rk = rights.column(by).to_numpy(zero_copy_only=False)
+        rt = rights.column(on).to_numpy(zero_copy_only=False)
+        order_r = np.lexsort((rt, rk))
+        rk, rt = rk[order_r], rt[order_r]
+        lk = lefts.column(by).to_numpy(zero_copy_only=False)
+        lt = lefts.column(on).to_numpy(zero_copy_only=False)
+        # key ranges in the sorted right side
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        # strictly-preceding rank within [lo, hi): per-key arrays are
+        # ts-sorted, so one more searchsorted per UNIQUE key batch
+        idx = np.full(n_left, -1, dtype=np.int64)
+        order = np.argsort(lk, kind="mergesort")
+        pos = 0
+        while pos < len(order):
+            end = pos
+            k = lk[order[pos]]
+            while end < len(order) and lk[order[end]] == k:
+                end += 1
+            sel = order[pos:end]
+            a, b = lo[sel[0]], hi[sel[0]]
+            if b > a:
+                within = np.searchsorted(rt[a:b], lt[sel], side="left") - 1
+                idx[sel] = np.where(within >= 0, a + within, -1)
+            pos = end
+        found = idx >= 0
+        # Arrow take with a null mask: payload types (incl. full-range
+        # int64) never pass through float64
+        take_idx = pa.array(order_r[np.maximum(idx, 0)], mask=~found)
+        for c, _typ in payload_fields:
+            out_cols[c] = rights.column(c).combine_chunks().take(take_idx)
+        return pa.table(out_cols, schema=out_schema)
 
     wire_ds = left.map_batches(to_wire_left, batch_format="pyarrow").union(
         right.map_batches(to_wire_right, batch_format="pyarrow")
     )
     return wire_ds.sort(by).map_batches(
-        merge_block, batch_format="pandas", batch_size=None
+        merge_block, batch_format="pyarrow", batch_size=None
     )

@@ -317,3 +317,72 @@ def test_multimodal_audio_and_frames(ray_session):
     n_video = sum(1 for k in t.column("kind").to_pylist() if k == "video")
     assert len(frames) == 3 * n_video
     assert set(frames["frame_idx"]) == {0, 1, 2}
+
+
+def test_asof_join_int64_fullrange(ray_session):
+    """ADVICE r2: int64 keys/payloads above 2^53 must round-trip
+    exactly through the wire union (a pandas merge block would decay
+    null-carrying int64 columns to float64 and corrupt them)."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.joins import asof_join
+
+    big = 2**62 + 12345
+    left = rd.from_items(
+        [
+            {"k": big, "t": 100, "x": big + 7},
+            {"k": big, "t": 5, "x": big + 8},  # no preceding right row
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"k": big, "t": 50, "v": big + 1},
+            {"k": big, "t": 99, "v": big + 2},
+        ]
+    )
+    # read back as rows (a pandas frame would itself re-decay the
+    # nullable int64 result column to float64 and hide the fix)
+    rows = sorted(
+        asof_join(left, right, by="k", on="t", right_cols=["v"]).take_all(),
+        key=lambda r: r["t"],
+    )
+    assert [r["k"] for r in rows] == [big, big]
+    assert [r["x"] for r in rows] == [big + 8, big + 7]
+    assert rows[0]["v_asof"] is None
+    assert rows[1]["v_asof"] == big + 2
+
+
+def test_minhash_pair_ids_fullrange(ray_session):
+    """ADVICE r2: near-dup pair ids above 2^53 must survive the sketch
+    attach join without float rounding."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.dedup import minhash_lsh_pairs
+
+    a = 2**62 + 1001
+    b = 2**62 + 2003
+    text = " ".join(f"w{j}" for j in range(60))
+    ds = rd.from_items(
+        [
+            {"doc_id": a, "text": text},
+            {"doc_id": b, "text": text},
+            {"doc_id": 5, "text": "something entirely unrelated to the others here"},
+        ]
+    )
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.9).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(a, b)}
+    assert pairs["jaccard"].tolist() == [1.0]
+
+
+def test_simhash_bucket_cap(docs_ds):
+    """max_bucket_docs skips over-wide 16-bit buckets; a cap of 1
+    suppresses every pair, the default keeps them."""
+    from commoncrawl_ray.stages.dedup import simhash_near_dup
+
+    capped = simhash_near_dup(docs_ds, max_hamming=3, max_bucket_docs=1).to_pandas()
+    assert len(capped) == 0
+    full = simhash_near_dup(docs_ds, max_hamming=3, max_bucket_docs=None).to_pandas()
+    default = simhash_near_dup(docs_ds, max_hamming=3).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["hamming"]))
+    assert key(full) == key(default)
+    assert len(full) > 0
