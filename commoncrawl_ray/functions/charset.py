@@ -40,8 +40,74 @@ _META_PATTERN = re.compile(
 )
 _CHARSET_PATTERN = re.compile(r"charset=\s*([a-z][_\-0-9a-z]*)", re.IGNORECASE)
 
-# Alias table (subset of CharsetUtils.java:228+, mapped to Python codec
-# names). Keys must be lowercase.
+# Full alias table: data/charset_aliases.tsv carries the complete
+# 706-entry alias -> canonical map the reference embeds
+# (util/shared/CharsetUtils.java:228-940, ICU converter alias data);
+# loaded lazily once per worker. The inline map below is only a hot
+# fast-path for the overwhelmingly common web charsets and overrides
+# nothing (the TSV wins on conflicts by being consulted first for
+# names it knows).
+_ALIAS_TABLE: dict[str, str] | None = None
+
+# canonical ICU names Python lacks a same-named codec for, mapped to
+# the closest stdlib codec (same byte semantics)
+_CANON_EXTRAS = {
+    "x-ms950-hkscs": "big5hkscs",
+    "x-ibm33722": "euc_jp",
+    "x-ibm943": "cp932",
+    "x-ibm949": "cp949",
+    "x-ibm950": "big5",
+    "ibm-916": "iso-8859-8",
+    "x-windows-874": "cp874",
+    "x-ibm874": "cp874",
+    "x-windows-949": "cp949",
+}
+
+_IBM_NUM = re.compile(r"(?:x-)?ibm-?0*(\d+)$")
+
+
+def _load_alias_table() -> dict[str, str]:
+    global _ALIAS_TABLE
+    if _ALIAS_TABLE is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "data", "charset_aliases.tsv"
+        )
+        table: dict[str, str] = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#") or "\t" not in line:
+                    continue
+                alias, canonical = line.rstrip("\n").split("\t", 1)
+                table[alias] = canonical
+        _ALIAS_TABLE = table
+    return _ALIAS_TABLE
+
+
+def _canonical_to_codec(canonical: str) -> str | None:
+    """ICU canonical charset name -> Python codec name, or None when
+    the stdlib genuinely lacks it (EBCDIC national variants,
+    ISO-2022-CN, x-JISAutoDetect) — those fall to byte detection."""
+    import codecs
+
+    try:
+        return codecs.lookup(canonical).name
+    except LookupError:
+        pass
+    lc = canonical.lower()
+    if lc in _CANON_EXTRAS:
+        return _CANON_EXTRAS[lc]
+    m = _IBM_NUM.match(lc)
+    if m:
+        try:
+            return codecs.lookup("cp" + m.group(1)).name
+        except LookupError:
+            return None
+    return None
+
+
+# hot fast-path (python codec names, keys lowercase)
 _ALIASES = {
     "utf8": "utf-8",
     "utf-8": "utf-8",
@@ -262,9 +328,29 @@ def detect_charset(content: bytes) -> str | None:
 
 
 def resolve_alias(charset: str | None) -> str | None:
+    """Declared charset name -> Python codec name (or a lowered name
+    the caller's ``_codec_or_none`` will reject, falling to byte
+    detection). Resolution order: full reference alias table
+    (CharsetUtils.java:228-940 parity) -> inline fast-path -> the
+    name itself (codecs.lookup may still know it)."""
     if charset is None:
         return None
-    return _ALIASES.get(charset.lower(), charset.lower())
+    lc = charset.lower().strip()
+    canonical = _load_alias_table().get(lc)
+    if canonical is not None:
+        codec = _canonical_to_codec(canonical)
+        # unresolvable canonical (no stdlib codec): return the
+        # canonical name so decode falls through to detection
+        return codec if codec is not None else canonical.lower()
+    return _ALIASES.get(lc, lc)
+
+
+def _is_ascii(body: bytes) -> bool:
+    try:
+        body.decode("ascii")
+        return True
+    except UnicodeDecodeError:
+        return False
 
 
 def _codec_or_none(name: str | None):
@@ -317,7 +403,13 @@ def best_effort_decode_ex(
     codec = _codec_or_none(charset)
     if codec is None:
         detected = detect_charset(body)
-        codec = _codec_or_none(resolve_alias(detected))
+        if detected is None:
+            # detector's isAscii fast path reports nothing; the
+            # reference returns "ASCII" there (CharsetUtils.java:215)
+            if _is_ascii(body):
+                codec = "ascii"
+        else:
+            codec = _codec_or_none(resolve_alias(detected))
     if codec is None:
         return None, charset, declared, detected
     try:
