@@ -50,6 +50,8 @@ def quality_stats(text: str) -> dict:
     return {
         "n_chars": n_chars,
         "n_words": n_words,
+        "n_stop": n_stop,
+        "n_punct": n_punct,
         "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
         "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
         "mean_word_len": mean_word_len,

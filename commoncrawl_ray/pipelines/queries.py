@@ -1110,12 +1110,46 @@ LIMIT 50
 
 
 def q_text_quality(sf_dir: str):
-    """Quality + language scoring stage (actor pool)."""
+    """Quality scoring stage (actor pool), projected to its exact
+    INTEGER sub-scores so the whole stage is oracle-hash-checkable
+    (VERDICT r2 #10): word/stopword/punct/char/token counts straight
+    from the per-actor QualityStage kernels. The full output (float
+    ratios, quality_score, lang_pred, doc_fp) is pytest-golden-locked
+    in tests/test_stages.py — DuckDB can't mirror the lang-ID heuristic
+    or the rolling-hash fingerprint, and float round() semantics differ."""
     from ..stages.text_analysis import quality_stage
 
     return quality_stage(
         _pq(sf_dir, "documents", ["doc_id", "text", "lang"], min_blocks=32)
+    ).select_columns(
+        ["doc_id", "n_words", "n_chars", "n_stop", "n_punct", "tokens_ws", "tokens_bpeish"]
     )
+
+
+# punctuation set of textstats._PUNCT, SQL-escaped ('' = literal quote)
+_SQL_PUNCT = ".,;:!?''\"()[]{}-"
+_SQL_STOPWORDS = ",".join(
+    f"'{w}'"
+    for w in (
+        "the and of a to in is it that for on was with as be at by this have "
+        "from or an are not but had his they you which one all were her she"
+    ).split()
+)
+
+SQL_TEXT_QUALITY = f"""
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '\\S+')) AS n_words,
+  length(text) AS n_chars,
+  len(list_filter(
+        regexp_extract_all(lower(text), '\\S+'),
+        w -> trim(w, '{_SQL_PUNCT}') IN ({_SQL_STOPWORDS})
+  )) AS n_stop,
+  length(text) - length(translate(text, '{_SQL_PUNCT}', '')) AS n_punct,
+  len(regexp_extract_all(text, '\\S+')) AS tokens_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS tokens_bpeish
+FROM documents
+"""
 
 
 def q_text_stats(sf_dir: str):
@@ -1201,18 +1235,90 @@ def q_parse_extract(sf_dir: str):
     )
 
 
-def q_crawl_log(sf_dir: str):
-    """Small end-to-end crawl; returns the fetch log (crawl-order parity
-    vs the oracle asserted in tests/test_crawl_parity.py)."""
+# the exact deterministic column set the oracle crawler reproduces
+# row-for-row (priority excluded: float, not part of the parity set)
+_CRAWL_LOG_COLS = [
+    "epoch",
+    "seq",
+    "url_fp",
+    "host_fp",
+    "canon_url",
+    "action",
+    "http_status",
+    "depth",
+]
+_CRAWL_ORACLE_PATH = "/tmp/ccray_oracle_crawl_log.parquet"
+
+
+def _crawl_cfg():
+    from .common import CrawlConfig
+
+    return CrawlConfig(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=8)
+
+
+def ensure_crawl_oracle_table(path: str = _CRAWL_ORACLE_PATH) -> str:
+    """Materialize the single-process oracle crawler's fetch log as a
+    parquet file DuckDB's ``read_parquet`` can see, so crawl_log /
+    crawl_host_stats get a true value-hash oracle instead of a
+    rows-only check (VERDICT r2 #10). Called from
+    ``__ray_entry__.oracle_sql()`` (and idempotently from the crawl
+    queries) so the file exists whichever side the driver runs first.
+    Pure Python — no Ray session involved (~0.2 s at sf0.001)."""
+    import os
     import tempfile
 
-    from .common import CrawlConfig
+    import pyarrow.parquet as pqm
+
+    from .oracle import oracle_crawl
+
+    res = oracle_crawl(_crawl_cfg())
+    t = pa.table(
+        {
+            c: pa.array(
+                [r[c] for r in res.log],
+                pa.string() if c in ("canon_url", "action") else pa.int64(),
+            )
+            for c in _CRAWL_LOG_COLS
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    pqm.write_table(t, tmp)
+    os.replace(tmp, path)  # atomic: readers never see a partial file
+    return path
+
+
+SQL_CRAWL_LOG = f"""
+SELECT epoch, seq, url_fp, host_fp, canon_url, action, http_status, depth
+FROM read_parquet('{_CRAWL_ORACLE_PATH}')
+"""
+
+SQL_CRAWL_HOST_STATS = f"""
+SELECT host_fp,
+       COUNT(*) AS n_actions,
+       AVG(CAST(depth AS DOUBLE)) AS mean_depth,
+       MAX(seq) AS last_seq
+FROM read_parquet('{_CRAWL_ORACLE_PATH}')
+GROUP BY host_fp
+ORDER BY n_actions DESC, host_fp
+LIMIT 25
+"""
+
+
+def q_crawl_log(sf_dir: str):
+    """Small end-to-end crawl; returns the fetch log projected to the
+    deterministic parity columns (crawl-order parity vs the
+    single-process oracle asserted row-for-row in
+    tests/test_crawl_parity.py and hash-checked against the oracle
+    crawler's table via SQL_CRAWL_LOG)."""
+    import tempfile
+
     from .crawl import crawl
 
-    cfg = CrawlConfig(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=8)
+    ensure_crawl_oracle_table()
     with tempfile.TemporaryDirectory(prefix="cc_ray_crawl_") as ckpt:
-        res = crawl(cfg, ckpt)
-        return res.log_table()
+        res = crawl(_crawl_cfg(), ckpt)
+        return res.log_table().select(_CRAWL_LOG_COLS)
 
 
 def q_arc_roundtrip(sf_dir: str):
@@ -1282,13 +1388,12 @@ def q_crawl_host_stats(sf_dir: str):
 
     from ray.data.aggregate import Count, Max, Mean
 
-    from .common import CrawlConfig
     from .crawl import crawl
 
-    cfg = CrawlConfig(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=8)
+    ensure_crawl_oracle_table()
     ckpt = tempfile.mkdtemp(prefix="cc_ray_crawl_stats_")
     try:
-        res = crawl(cfg, ckpt)
+        res = crawl(_crawl_cfg(), ckpt)
         return (
             res.log_dataset()
             .groupby("host_fp")
@@ -1297,7 +1402,9 @@ def q_crawl_host_stats(sf_dir: str):
                 Mean("depth", alias_name="mean_depth"),
                 Max("seq", alias_name="last_seq"),
             )
-            .sort("n_actions", descending=True)
+            # host_fp tie-break => the 25-row cut is a total order (the
+            # SQL oracle must select the same SET under equal n_actions)
+            .sort(["n_actions", "host_fp"], descending=[True, False])
             .limit(25)
             .to_pandas()  # 25 rows; the log dirs can now be deleted
         )
@@ -1331,10 +1438,10 @@ REGISTRY: dict[str, tuple] = {
     "simhash_docs": (q_simhash_docs, None),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
-    "text_quality": (q_text_quality, None),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "parse_extract": (q_parse_extract, None),
-    "crawl_log": (q_crawl_log, None),
-    "crawl_host_stats": (q_crawl_host_stats, None),
+    "crawl_log": (q_crawl_log, SQL_CRAWL_LOG),
+    "crawl_host_stats": (q_crawl_host_stats, SQL_CRAWL_HOST_STATS),
     "arc_roundtrip": (q_arc_roundtrip, None),
 }

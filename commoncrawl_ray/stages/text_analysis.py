@@ -22,6 +22,9 @@ class QualityStage:
         texts = batch.column("text").to_pylist()
         n = len(texts)
         n_words = np.zeros(n, dtype=np.int64)
+        n_chars = np.zeros(n, dtype=np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        n_punct = np.zeros(n, dtype=np.int64)
         stop_ratio = np.zeros(n, dtype=np.float64)
         punct_ratio = np.zeros(n, dtype=np.float64)
         mean_wl = np.zeros(n, dtype=np.float64)
@@ -33,6 +36,9 @@ class QualityStage:
         for i, t in enumerate(texts):
             s = self.ts.quality_stats(t)
             n_words[i] = s["n_words"]
+            n_chars[i] = s["n_chars"]
+            n_stop[i] = s["n_stop"]
+            n_punct[i] = s["n_punct"]
             stop_ratio[i] = round(s["stopword_ratio"], 6)
             punct_ratio[i] = round(s["punct_ratio"], 6)
             mean_wl[i] = round(s["mean_word_len"], 6)
@@ -47,6 +53,9 @@ class QualityStage:
                 "lang": batch.column("lang"),
                 "lang_pred": pa.array(lang_pred, pa.string()),
                 "n_words": pa.array(n_words),
+                "n_chars": pa.array(n_chars),
+                "n_stop": pa.array(n_stop),
+                "n_punct": pa.array(n_punct),
                 "stopword_ratio": pa.array(stop_ratio),
                 "punct_ratio": pa.array(punct_ratio),
                 "mean_word_len": pa.array(mean_wl),
