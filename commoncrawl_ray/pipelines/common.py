@@ -34,6 +34,13 @@ class CrawlConfig:
     # (deletable; state/cuckoo.py). The exact per-partition set stays
     # authoritative either way, so this cannot change crawl parity.
     seen_filter_kind: str = "bloom"
+    # fetch backend: "sim" (synthetic web, pure function of the URL) or
+    # "http" (real sockets via stages/fetch_http.AsyncHttpFetcher; the
+    # record row contract is identical, so everything downstream —
+    # parse, link discovery, logging — is shared). http_opts are the
+    # AsyncHttpFetcher kwargs (timeouts, dns_override, max_in_flight).
+    fetch_kind: str = "sim"
+    http_opts: dict | None = None
 
     def priority_for_depth(self, depth: int) -> float:
         return 1.0 / (depth + 1)

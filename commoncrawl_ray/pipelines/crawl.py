@@ -285,18 +285,26 @@ def make_select_fn(budget: int, epoch: int, raw_log_dir: str, next_frontier_dir:
     return run
 
 
-def make_fetch_discover_fn(epoch: int, sf: float, seed: int, raw_log_dir: str):
+def make_fetch_discover_fn(
+    epoch: int,
+    sf: float,
+    seed: int,
+    raw_log_dir: str,
+    fetch_kind: str = "sim",
+    http_opts: dict | None = None,
+):
     """Fused fetch + parse + link-explosion over REBALANCED blocks of
-    selected rows: simulated fetch (the synthetic web is a pure
-    function of the URL; a real deployment swaps in an async HTTP
-    client with the same row contract), 'fetched' log side-write (the
-    only stage that knows http_status), then link
-    canonicalize+fingerprint straight into candidate rows (in-batch
-    combiner semantics of :func:`candidates_batch`).
+    selected rows: fetch (simulated synthetic web, or real sockets via
+    stages/fetch_http when ``fetch_kind="http"`` — same record row
+    contract either way), 'fetched' log side-write (the only stage
+    that knows http_status), then link canonicalize+fingerprint
+    straight into candidate rows (in-batch combiner semantics of
+    :func:`candidates_batch`).
 
-    The Universe is a cheap read-only structure cached per worker
-    process (``get_universe`` lru_cache — SURVEY §2.3 T1 pattern);
-    task-pool workers reuse it across batches AND epochs."""
+    The Universe / the AsyncHttpFetcher are cheap read-only structures
+    cached per worker process (``get_universe`` lru_cache /
+    ``get_fetcher`` — SURVEY §2.3 T1 pattern); task-pool workers reuse
+    them across batches AND epochs."""
 
     def run(batch: pa.Table) -> pa.Table:
         from ..sources.synth import get_universe
@@ -312,18 +320,28 @@ def make_fetch_discover_fn(epoch: int, sf: float, seed: int, raw_log_dir: str):
                     }
                 )
             )
-        uni = get_universe(sf, seed)
         urls = batch.column("canon_url").to_pylist()
         status = np.zeros(n, dtype=np.int16)
         links_col: list[list[str]] = []
-        for i, u in enumerate(urls):
-            rec = uni.synth_page(u)
-            if rec is None:
-                status[i] = 404
-                links_col.append([])
-            else:
-                status[i] = 200
-                links_col.append(discover_links(u, rec))
+        if fetch_kind == "http":
+            from ..stages.fetch_http import get_fetcher
+
+            results = get_fetcher(http_opts).fetch_many(urls)
+            for i, (u, (st, rec)) in enumerate(zip(urls, results)):
+                status[i] = st
+                links_col.append(
+                    discover_links(u, rec) if st == 200 and rec else []
+                )
+        else:
+            uni = get_universe(sf, seed)
+            for i, u in enumerate(urls):
+                rec = uni.synth_page(u)
+                if rec is None:
+                    status[i] = 404
+                    links_col.append([])
+                else:
+                    status[i] = 200
+                    links_col.append(discover_links(u, rec))
         df = batch.to_pandas()
         _side_write(
             _log_table(epoch, df, np.ones(n, dtype=bool), "fetched", status),
@@ -865,7 +883,14 @@ def crawl(
                 # selected set is budget*hosts light rows)
                 .repartition(n_part)
                 .map_batches(
-                    make_fetch_discover_fn(epoch, cfg.sf, cfg.seed, raw_log_dir),
+                    make_fetch_discover_fn(
+                        epoch,
+                        cfg.sf,
+                        cfg.seed,
+                        raw_log_dir,
+                        fetch_kind=cfg.fetch_kind,
+                        http_opts=cfg.http_opts,
+                    ),
                     batch_format="pyarrow",
                     batch_size=None,
                 )

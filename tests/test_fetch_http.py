@@ -1,0 +1,173 @@
+"""Loopback tests for the concrete async HTTP fetch client (VERDICT
+r2 #8): a raw in-process TCP server serves the synthetic universe's
+records byte-for-byte over real sockets, so the HTTP-fetched crawl can
+be asserted EQUAL to the simulated crawl (same records -> same parse,
+links, log, seen set). No external network involved."""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+
+import pytest
+
+from commoncrawl_ray.sources.synth import get_universe
+
+
+class _RawSynthHandler(socketserver.StreamRequestHandler):
+    """Serve ``uni.synth_page(http://<Host><path>)`` raw record bytes
+    (they already begin with an HTTP status line), preserving the
+    synth quirks — junk header lines, bare-LF terminators, truncated
+    gzip members — so the client sees production-grade mess."""
+
+    def handle(self):
+        lines = []
+        while True:
+            line = self.rfile.readline()
+            if not line or line in (b"\r\n", b"\n"):
+                break
+            lines.append(line)
+        if not lines:
+            return
+        try:
+            _method, path, _ver = lines[0].decode("latin-1").split()
+        except ValueError:
+            return
+        host = ""
+        for ln in lines[1:]:
+            k, sep, v = ln.decode("latin-1").partition(":")
+            if sep and k.strip().lower() == "host":
+                host = v.strip()
+        rec = self.server.universe.synth_page(f"http://{host}{path}")
+        try:
+            if rec is None:
+                self.wfile.write(
+                    b"HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n"
+                )
+            else:
+                self.wfile.write(rec)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+
+class _SynthServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+@pytest.fixture(scope="module")
+def synth_server():
+    uni = get_universe(0.001, 42)
+    srv = _SynthServer(("127.0.0.1", 0), _RawSynthHandler)
+    srv.universe = uni
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield uni, srv.server_address[1]
+    srv.shutdown()
+    srv.server_close()
+
+
+def _override(uni, port):
+    # '*' catch-all: the universe links to dead-link hosts outside
+    # uni.hosts; the loopback server 404s them like the sim does
+    return {"*": ("127.0.0.1", port)}
+
+
+def test_fetch_many_byte_parity(synth_server):
+    from commoncrawl_ray.stages.fetch_http import AsyncHttpFetcher
+
+    uni, port = synth_server
+    urls, want = [], []
+    for host in uni.hosts[:6]:
+        for k in range(min(4, uni.page_counts[host])):
+            u = uni.canon_page_url(host, k)
+            urls.append(u)
+            want.append(uni.synth_page(u))
+    urls.append(f"http://{uni.hosts[0]}/definitely-missing-xyz")
+    f = AsyncHttpFetcher(dns_override=_override(uni, port))
+    try:
+        res = f.fetch_many(urls)
+        for u, w, (st, rec) in zip(urls, want + [None], res):
+            if w is None:
+                assert st == 404
+            else:
+                assert st == 200, u
+                assert rec == w, u  # BYTE-identical record off the wire
+    finally:
+        f.close()
+
+
+def test_fetch_transport_failure_and_chunked(synth_server):
+    from commoncrawl_ray.stages.fetch_http import AsyncHttpFetcher
+
+    uni, port = synth_server
+    # connection refused -> status 0, empty record
+    f = AsyncHttpFetcher(
+        dns_override={"nobody.example": ("127.0.0.1", 1)}, connect_timeout=2.0
+    )
+    try:
+        ((st, rec),) = f.fetch_many(["http://nobody.example/"])
+        assert st == 0 and rec == b""
+    finally:
+        f.close()
+
+    # chunked transfer: spin a one-shot raw server speaking chunked
+    class _ChunkHandler(socketserver.StreamRequestHandler):
+        def handle(self):
+            while True:
+                line = self.rfile.readline()
+                if not line or line in (b"\r\n", b"\n"):
+                    break
+            self.wfile.write(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n"
+                b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+            )
+
+    srv = _SynthServer(("127.0.0.1", 0), _ChunkHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        f2 = AsyncHttpFetcher(
+            dns_override={"chunky.example": ("127.0.0.1", srv.server_address[1])}
+        )
+        try:
+            ((st, rec),) = f2.fetch_many(["http://chunky.example/x"])
+            assert st == 200
+            head, _, body = rec.partition(b"\r\n\r\n")
+            assert body == b"hello world"
+            assert b"transfer-encoding" not in head.lower()
+            assert b"Content-Length: 11" in head
+        finally:
+            f2.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_crawl_matches_sim_crawl(ray_session, synth_server, tmp_path_factory):
+    """The north-rule parity bar, over real sockets: fetch_kind='http'
+    against the loopback universe produces the exact fetch log and
+    URL-seen set of the simulated fetch."""
+    from commoncrawl_ray.pipelines.common import CrawlConfig
+    from commoncrawl_ray.pipelines.crawl import crawl
+
+    uni, port = synth_server
+    base = dict(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=4)
+    sim = crawl(
+        CrawlConfig(**base), str(tmp_path_factory.mktemp("sim_ckpt"))
+    )
+    http = crawl(
+        CrawlConfig(
+            **base,
+            fetch_kind="http",
+            http_opts={"dns_override": _override(uni, port)},
+        ),
+        str(tmp_path_factory.mktemp("http_ckpt")),
+    )
+    sim_log = sim.log_table().to_pylist()
+    http_log = http.log_table().to_pylist()
+    assert len(sim_log) == len(http_log)
+    for a, b in zip(sim_log, http_log):
+        assert a == b
+    assert sim.seen_table().to_pydict() == http.seen_table().to_pydict()
