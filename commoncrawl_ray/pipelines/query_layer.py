@@ -143,11 +143,86 @@ def _check_file_order(directory: str, files: list, primary_sort) -> None:
             )
 
 
+class QueryCancelled(Exception):
+    """Raised inside pipeline tasks when the controller's cancel flag
+    is set; surfaces on the driver as the query run's terminal state."""
+
+
+class QueryControl:
+    """Progress + cancellation surface of a running sharded query — the
+    analogue of the reference's per-query cancel flag and remote
+    progress aggregation (`query/Query.java:214-230`,
+    `cancelQuery`/`getPercentComplete`).
+
+    Backed by a zero-cpu Ray actor every pipeline worker probes
+    cooperatively (per batch, rate-limited): rows flow in as progress,
+    the cancel flag aborts the streaming job at the next probe. Cheap
+    at scale — one actor round-trip per worker per ``probe_interval``
+    seconds, not per batch.
+    """
+
+    def __init__(self, probe_interval: float = 0.5):
+        import ray
+
+        @ray.remote(num_cpus=0)
+        class _Ctl:
+            def __init__(self):
+                self._cancelled = False
+                self._rows = 0
+
+            def cancel(self):
+                self._cancelled = True
+
+            def add_rows(self, n: int) -> bool:
+                self._rows += int(n)
+                return self._cancelled
+
+            def snapshot(self):
+                return {"rows": self._rows, "cancelled": self._cancelled}
+
+        self._actor = _Ctl.remote()
+        self.probe_interval = probe_interval
+
+    def cancel(self) -> None:
+        import ray
+
+        ray.get(self._actor.cancel.remote())
+
+    def progress(self) -> dict:
+        import ray
+
+        return ray.get(self._actor.snapshot.remote())
+
+    def probe_fn(self):
+        """Identity ``map_batches`` stage reporting rows and honouring
+        cancel. Worker-local state rate-limits actor traffic."""
+        import time
+
+        import ray
+
+        actor = self._actor
+        interval = self.probe_interval
+        state = {"pending": 0, "last": 0.0}
+
+        def probe(t: pa.Table) -> pa.Table:
+            state["pending"] += t.num_rows
+            now = time.monotonic()
+            if now - state["last"] >= interval:
+                if ray.get(actor.add_rows.remote(state["pending"])):
+                    raise QueryCancelled("query cancelled by controller")
+                state["pending"] = 0
+                state["last"] = now
+            return t
+
+        return probe
+
+
 def run_query(
     query: ShardedQuery,
     body,
     cache_root: str = _DEFAULT_CACHE_ROOT,
     use_cache: bool = True,
+    control: QueryControl | None = None,
 ) -> QueryResultHandle:
     """Run (or serve from cache) a sharded query.
 
@@ -156,6 +231,11 @@ def run_query(
     the pagination manifest. A second call with the same
     (domain_id, params, sort_by) is a pure cache read — the analogue of
     `QueryController.runCacheQuery` (`query/QueryController.java:623`).
+
+    ``control`` (optional) attaches a :class:`QueryControl` probe stage
+    so the run reports row progress and honours ``control.cancel()``
+    (raising :class:`QueryCancelled`; the attempt dir is cleaned up and
+    no cache entry appears).
     """
     result_dir = os.path.join(cache_root, query.cache_fp())
     man_path = os.path.join(result_dir, "manifest.json")
@@ -164,6 +244,11 @@ def run_query(
             return QueryResultHandle(result_dir, json.load(f))
 
     ds = body()
+    if control is not None:
+        ds = ds.map_batches(
+            control.probe_fn(), batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
     if query.sort_by:
         cols = [c for c, _ in query.sort_by]
         desc = [d == "descending" for _, d in query.sort_by]
@@ -183,6 +268,12 @@ def run_query(
     exec_opts.preserve_order = True
     try:
         ds.write_parquet(attempt)
+    except Exception:
+        # cancelled or failed mid-write: no partial attempt dirs left
+        # behind (the reference deletes the attempt path on error,
+        # query/Query.java:246-260)
+        shutil.rmtree(attempt, ignore_errors=True)
+        raise
     finally:
         exec_opts.preserve_order = prev_preserve
 

@@ -114,3 +114,54 @@ def test_query_layer_cache_and_pagination(ray_session, tmp_path):
     q2 = ShardedQuery(domain_id="test_docs", params=SF_DIR + "#other", sort_by=q.sort_by)
     run_query(q2, body, cache_root=str(tmp_path))
     assert calls["n"] == 2
+
+
+def test_query_control_progress_and_cancel(ray_session, tmp_path):
+    """Query.java:214-230 parity surface: a running sharded query
+    reports row progress and honours cancel() mid-stream (no cache
+    entry, attempt dir cleaned)."""
+    import time
+
+    import ray.data as rd
+
+    from commoncrawl_ray.pipelines.query_layer import (
+        QueryCancelled,
+        QueryControl,
+        ShardedQuery,
+        run_query,
+    )
+
+    def slow_body():
+        def slow(t):
+            time.sleep(0.05)
+            return t
+
+        return rd.range(20_000, override_num_blocks=64).map_batches(
+            slow, batch_format="pyarrow", batch_size=512
+        )
+
+    # completed run reports full progress
+    ctl = QueryControl(probe_interval=0.0)
+    q = ShardedQuery("ctl.test", "complete", (("id", "ascending"),))
+    h = run_query(q, slow_body, cache_root=str(tmp_path), control=ctl)
+    assert h.total_rows == 20_000
+    snap = ctl.progress()
+    assert snap["rows"] >= 19_000  # tail batch may still be un-flushed
+    assert not snap["cancelled"]
+
+    # cancelled run aborts and leaves no cache entry
+    import threading
+
+    ctl2 = QueryControl(probe_interval=0.0)
+    q2 = ShardedQuery("ctl.test", "cancelled", (("id", "ascending"),))
+    threading.Timer(0.5, ctl2.cancel).start()
+    t0 = time.time()
+    with pytest.raises(Exception) as ei:
+        run_query(q2, slow_body, cache_root=str(tmp_path), control=ctl2)
+    wall = time.time() - t0
+    assert "QueryCancelled" in str(ei.value) or isinstance(ei.value, QueryCancelled)
+    assert wall < 30  # a full run at 64 blocks x 0.05s on 4 cpus takes far longer
+    assert ctl2.progress()["cancelled"]
+    # no cache entry for the cancelled query
+    h2_dir = [d for d in (tmp_path).iterdir() if q2.cache_fp() in d.name]
+    assert not any(d.name == q2.cache_fp() for d in h2_dir)
