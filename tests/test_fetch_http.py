@@ -171,3 +171,30 @@ def test_http_crawl_matches_sim_crawl(ray_session, synth_server, tmp_path_factor
     for a, b in zip(sim_log, http_log):
         assert a == b
     assert sim.seen_table().to_pydict() == http.seen_table().to_pydict()
+
+
+def test_http_fetch_stage_map_batches(ray_session, synth_server):
+    """HttpFetchStage as an actor-pool map_batches stage: appends
+    http_status + record columns; records byte-identical to synth."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.fetch_http import HttpFetchStage
+
+    uni, port = synth_server
+    urls = [
+        uni.canon_page_url(h, k)
+        for h in uni.hosts[:4]
+        for k in range(min(3, uni.page_counts[h]))
+    ]
+    ds = rd.from_items([{"canon_url": u} for u in urls]).map_batches(
+        HttpFetchStage,
+        fn_constructor_kwargs={"dns_override": {"*": ("127.0.0.1", port)}},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=8,
+    )
+    rows = {r["canon_url"]: r for r in ds.take_all()}
+    assert len(rows) == len(urls)
+    for u in urls:
+        assert rows[u]["http_status"] == 200
+        assert bytes(rows[u]["record"]) == uni.synth_page(u)
