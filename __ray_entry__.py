@@ -31,11 +31,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from commoncrawl_ray.pipelines.queries import REGISTRY, ensure_crawl_oracle_table
+    from commoncrawl_ray.pipelines.queries import REGISTRY, ensure_oracle_tables
 
-    # the crawl_log / crawl_host_stats oracles hash-check against the
-    # single-process oracle crawler's table; materialize it here (pure
-    # Python, ~0.2 s) so the read_parquet() in the SQL always resolves
-    # no matter which side the driver runs first
-    ensure_crawl_oracle_table()
+    # the crawl_log / crawl_host_stats / simhash_docs /
+    # minhash_lsh_dedup oracles hash-check against single-process
+    # oracle tables; materialize them here (pure Python, a few seconds)
+    # so the read_parquet() in the SQL always resolves no matter which
+    # side the driver runs first
+    ensure_oracle_tables()
     return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -932,8 +932,13 @@ def q_multimodal_features(sf_dir: str):
 
 
 def q_simhash_docs(sf_dir: str):
-    """SimHash per document (SURVEY A8)."""
+    """SimHash per document (SURVEY A8). Hash-checked against the
+    single-process SCALAR simhash oracle (oracle_sketch.py) — the
+    vectorized unpackbits kernel must match it bit for bit."""
     from ..functions.simhash import simhash_text_batch
+    from .oracle_sketch import oracle_simhash_table
+
+    oracle_simhash_table(sf_dir)
 
     def sh(batch: pa.Table) -> pa.Table:
         vals = simhash_text_batch(batch.column("text").to_pylist())
@@ -946,9 +951,13 @@ def q_simhash_docs(sf_dir: str):
 
 def q_minhash_lsh_dedup(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs verified by true Jaccard
-    (shingle→minhash→band→bucket-groupby→verify)."""
+    (shingle→minhash→band→bucket-groupby→verify). Hash-checked against
+    the single-process dict-bucket oracle (oracle_sketch.py), proving
+    the distributed band/sort/union-verify exchanges lose no pair."""
     from ..stages.dedup import minhash_lsh_pairs
+    from .oracle_sketch import oracle_minhash_pairs_table
 
+    oracle_minhash_pairs_table(sf_dir)
     return minhash_lsh_pairs(
         _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
         id_col="doc_id",
@@ -1305,6 +1314,29 @@ LIMIT 25
 """
 
 
+from .oracle_sketch import MINHASH_ORACLE_PATH, SIMHASH_ORACLE_PATH
+
+SQL_SIMHASH_DOCS = f"""
+SELECT doc_id, simhash FROM read_parquet('{SIMHASH_ORACLE_PATH}')
+"""
+
+SQL_MINHASH_LSH_DEDUP = f"""
+SELECT id_a, id_b, jaccard FROM read_parquet('{MINHASH_ORACLE_PATH}')
+"""
+
+
+def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Materialize every read_parquet-backed oracle table (crawl +
+    sketch) so ``__ray_entry__.oracle_sql()`` resolves no matter which
+    side the driver runs first. The driver's correctness harness runs
+    at sf0.01; callers at other scales pass their own sf_dir."""
+    from .oracle_sketch import oracle_minhash_pairs_table, oracle_simhash_table
+
+    ensure_crawl_oracle_table()
+    oracle_simhash_table(sf_dir)
+    oracle_minhash_pairs_table(sf_dir)
+
+
 def q_crawl_log(sf_dir: str):
     """Small end-to-end crawl; returns the fetch log projected to the
     deterministic parity columns (crawl-order parity vs the
@@ -1435,8 +1467,8 @@ REGISTRY: dict[str, tuple] = {
     "sharded_top_docs": (q_sharded_top_docs, SQL_SHARDED_TOP_DOCS),
     "knn_ivf": (q_knn_ivf, None),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
-    "simhash_docs": (q_simhash_docs, None),
-    "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
+    "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
