@@ -32,6 +32,8 @@ import pyarrow.parquet as pq
 
 SIMHASH_ORACLE_PATH = "/tmp/ccray_oracle_simhash.parquet"
 MINHASH_ORACLE_PATH = "/tmp/ccray_oracle_minhash_pairs.parquet"
+PARSE_ORACLE_PATH = "/tmp/ccray_oracle_parse_extract.parquet"
+ARC_ORACLE_PATH = "/tmp/ccray_oracle_arc_roundtrip.parquet"
 _M64 = (1 << 64) - 1
 
 
@@ -147,6 +149,107 @@ def oracle_minhash_pairs_table(
             "id_a": pa.array([r[0] for r in rows], pa.int64()),
             "id_b": pa.array([r[1] for r in rows], pa.int64()),
             "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    return _write_atomic(t, path, src_key)
+
+
+def _parse_projection(batch: pa.Table) -> pa.Table:
+    """The parse_extract registry projection (url, canon_url, url_fp,
+    http_status, mime_norm, digest_hex) — shared by query and oracle so
+    only the EXECUTION differs (distributed vs one process)."""
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "canon_url": batch.column("canon_url"),
+            "url_fp": batch.column("url_fp"),
+            "http_status": batch.column("http_status"),
+            "mime_norm": batch.column("mime_norm"),
+            "digest_hex": pa.array(
+                [
+                    d.hex() if d is not None else None
+                    for d in batch.column("text_digest").to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def oracle_parse_extract_table(sf_dir: str, path: str = PARSE_ORACLE_PATH) -> str:
+    """Single-process parse/extract over the SAME pages-cache parquet
+    the registered query reads: plain pyarrow batches through
+    ``parse_extract_batch`` in one thread. A value-hash match proves
+    the distributed map_batches plan neither drops, duplicates, nor
+    perturbs a row (~12 s once per scale; sidecar-cached)."""
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    pages_dir = pages_cache_dir(sf)
+    src_key = f"{os.path.abspath(sf_dir)}|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        # cache generation is Ray-parallel (the query path builds it the
+        # same way); a session is live in every caller context
+        from ..sources.synth import write_pages_parquet_ray
+
+        write_pages_parquet_ray(pages_dir, sf)
+    from ..stages.parse_extract import parse_extract_batch
+
+    src = pq.read_table(pages_dir)
+    parts = [
+        _parse_projection(parse_extract_batch(src.slice(off, 1024)))
+        for off in range(0, len(src), 1024)
+    ]
+    return _write_atomic(pa.concat_tables(parts), path, src_key)
+
+
+def oracle_arc_roundtrip_table(path: str = ARC_ORACLE_PATH) -> str:
+    """Oracle for the ARC round-trip query WITHOUT the ARC layer: build
+    the identical 160 pages straight from the synthetic universe and
+    parse them in-process. A value-hash match therefore proves the
+    gzip-member ARC write -> streaming read cycle is byte-lossless
+    (any header/payload corruption would shift http_status, mime_norm
+    or the text digest)."""
+    import hashlib
+
+    from ..sources.synth import get_universe
+    from ..stages.parse_extract import parse_extract_batch
+
+    src_key = "arc|0.001|42"
+    if _is_fresh(path, src_key):
+        return path
+    uni = get_universe(0.001, 42)
+    urls, tss, recs = [], [], []
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            urls.append(url)
+            tss.append(ts)
+            recs.append(rec)
+    parsed = parse_extract_batch(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("ms")),
+                "html": pa.array(recs, pa.binary()),
+            }
+        )
+    )
+    t = pa.table(
+        {
+            "url": parsed.column("url"),
+            "url_fp": parsed.column("url_fp"),
+            "http_status": parsed.column("http_status"),
+            "mime_norm": parsed.column("mime_norm"),
+            "digest_hex": pa.array(
+                [
+                    hashlib.md5((x or "").encode()).hexdigest()
+                    for x in parsed.column("text").to_pylist()
+                ],
+                pa.string(),
+            ),
         }
     )
     return _write_atomic(t, path, src_key)

@@ -1210,38 +1210,27 @@ FROM documents
 
 def q_parse_extract(sf_dir: str):
     """The flagship parse/extract pipeline over the engine's own pages
-    universe at a matching scale (input_hint shape). Rows-only for the
-    driver; byte-parity asserted in tests/test_parse_stage.py."""
+    universe at a matching scale (input_hint shape). Hash-checked
+    against the single-process application of the same kernel
+    (oracle_sketch.oracle_parse_extract_table — proves the distributed
+    plan loses/duplicates/perturbs no row); byte-parity of the kernel
+    itself is asserted in tests/test_parse_stage.py."""
     import os
 
     from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from .oracle_sketch import _parse_projection, oracle_parse_extract_table
 
     sf = min(sf_from_dir(sf_dir), 0.01)
     path = pages_cache_dir(sf)
     if not os.path.isdir(path) or not os.listdir(path):
         write_pages_parquet_ray(path, sf)
+    oracle_parse_extract_table(sf_dir)
     from ..stages.parse_extract import parse_extract_batch
 
     ds = rd.read_parquet(path)
-    return (
-        ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "url": b.column("url"),
-                    "canon_url": b.column("canon_url"),
-                    "url_fp": b.column("url_fp"),
-                    "http_status": b.column("http_status"),
-                    "mime_norm": b.column("mime_norm"),
-                    "digest_hex": pa.array(
-                        [d.hex() if d is not None else None for d in b.column("text_digest").to_pylist()],
-                        pa.string(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    return ds.map_batches(
+        parse_extract_batch, batch_format="pyarrow", batch_size=256
+    ).map_batches(_parse_projection, batch_format="pyarrow")
 
 
 # the exact deterministic column set the oracle crawler reproduces
@@ -1314,7 +1303,12 @@ LIMIT 25
 """
 
 
-from .oracle_sketch import MINHASH_ORACLE_PATH, SIMHASH_ORACLE_PATH
+from .oracle_sketch import (
+    ARC_ORACLE_PATH,
+    MINHASH_ORACLE_PATH,
+    PARSE_ORACLE_PATH,
+    SIMHASH_ORACLE_PATH,
+)
 
 SQL_SIMHASH_DOCS = f"""
 SELECT doc_id, simhash FROM read_parquet('{SIMHASH_ORACLE_PATH}')
@@ -1324,17 +1318,35 @@ SQL_MINHASH_LSH_DEDUP = f"""
 SELECT id_a, id_b, jaccard FROM read_parquet('{MINHASH_ORACLE_PATH}')
 """
 
+SQL_PARSE_EXTRACT = f"""
+SELECT url, canon_url, url_fp, http_status, mime_norm, digest_hex
+FROM read_parquet('{PARSE_ORACLE_PATH}')
+"""
+
+SQL_ARC_ROUNDTRIP = f"""
+SELECT url, url_fp, http_status, mime_norm, digest_hex
+FROM read_parquet('{ARC_ORACLE_PATH}')
+"""
+
 
 def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     """Materialize every read_parquet-backed oracle table (crawl +
-    sketch) so ``__ray_entry__.oracle_sql()`` resolves no matter which
-    side the driver runs first. The driver's correctness harness runs
-    at sf0.01; callers at other scales pass their own sf_dir."""
-    from .oracle_sketch import oracle_minhash_pairs_table, oracle_simhash_table
+    sketch + parse + arc) so ``__ray_entry__.oracle_sql()`` resolves no
+    matter which side the driver runs first. The driver's correctness
+    harness runs at sf0.01; callers at other scales pass their own
+    sf_dir."""
+    from .oracle_sketch import (
+        oracle_arc_roundtrip_table,
+        oracle_minhash_pairs_table,
+        oracle_parse_extract_table,
+        oracle_simhash_table,
+    )
 
     ensure_crawl_oracle_table()
     oracle_simhash_table(sf_dir)
     oracle_minhash_pairs_table(sf_dir)
+    oracle_parse_extract_table(sf_dir)
+    oracle_arc_roundtrip_table()
 
 
 def q_crawl_log(sf_dir: str):
@@ -1366,7 +1378,9 @@ def q_arc_roundtrip(sf_dir: str):
     from ..sources.arc import read_arc_pages, write_arc
     from ..sources.synth import get_universe
     from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_arc_roundtrip_table
 
+    oracle_arc_roundtrip_table()
     uni = get_universe(0.001, 42)
     rows = []
     for host in uni.hosts[:8]:
@@ -1472,8 +1486,8 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "parse_extract": (q_parse_extract, None),
+    "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "crawl_log": (q_crawl_log, SQL_CRAWL_LOG),
     "crawl_host_stats": (q_crawl_host_stats, SQL_CRAWL_HOST_STATS),
-    "arc_roundtrip": (q_arc_roundtrip, None),
+    "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
 }

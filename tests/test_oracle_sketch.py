@@ -32,6 +32,20 @@ def test_minhash_lsh_matches_dict_oracle(ray_session):
     assert _cmp(q_minhash_lsh_dedup(SF), SQL_MINHASH_LSH_DEDUP) > 0
 
 
+def test_parse_extract_matches_single_process_oracle(ray_session):
+    from commoncrawl_ray.pipelines.queries import SQL_PARSE_EXTRACT, q_parse_extract
+
+    assert _cmp(q_parse_extract(SF), SQL_PARSE_EXTRACT) == 1975
+
+
+def test_arc_roundtrip_matches_no_arc_oracle(ray_session):
+    """The oracle path never touches the ARC layer, so equality proves
+    the gzip-member write -> streaming read cycle is lossless."""
+    from commoncrawl_ray.pipelines.queries import SQL_ARC_ROUNDTRIP, q_arc_roundtrip
+
+    assert _cmp(q_arc_roundtrip(SF), SQL_ARC_ROUNDTRIP) == 160
+
+
 def test_oracle_tables_rebuild_on_sf_change(tmp_path):
     """The sidecar invalidation: same sf_dir -> no rebuild (mtime
     stable); different sf_dir -> rebuilt."""
