@@ -1458,6 +1458,146 @@ def q_crawl_host_stats(sf_dir: str):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+# --------------------------------------------------------------------
+# distributed sort-merge equi-join / grouped top-k / LLM-prep composite
+# --------------------------------------------------------------------
+
+
+def q_orders_customer_join(sf_dir: str):
+    """General distributed equi-join (stages/joins.merge_join): every
+    order picks up its customer's segment + nation via ONE union +
+    sort(custkey) exchange — no driver materialization, no pandas
+    float64 decay on int64 keys."""
+    from ..stages.joins import merge_join
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+    return merge_join(
+        orders,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        right_cols=["c_mktsegment", "c_nationkey"],
+        how="inner",
+    )
+
+
+SQL_ORDERS_CUSTOMER_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k window rank (stages/rank.grouped_topk): the 3
+    longest documents per language, rank 1-based, doc_id tiebreak."""
+    from ..stages.rank import grouped_topk
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_topk(
+        docs, group_col="lang", order_col="n_chars", k=3, tiebreak_col="doc_id"
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT doc_id, lang, n_chars, rank FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
+
+def q_llm_prep(sf_dir: str):
+    """The headline LLM training-data prep composite, one streaming
+    pipeline: quality gate (>= 20 words) -> exact dedup (keep the
+    lowest doc_id per identical text) -> token counts. Every stage is
+    the engine's own operator (text_stats kernels, md5 exact-dedup
+    discipline, Arrow token counting); output is the per-surviving-doc
+    (doc_id, lang, n_words, tokens_bpeish) manifest."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = pc.count_substring_regex(text, pattern=r"\S+")
+        keep = pc.greater_equal(n_words, 20)
+        batch = batch.append_column("n_words", n_words.cast(pa.int64()))
+        batch = batch.filter(keep)
+        return batch.append_column(
+            "text_hash",
+            pa.array(
+                [
+                    hashlib.md5((t or "").encode()).hexdigest()
+                    for t in batch.column("text").to_pylist()
+                ],
+                pa.string(),
+            ),
+        )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"], min_blocks=16)
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    keepers = scored.groupby("text_hash").aggregate(Min("doc_id", alias_name="keeper"))
+
+    # co-partition scored rows with their hash's keeper id: the same
+    # single-key union+sort discipline as every join in this repo
+    from ..stages.joins import merge_join
+
+    joined = merge_join(
+        scored.select_columns(["doc_id", "lang", "n_words", "text", "text_hash"]),
+        keepers,
+        left_on="text_hash",
+        right_on="text_hash",
+        right_cols=["keeper"],
+        how="inner",
+    )
+    survivors = joined.filter(
+        expr="doc_id == keeper"
+    ).select_columns(["doc_id", "lang", "n_words", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        bpeish = pc.count_substring_regex(
+            text, pattern=r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_words": batch.column("n_words"),
+                "tokens_bpeish": bpeish.cast(pa.int64()),
+            }
+        )
+
+    return survivors.map_batches(tokens, batch_format="pyarrow")
+
+
+SQL_LLM_PREP = r"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         md5(text) AS text_hash
+  FROM documents
+),
+gated AS (SELECT * FROM scored WHERE n_words >= 20),
+keepers AS (
+  SELECT text_hash, MIN(doc_id) AS keeper FROM gated GROUP BY text_hash
+)
+SELECT g.doc_id,
+       g.lang,
+       CAST(g.n_words AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(g.text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+            AS BIGINT) AS tokens_bpeish
+FROM gated g JOIN keepers k
+  ON g.text_hash = k.text_hash AND g.doc_id = k.keeper
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -1472,6 +1612,9 @@ REGISTRY: dict[str, tuple] = {
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "multimodal_features": (q_multimodal_features, None),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
+    "orders_customer_join": (q_orders_customer_join, SQL_ORDERS_CUSTOMER_JOIN),
+    "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),
+    "llm_prep": (q_llm_prep, SQL_LLM_PREP),
     "suppliers_by_region": (q_suppliers_by_region, SQL_SUPPLIERS_BY_REGION),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "lineitem_filter": (q_lineitem_filter, SQL_LINEITEM_FILTER),

@@ -1,0 +1,92 @@
+"""merge_join (stages/joins.py) and grouped_topk (stages/rank.py)
+operator semantics: row expansion, left-join null payloads, int64
+range preservation, per-group ranking."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+BIG = (1 << 62) + 12345  # would corrupt through a float64 decay
+
+
+def _left():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+                "lv": pa.array([10, 11, 20, BIG], pa.int64()),
+            }
+        )
+    )
+
+
+def _right():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 2, 2, 4], pa.int64()),
+                "pay": pa.array([BIG, 200, 201, 400], pa.int64()),
+            }
+        )
+    )
+
+
+def test_merge_join_inner_expands_and_preserves_int64(ray_session):
+    from commoncrawl_ray.stages.joins import merge_join
+
+    out = merge_join(_left(), _right(), "k", "rk", ["pay"], how="inner")
+    rows = sorted((r["k"], r["lv"], r["pay"]) for r in out.take_all())
+    # k=1: two left rows x one right; k=2: one left x two rights; k=3 dropped
+    assert rows == [(1, 10, BIG), (1, 11, BIG), (2, 20, 200), (2, 20, 201)]
+
+
+def test_merge_join_left_keeps_unmatched_with_nulls(ray_session):
+    from commoncrawl_ray.stages.joins import merge_join
+
+    out = merge_join(_left(), _right(), "k", "rk", ["pay"], how="left")
+    rows = sorted((r["k"], r["lv"], r["pay"]) for r in out.take_all())
+    assert (3, BIG, None) in rows and len(rows) == 5
+
+
+def test_merge_join_suffix_and_collision(ray_session):
+    import pytest
+
+    from commoncrawl_ray.stages.joins import merge_join
+
+    with pytest.raises(ValueError):
+        merge_join(_left(), _right().map_batches(
+            lambda b: b.rename_columns(["rk", "lv"]), batch_format="pyarrow"
+        ), "k", "rk", ["lv"])
+    out = merge_join(
+        _left(),
+        _right().map_batches(
+            lambda b: b.rename_columns(["rk", "lv"]), batch_format="pyarrow"
+        ),
+        "k",
+        "rk",
+        ["lv"],
+        suffix="_r",
+    )
+    assert "lv_r" in out.schema().names
+
+
+def test_grouped_topk_ranks_and_caps(ray_session):
+    from commoncrawl_ray.stages.rank import grouped_topk
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+            "v": pa.array([5, 3, 9, 9, 1, 7, 7], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        }
+    )
+    out = grouped_topk(rd.from_arrow(t), "g", "v", 3, "id")
+    rows = sorted((r["g"], r["rank"], r["id"], r["v"]) for r in out.take_all())
+    # group a: v desc -> ids 3(9),4(9 tie by id),1(5); group b keeps both (k>size)
+    assert rows == [
+        ("a", 1, 3, 9),
+        ("a", 2, 4, 9),
+        ("a", 3, 1, 5),
+        ("b", 1, 6, 7),
+        ("b", 2, 7, 7),
+    ]
