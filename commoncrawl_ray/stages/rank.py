@@ -6,16 +6,19 @@ The reference's sorted+indexed pagination (``query/Query.java:214+``,
 the per-GROUP variant a training-data pipeline needs (best k docs per
 language / per host / per domain).
 
-Shape: ONE all-to-all exchange — sort by the single group key (the
-union+sort co-partition discipline of stages/joins.py; equal keys
-never split across blocks), then a vectorized per-block lexsort ranks
-every group at once. No per-group Python beyond slice bookkeeping, no
-driver materialization.
+Shape: a per-block PARTIAL top-k combine first (top-k of a union of
+per-block top-k's is the global top-k, so only <= k rows per group per
+block enter the exchange — the pre-shuffle combiner discipline of
+``pipelines/crawl.py``'s budget combiner), then ONE all-to-all
+exchange — sort by the single group key (equal keys never split across
+blocks; stages/joins.py discipline) — then a vectorized per-block
+lexsort ranks every group at once. No per-group Python beyond slice
+bookkeeping, no driver materialization.
 
-Partitioning assumption (custom-operator rule): all rows of one group
-fit in one sort block. Groups are languages/hosts — bounded — not
-timestamps; a mega-group would need a per-block partial top-k combine
-(keep k per block keyed by (group, salt)) before the exchange.
+Partitioning assumption (custom-operator rule): <= k * num_blocks rows
+per group fit in one sort block after the combine — true for any k and
+block count this engine runs; a pathological k would need a tree
+combine (repeat the partial stage on repartitioned output).
 """
 
 from __future__ import annotations
@@ -24,37 +27,69 @@ import numpy as np
 import pyarrow as pa
 
 
-def grouped_topk(ds, group_col: str, order_col: str, k: int, tiebreak_col: str, descending: bool = True):
+def _topk_indices(
+    t: pa.Table, group_col: str, order_col: str, k: int, tiebreak_col: str, descending: bool
+):
+    """(take_indices, ranks) of the per-group top-k rows of one block."""
+    g = t.column(group_col).to_numpy(zero_copy_only=False)
+    v = t.column(order_col).to_numpy(zero_copy_only=False)
+    tb = t.column(tiebreak_col).to_numpy(zero_copy_only=False)
+    if descending:
+        if not np.issubdtype(v.dtype, np.number):
+            raise TypeError(
+                f"descending grouped_topk needs a numeric order column, got {v.dtype}"
+            )
+        v = -v
+    # one lexsort ranks every group in the block: (group, value, tie)
+    order = np.lexsort((tb, v, g))
+    g_s = g[order]
+    new_run = np.r_[True, g_s[1:] != g_s[:-1]]
+    starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    rank = np.arange(len(g_s)) - starts[run_id] + 1
+    keep = rank <= k
+    return order[keep], rank[keep]
+
+
+def grouped_topk(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+    pre_combine: bool = True,
+):
     """Keep the top ``k`` rows per ``group_col`` ordered by
     ``order_col`` (desc by default), ties broken by ascending
     ``tiebreak_col`` (must be unique within a group for deterministic
-    output). Appends an int64 ``rank`` column (1-based)."""
+    output). Appends an int64 ``rank`` column (1-based).
+
+    ``pre_combine=False`` skips the pre-shuffle partial top-k (used by
+    tests to prove the combine changes nothing; at scale leave it on —
+    it bounds exchange volume by k * groups * blocks instead of n)."""
     schema = ds.schema()
     out_schema = pa.schema(
         list(zip(schema.names, schema.types)) + [("rank", pa.int64())]
     )
 
-    def topk_block(t: pa.Table) -> pa.Table:
+    def partial_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        take, _rank = _topk_indices(t, group_col, order_col, k, tiebreak_col, descending)
+        return t.take(pa.array(np.sort(take), pa.int64()))
+
+    def final_block(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return out_schema.empty_table()
-        g = t.column(group_col).to_numpy(zero_copy_only=False)
-        v = t.column(order_col).to_numpy(zero_copy_only=False)
-        tb = t.column(tiebreak_col).to_numpy(zero_copy_only=False)
-        if descending:
-            v = -v if np.issubdtype(v.dtype, np.number) else v
-        # one lexsort ranks every group in the block: (group, value, tie)
-        order = np.lexsort((tb, v, g))
-        g_s = g[order]
-        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
-        # rank within group = position - start of its group's run
-        run_id = np.cumsum(np.r_[True, g_s[1:] != g_s[:-1]]) - 1
-        rank = np.arange(len(g_s)) - starts[run_id] + 1
-        keep = rank <= k
-        take = pa.array(order[keep], pa.int64())
-        cols = {n: t.column(n).combine_chunks().take(take) for n in schema.names}
-        cols["rank"] = pa.array(rank[keep].astype(np.int64))
+        take, rank = _topk_indices(t, group_col, order_col, k, tiebreak_col, descending)
+        idx = pa.array(take, pa.int64())
+        cols = {n: t.column(n).combine_chunks().take(idx) for n in schema.names}
+        cols["rank"] = pa.array(rank.astype(np.int64))
         return pa.table(cols, schema=out_schema)
 
+    if pre_combine:
+        ds = ds.map_batches(partial_block, batch_format="pyarrow")
     return ds.sort(group_col).map_batches(
-        topk_block, batch_format="pyarrow", batch_size=None
+        final_block, batch_format="pyarrow", batch_size=None
     )

@@ -90,3 +90,40 @@ def test_grouped_topk_ranks_and_caps(ray_session):
         ("b", 1, 6, 7),
         ("b", 2, 7, 7),
     ]
+
+
+def test_grouped_topk_pre_combine_is_invisible(ray_session):
+    """Partial per-block top-k before the exchange must not change the
+    result even when each input block holds only a slice of a group."""
+    import numpy as np
+
+    from commoncrawl_ray.stages.rank import grouped_topk
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    t = pa.table(
+        {
+            "g": pa.array((rng.randint(0, 20, n)).astype("int64")),
+            "v": pa.array(rng.randint(0, 1000, n).astype("int64")),
+            "id": pa.array(np.arange(n, dtype="int64")),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    a = sorted(map(tuple, (r.values() for r in grouped_topk(ds, "g", "v", 5, "id").take_all())))
+    b = sorted(map(tuple, (r.values() for r in grouped_topk(ds, "g", "v", 5, "id", pre_combine=False).take_all())))
+    assert a == b and len(a) == 100
+
+
+def test_grouped_topk_ascending(ray_session):
+    from commoncrawl_ray.stages.rank import grouped_topk
+
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * 3, pa.string()),
+            "v": pa.array([3, 1, 2], pa.int64()),
+            "id": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = grouped_topk(rd.from_arrow(t), "g", "v", 2, "id", descending=False)
+    rows = sorted((r["rank"], r["v"]) for r in out.take_all())
+    assert rows == [(1, 1), (2, 2)]
