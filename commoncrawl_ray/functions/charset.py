@@ -399,8 +399,14 @@ def best_effort_decode_ex(
             charset = detected if detected is not None else "ascii"
     if charset is None:
         return None, None, declared, detected
-    charset = resolve_alias(charset)
-    codec = _codec_or_none(charset)
+    if detected is not None:
+        # detector verdicts are Python codec names by construction —
+        # do NOT route them through the DECLARED-charset alias table
+        # (which maps e.g. euc-jp -> JISAutoDetect, a Java-only codec)
+        codec = _codec_or_none(detected)
+    else:
+        charset = resolve_alias(charset)
+        codec = _codec_or_none(charset)
     if codec is None:
         detected = detect_charset(body)
         if detected is None:
@@ -409,7 +415,7 @@ def best_effort_decode_ex(
             if _is_ascii(body):
                 codec = "ascii"
         else:
-            codec = _codec_or_none(resolve_alias(detected))
+            codec = _codec_or_none(detected)
     if codec is None:
         return None, charset, declared, detected
     try:

@@ -1598,6 +1598,42 @@ FROM gated g JOIN keepers k
 """
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash+LSH verified pairs -> distributed
+    connected components (stages/components.py min-label propagation).
+    Dedup keeps one doc per component, not per pair — a∼b, b∼c must
+    collapse {a,b,c}. Hash-checked against a DuckDB recursive-CTE
+    transitive closure over the minhash oracle's pair table."""
+    from ..stages.components import connected_components
+    from ..stages.dedup import minhash_lsh_pairs
+    from .oracle_sketch import oracle_minhash_pairs_table
+
+    oracle_minhash_pairs_table(sf_dir)
+    pairs = minhash_lsh_pairs(
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
+        id_col="doc_id",
+        text_col="text",
+    )
+    return connected_components(pairs)
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM read_parquet('{MINHASH_ORACLE_PATH}')
+  UNION
+  SELECT id_b AS u, id_a AS v FROM read_parquet('{MINHASH_ORACLE_PATH}')
+),
+walk(u, label) AS (
+    SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+    SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+)
+SELECT u AS doc_id, CAST(MIN(label) AS BIGINT) AS component_id
+FROM walk GROUP BY u
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -1626,6 +1662,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -88,8 +88,11 @@ def test_extract_record_total(b):
 def test_detect_charset_total(b):
     """Detector totality: any byte string yields None or a resolvable
     codec name, never an exception (nsDetector contract)."""
-    from commoncrawl_ray.functions.charset import _codec_or_none, detect_charset, resolve_alias
+    from commoncrawl_ray.functions.charset import _codec_or_none, detect_charset
 
     got = detect_charset(b)
     if got is not None:
-        assert _codec_or_none(resolve_alias(got)) is not None
+        # detector verdicts are codec names DIRECTLY — the declared-
+        # charset alias table may map them elsewhere (euc-jp ->
+        # JISAutoDetect) and must not sit on the detection path
+        assert _codec_or_none(got) is not None

@@ -1,0 +1,67 @@
+"""connected_components (stages/components.py): known graphs plus a
+randomized cross-check against a plain union-find."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _cc(pairs_table, **kw):
+    from commoncrawl_ray.stages.components import connected_components
+
+    out = connected_components(rd.from_arrow(pairs_table), **kw)
+    return {r["doc_id"]: r["component_id"] for r in out.take_all()}
+
+
+def test_chain_and_island(ray_session):
+    t = pa.table(
+        {
+            "id_a": pa.array([1, 2, 10], pa.int64()),
+            "id_b": pa.array([2, 3, 11], pa.int64()),
+        }
+    )
+    assert _cc(t) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(ray_session):
+    """A 40-node path needs many propagation rounds — exercises the
+    sum-fixed-point loop, not just one-hop merges."""
+    n = 40
+    t = pa.table(
+        {
+            "id_a": pa.array(list(range(n - 1)), pa.int64()),
+            "id_b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    got = _cc(t)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_random_graph_matches_union_find(ray_session):
+    rng = np.random.RandomState(11)
+    n_nodes, n_edges = 200, 120
+    a = rng.randint(0, n_nodes, n_edges).astype("int64")
+    b = rng.randint(0, n_nodes, n_edges).astype("int64")
+    keep = a != b
+    a, b = a[keep], b[keep]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent[find(int(x))] = find(int(y))
+    touched = set(map(int, a)) | set(map(int, b))
+    want = {}
+    roots = {}
+    for x in sorted(touched):
+        r = find(x)
+        roots.setdefault(r, x)  # smallest member = component id
+        want[x] = roots[r]
+
+    got = _cc(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+    assert got == want
