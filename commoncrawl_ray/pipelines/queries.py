@@ -1600,7 +1600,7 @@ FROM gated g JOIN keepers k
 
 def q_neardup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: MinHash+LSH verified pairs -> distributed
-    connected components (stages/components.py min-label propagation).
+    connected components (stages/components.py hash-to-min).
     Dedup keeps one doc per component, not per pair — a∼b, b∼c must
     collapse {a,b,c}. Hash-checked against a DuckDB recursive-CTE
     transitive closure over the minhash oracle's pair table."""
@@ -1634,6 +1634,74 @@ FROM walk GROUP BY u
 """
 
 
+def q_neardup_dedup_docs(sf_dir: str):
+    """End-to-end near-dup DEDUP: MinHash+LSH pairs -> connected
+    components -> keep ONE document per component (the min doc_id)
+    plus every untouched document. The corpus side is projected to
+    (doc_id, n_chars) BEFORE the join so the one all-to-all exchange
+    moves two int columns, never text; the components side is
+    pair-scale. merge_join(how='left') + a vectorized Arrow filter is
+    the anti-join — no driver-side membership set."""
+    import pyarrow.compute as pc
+
+    from ..stages.components import connected_components
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_minhash_pairs_table
+
+    oracle_minhash_pairs_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32)
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+    comps = connected_components(pairs)
+
+    slim = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(t.column("text")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        comp = t.column("component_id")
+        mask = pc.or_kleene(
+            pc.is_null(comp), pc.equal(comp, t.column("doc_id"))
+        )
+        return t.filter(pc.fill_null(mask, True)).drop_columns(
+            ["component_id"]
+        )
+
+    return merge_join(
+        slim, comps, left_on="doc_id", right_on="doc_id",
+        right_cols=["component_id"], how="left",
+    ).map_batches(keep_reps, batch_format="pyarrow")
+
+
+SQL_NEARDUP_DEDUP_DOCS = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM read_parquet('{MINHASH_ORACLE_PATH}')
+  UNION
+  SELECT id_b AS u, id_a AS v FROM read_parquet('{MINHASH_ORACLE_PATH}')
+),
+walk(u, label) AS (
+    SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+    SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+),
+comp AS (
+  SELECT u AS doc_id, MIN(label) AS component_id FROM walk GROUP BY u
+)
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN comp c USING (doc_id)
+WHERE c.component_id IS NULL OR c.component_id = d.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -1663,6 +1731,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "neardup_dedup_docs": (q_neardup_dedup_docs, SQL_NEARDUP_DEDUP_DOCS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
