@@ -1,0 +1,340 @@
+"""Mergeable summary sketches: HyperLogLog, Space-Saving, KLL-lite.
+
+Extends the reference's sketch/statistics family (bloom math in
+``util/BloomFilterUtils`` parity -> state/bloom.py, histograms/moving
+averages -> functions/stats.py) with the three summaries a 100 TB
+corpus census needs: approximate distinct counts (how many unique
+hosts/users), heavy hitters (which hosts dominate the crawl), and
+quantiles (latency / doc-length distributions) — each computable in
+one streaming pass and MERGEABLE, so the Ray-side shape is
+map_batches(partial sketch per block) -> bounded tree reduce, never a
+corpus shuffle.
+
+All three are textbook public algorithms:
+
+- HyperLogLog: Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+  analysis of a near-optimal cardinality estimation algorithm" (AofA
+  2007), with the standard linear-counting small-range correction.
+- Space-Saving: Metwally, Agrawal, El Abbadi, "Efficient computation
+  of frequent and top-k elements in data streams" (ICDT 2005); the
+  weighted-replay merge follows Agarwal et al., "Mergeable summaries"
+  (PODS 2012).
+- KLL-lite: the compactor hierarchy of Karnin, Lang, Liberty,
+  "Optimal quantile approximation in streams" (FOCS 2016), with a
+  DETERMINISTIC alternating compaction offset instead of a random one
+  (merge results depend only on merge-tree shape, and the exact mode
+  — capacity >= n — is independent even of that).
+
+Determinism contract (what makes these oracle-checkable):
+
+- HLL: registers combine by elementwise max => the estimate is a pure
+  function of the input SET, independent of batch/merge order. A
+  single-process sequential HLL over the same rows must produce the
+  IDENTICAL estimate — that parity is the distributed-reduction
+  oracle.
+- Space-Saving with capacity >= total distinct keys degenerates to an
+  exact counter (zero error), independent of merge order => the top-k
+  is SQL-checkable (GROUP BY / ORDER BY count DESC). Under-capacity
+  mode keeps the classic (count, err) overestimation bounds and is
+  tested against those bounds, not for exactness.
+- KLL with capacity >= n never compacts: level 0 holds every value,
+  quantiles are exact (percentile_disc semantics) => SQL-checkable.
+  Under-capacity mode guarantees rank error <= eps*n, tested
+  empirically.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_U64 = np.uint64
+_M64 = (1 << 64) - 1
+
+
+# --- hashing ----------------------------------------------------------
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constants,
+    Steele/Lea/Flood "Fast splittable pseudorandom number generators",
+    OOPSLA 2014). Input any integer ndarray; output uint64."""
+    z = x.astype(np.int64).view(_U64) if x.dtype != _U64 else x.copy()
+    with np.errstate(over="ignore"):
+        z = (z + _U64(0x9E3779B97F4A7C15)) & _U64(_M64)
+        z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _U64(_M64)
+        z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)) & _U64(_M64)
+    return z ^ (z >> _U64(31))
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (w == 0 -> 64)."""
+    w = w.astype(_U64, copy=True)
+    n = np.zeros(w.shape, dtype=np.int64)
+    nz = w != 0
+    for s in (32, 16, 8, 4, 2, 1):
+        top_zero = nz & ((w >> _U64(64 - s)) == 0)
+        n[top_zero] += s
+        w[top_zero] = (w[top_zero] << _U64(s)) & _U64(_M64)
+    n[~nz] = 64
+    return n
+
+
+# --- HyperLogLog ------------------------------------------------------
+
+
+class HyperLogLog:
+    """Dense HLL with 2**p uint8 registers (p in [4, 18])."""
+
+    def __init__(self, p: int = 14):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Fold a uint64 hash array in (vectorized; order-free)."""
+        if len(h) == 0:
+            return self
+        h = h.astype(_U64, copy=False)
+        idx = (h >> _U64(64 - self.p)).astype(np.int64)
+        w = (h << _U64(self.p)) & _U64(_M64)
+        rank = np.minimum(_clz64(w) + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add_ints(self, values: np.ndarray) -> "HyperLogLog":
+        return self.add_hashes(splitmix64(np.asarray(values)))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("precision mismatch")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.float64(2.0) ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<B", self.p) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = struct.unpack_from("<B", b, 0)[0]
+        hll = cls(p)
+        regs = np.frombuffer(b, dtype=np.uint8, offset=1)
+        if len(regs) != hll.m:
+            raise ValueError("register payload size mismatch")
+        hll.registers = regs.copy()
+        return hll
+
+
+# --- Space-Saving heavy hitters ---------------------------------------
+
+
+class SpaceSaving:
+    """Space-Saving stream summary over string keys.
+
+    ``counts[k]`` overestimates the true frequency by at most
+    ``errs[k]``; with ``capacity`` >= the number of distinct keys ever
+    seen, no eviction happens and every count is exact (errs all 0).
+    """
+
+    def __init__(self, capacity: int = 256):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = capacity
+        self.counts: dict[str, int] = {}
+        self.errs: dict[str, int] = {}
+
+    def _offer(self, key: str, weight: int) -> None:
+        if key in self.counts:
+            self.counts[key] += weight
+            return
+        if len(self.counts) < self.capacity:
+            self.counts[key] = weight
+            self.errs[key] = 0
+            return
+        # evict the current minimum; the newcomer inherits its count
+        # as error (classic Space-Saving replacement rule)
+        mk = min(self.counts, key=lambda k: (self.counts[k], k))
+        mc = self.counts.pop(mk)
+        self.errs.pop(mk)
+        self.counts[key] = mc + weight
+        self.errs[key] = mc
+
+    def add_counted(self, keys, weights) -> "SpaceSaving":
+        """Fold pre-aggregated (key, weight) pairs in — the per-batch
+        partial is an EXACT value_counts, so the summary sees each
+        batch's distinct keys once, not each row."""
+        for k, w in zip(keys, weights):
+            self._offer(k, int(w))
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Weighted-replay merge (Agarwal et al. 2012): replay the
+        other summary's (key, count) items; errors add for shared
+        keys, and replayed items keep their own overestimation."""
+        for k in sorted(other.counts):  # sorted => merge-order determinism
+            w = other.counts[k]
+            e = other.errs[k]
+            if k in self.counts:
+                self.counts[k] += w
+                self.errs[k] += e
+            else:
+                self._offer(k, w)
+                if k in self.counts:  # survived (or displaced the min)
+                    self.errs[k] += e
+        return self
+
+    def top(self, k: int) -> list[tuple[str, int, int]]:
+        """Top-k by (count desc, key asc) -> [(key, count, err)]."""
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(key, cnt, self.errs[key]) for key, cnt in items[:k]]
+
+    def to_bytes(self) -> bytes:
+        parts = [struct.pack("<II", self.capacity, len(self.counts))]
+        for k in sorted(self.counts):
+            kb = k.encode("utf-8")
+            parts.append(struct.pack("<IqQ", len(kb), self.counts[k], self.errs[k]))
+            parts.append(kb)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "SpaceSaving":
+        cap, n = struct.unpack_from("<II", b, 0)
+        ss = cls(cap)
+        off = 8
+        for _ in range(n):
+            klen, cnt, err = struct.unpack_from("<IqQ", b, off)
+            off += 20
+            k = b[off : off + klen].decode("utf-8")
+            off += klen
+            ss.counts[k] = cnt
+            ss.errs[k] = int(err)
+        return ss
+
+
+# --- KLL-lite quantile sketch -----------------------------------------
+
+
+class KLLSketch:
+    """Compactor-hierarchy quantile sketch over float64 values.
+
+    Level L items each represent 2**L input values. Compaction sorts a
+    full level and promotes every other item, alternating the kept
+    offset deterministically per level. ``capacity`` is the TOP
+    level's buffer size; levels below the top get
+    ceil(capacity * (2/3)**depth-from-top) (floored at 8) — KLL's
+    geometric decay, which keeps the error of heavy (high-weight)
+    compactions small because the heaviest levels have the largest
+    buffers.
+
+    Exact mode: while total items ever inserted <= capacity, level 0
+    never compacts and ``quantile`` returns exact percentile_disc
+    values regardless of merge order.
+    """
+
+    def __init__(self, capacity: int = 2048):
+        if capacity < 8:
+            raise ValueError("capacity must be >= 8")
+        self.capacity = capacity
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def _cap(self, level: int) -> int:
+        depth_from_top = len(self.levels) - 1 - level
+        c = int(np.ceil(self.capacity * (2.0 / 3.0) ** depth_from_top))
+        return max(8, c)
+
+    def _compact(self) -> None:
+        lev = 0
+        while lev < len(self.levels):
+            if len(self.levels[lev]) <= self._cap(lev):
+                lev += 1
+                continue
+            buf = np.sort(self.levels[lev], kind="stable")
+            keep = buf[self.parity[lev] :: 2]
+            self.parity[lev] ^= 1
+            self.levels[lev] = np.empty(0, dtype=np.float64)
+            if lev + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.parity.append(0)
+            self.levels[lev + 1] = np.concatenate([self.levels[lev + 1], keep])
+            lev += 1
+
+    def add(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += len(v)
+        self._compact()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        if other.capacity != self.capacity:
+            raise ValueError("capacity mismatch")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.parity.append(0)
+        for lev, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[lev] = np.concatenate([self.levels[lev], buf])
+        self.n += other.n
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        """percentile_disc(q): smallest item whose cumulative weight
+        reaches ceil(q * n)."""
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        items = []
+        weights = []
+        for lev, buf in enumerate(self.levels):
+            if len(buf):
+                items.append(buf)
+                weights.append(np.full(len(buf), 1 << lev, dtype=np.int64))
+        allv = np.concatenate(items)
+        allw = np.concatenate(weights)
+        order = np.argsort(allv, kind="stable")
+        allv, allw = allv[order], allw[order]
+        cum = np.cumsum(allw)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return float(allv[np.searchsorted(cum, target)])
+
+    def to_bytes(self) -> bytes:
+        parts = [struct.pack("<IqI", self.capacity, self.n, len(self.levels))]
+        for lev, buf in enumerate(self.levels):
+            parts.append(struct.pack("<IB", len(buf), self.parity[lev]))
+            parts.append(buf.tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLLSketch":
+        cap, n, nlev = struct.unpack_from("<IqI", b, 0)
+        sk = cls(cap)
+        sk.n = n
+        sk.levels, sk.parity = [], []
+        off = 16
+        for _ in range(nlev):
+            ln, par = struct.unpack_from("<IB", b, off)
+            off += 5
+            sk.levels.append(np.frombuffer(b, dtype=np.float64, count=ln, offset=off).copy())
+            sk.parity.append(par)
+            off += 8 * ln
+        if not sk.levels:
+            sk.levels, sk.parity = [np.empty(0, dtype=np.float64)], [0]
+        return sk

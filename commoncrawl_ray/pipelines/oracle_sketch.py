@@ -34,6 +34,7 @@ SIMHASH_ORACLE_PATH = "/tmp/ccray_oracle_simhash.parquet"
 MINHASH_ORACLE_PATH = "/tmp/ccray_oracle_minhash_pairs.parquet"
 PARSE_ORACLE_PATH = "/tmp/ccray_oracle_parse_extract.parquet"
 ARC_ORACLE_PATH = "/tmp/ccray_oracle_arc_roundtrip.parquet"
+HLL_ORACLE_PATH = "/tmp/ccray_oracle_hll_users.parquet"
 _M64 = (1 << 64) - 1
 
 
@@ -253,3 +254,23 @@ def oracle_arc_roundtrip_table(path: str = ARC_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(t, path, src_key)
+
+
+def oracle_hll_table(sf_dir: str, path: str = HLL_ORACLE_PATH, p: int = 14) -> str:
+    """Single-process HyperLogLog over events.user_id -> one-row
+    parquet {distinct_estimate}. HLL registers combine by max, so the
+    sequential fold here must produce BIT-IDENTICAL registers (hence
+    an identical float estimate) to the distributed
+    partial-per-batch -> tree-merge reduction in stages/approx.py —
+    a value-hash match proves the whole reduce path, not just the
+    kernel."""
+    from ..functions.sketches import HyperLogLog
+
+    src_key = os.path.abspath(sf_dir) + f"|p={p}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    vals = t.column("user_id").drop_null().to_numpy(zero_copy_only=False)
+    est = HyperLogLog(p).add_ints(vals.astype(np.int64)).estimate()
+    out = pa.table({"distinct_estimate": pa.array([est], pa.float64())})
+    return _write_atomic(out, path, src_key)

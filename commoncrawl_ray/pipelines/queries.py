@@ -1305,6 +1305,7 @@ LIMIT 25
 
 from .oracle_sketch import (
     ARC_ORACLE_PATH,
+    HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
     PARSE_ORACLE_PATH,
     SIMHASH_ORACLE_PATH,
@@ -1702,6 +1703,210 @@ WHERE c.component_id IS NULL OR c.component_id = d.doc_id
 """
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog (p=14) distinct user_id estimate over events — the
+    sketch path a 100 TB census uses instead of COUNT(DISTINCT)'s
+    all-to-all shuffle: per-batch register partials, bounded tree
+    merge, driver sees <= fanin 16 KB rows. Registers combine by max
+    (order-free), so the distributed estimate is bit-identical to the
+    single-process oracle fold — a full value-hash check of the whole
+    reduce path (pytest additionally asserts ~1.5% error vs the exact
+    count). Sketch family parity: extends the reference's bloom-math
+    sketch lineage (util/BloomFilterUtils -> state/bloom.py) with
+    Flajolet et al. 2007."""
+    from ..stages.approx import approx_distinct
+    from .oracle_sketch import oracle_hll_table
+
+    oracle_hll_table(sf_dir)
+    ds = _pq(sf_dir, "events", ["user_id"], min_blocks=8)
+    est = approx_distinct(ds, "user_id", p=14, fanin=8)
+    return pa.table({"distinct_estimate": pa.array([est], pa.float64())})
+
+
+SQL_APPROX_DISTINCT_USERS = f"""
+SELECT distinct_estimate FROM read_parquet('{HLL_ORACLE_PATH}')
+"""
+
+
+def q_heavy_hitters_langs(sf_dir: str):
+    """Space-Saving top-8 languages over documents (Metwally et al.
+    2005; weighted-replay merge per Agarwal et al. 2012). Partials
+    are exact in-batch value_counts, so the summary folds per-batch
+    DISTINCT keys, not rows. capacity=64 >= global distinct langs =>
+    exact mode (zero error, merge-order free), which is what makes
+    the plain GROUP BY oracle valid; the under-capacity bounds are
+    pytest-tested in tests/test_sketches.py."""
+    from ..stages.approx import heavy_hitters
+
+    ds = _pq(sf_dir, "documents", ["lang"], min_blocks=8)
+    t = heavy_hitters(ds, "lang", k=8, capacity=64, fanin=8)
+    return t.drop_columns(["err"])  # exact mode: err is identically 0
+
+
+SQL_HEAVY_HITTERS_LANGS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents GROUP BY lang
+ORDER BY cnt DESC, lang LIMIT 8
+"""
+
+
+def q_events_value_sketch_quantiles(sf_dir: str):
+    """KLL quantile sketch (Karnin/Lang/Liberty 2016, deterministic
+    compaction) over events.value, capacity 32768 >= the sf0.01 row
+    count => exact mode: level 0 never compacts, quantiles are exact
+    percentile_disc values regardless of merge-tree shape — the
+    SQL-checkable configuration (the knn_ivf_exhaustive pattern: the
+    exact config hash-checks the whole partial/merge/query machinery;
+    the approximate config's rank-error bound is pytest-tested)."""
+    from ..stages.approx import sketch_quantiles
+
+    ds = _pq(sf_dir, "events", ["value"], min_blocks=8)
+    return sketch_quantiles(
+        ds, "value", qs=[0.1, 0.5, 0.9, 0.99], capacity=32768, fanin=8
+    )
+
+
+SQL_EVENTS_VALUE_SKETCH_QUANTILES = """
+SELECT CAST(0.1 AS DOUBLE) AS q,
+       percentile_disc(0.1) WITHIN GROUP (ORDER BY value) AS value FROM events
+UNION ALL SELECT CAST(0.5 AS DOUBLE),
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) FROM events
+UNION ALL SELECT CAST(0.9 AS DOUBLE),
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY value) FROM events
+UNION ALL SELECT CAST(0.99 AS DOUBLE),
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY value) FROM events
+"""
+
+
+def _knuth32_np(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash, 32-bit (TAOCP v3 §6.4): the one hash
+    in this repo chosen to be SQL-EXPRESSIBLE ((id*2654435761) %% 2^32
+    in plain BIGINT arithmetic) so consistent-sampling queries can be
+    value-hash-checked end-to-end. Domain: non-negative ids below
+    ~2^31 (DuckDB BIGINT product must not overflow); the production
+    variant for full-range keys is functions/sketches.splitmix64."""
+    return (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+
+
+def q_docs_hash_sample(sf_dir: str):
+    """Deterministic 20%% consistent sample of documents by key hash —
+    the sampling discipline a 100 TB pipeline needs (the same doc is
+    in/out of the sample on every run and every table that shares the
+    key; `ds.random_sample` can't give either). Pure streaming filter:
+    no shuffle, no state, prunes to three columns at the read."""
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (_knuth32_np(ids) % np.uint64(1000)) < np.uint64(200)
+        return t.filter(pa.array(mask))
+
+    return _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+SQL_DOCS_HASH_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < 200
+"""
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """Stratified 10%% sample: per-language, the ceil(0.1*n) docs with
+    the smallest (knuth32(doc_id), doc_id) — deterministic, so the
+    sample is reproducible AND proportionally balanced across strata
+    (plain hash sampling under-represents small languages). Shape:
+    sort(lang) co-locates each stratum in one range partition, then
+    one vectorized lexsort block pass picks each group's prefix —
+    same partitioning assumption as q_events_quantiles (a stratum
+    fits a sort block; documented there)."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "lang": pd.Series([], dtype=object),
+                }
+            )
+        ids = df["doc_id"].to_numpy()
+        langs = df["lang"].to_numpy()
+        h = _knuth32_np(ids)
+        order = np.lexsort((ids, h, langs))  # by lang, then (h, id)
+        ids, langs, h = ids[order], langs[order], h[order]
+        starts = np.r_[0, np.flatnonzero(langs[1:] != langs[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(langs)])
+        take = np.ceil(0.1 * counts).astype(np.int64)
+        idx = np.concatenate(
+            [np.arange(s, s + t) for s, t in zip(starts, take)]
+        )
+        return pd.DataFrame({"doc_id": ids[idx], "lang": langs[idx]})
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "lang"])
+        .sort("lang")
+        .map_batches(pick, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) WHERE rn <= CEIL(0.1 * n)
+"""
+
+
+def q_vocab_top_tokens(sf_dir: str):
+    """Corpus vocabulary census — top-30 whitespace tokens by
+    frequency via the Space-Saving reduce (a vocab builder's first
+    pass). The per-batch partial is RE2 split + flatten + value_counts
+    (all Arrow kernels, zero Python in the token path); the summary
+    folds per-batch DISTINCT tokens. capacity=4096 >= global distinct
+    here => exact counts (the SQL-oracle configuration); at real
+    corpus vocabularies the same query is the bounded-memory
+    approximate heavy-hitter census."""
+    import pyarrow.compute as pc
+
+    from ..functions.sketches import SpaceSaving
+    from ..stages.approx import _reduce_sketches
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        ss = SpaceSaving(4096).add_counted(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        )
+        return pa.table({"sk": pa.array([ss.to_bytes()], pa.binary())})
+
+    ds = _pq(sf_dir, "documents", ["text"], min_blocks=8)
+    acc = _reduce_sketches(ds, partial, SpaceSaving.from_bytes, fanin=8)
+    rows = acc.top(30) if acc is not None else []
+    return pa.table(
+        {
+            "token": pa.array([r[0] for r in rows], pa.string()),
+            "cnt": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_VOCAB_TOP_TOKENS = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token FROM documents
+) WHERE token <> ''
+GROUP BY token ORDER BY cnt DESC, token LIMIT 30
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -1732,6 +1937,18 @@ REGISTRY: dict[str, tuple] = {
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "neardup_dedup_docs": (q_neardup_dedup_docs, SQL_NEARDUP_DEDUP_DOCS),
+    "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
+    "heavy_hitters_langs": (q_heavy_hitters_langs, SQL_HEAVY_HITTERS_LANGS),
+    "events_value_sketch_quantiles": (
+        q_events_value_sketch_quantiles,
+        SQL_EVENTS_VALUE_SKETCH_QUANTILES,
+    ),
+    "docs_hash_sample": (q_docs_hash_sample, SQL_DOCS_HASH_SAMPLE),
+    "docs_stratified_sample": (
+        q_docs_stratified_sample,
+        SQL_DOCS_STRATIFIED_SAMPLE,
+    ),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

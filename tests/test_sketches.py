@@ -78,3 +78,71 @@ def test_doc_fingerprint():
     assert doc_fingerprint(a) != doc_fingerprint(b)
     assert doc_fingerprint("short") == doc_fingerprint("short")
     assert doc_fingerprint("short") != doc_fingerprint("shorp")
+
+
+# --- mergeable summary sketches (functions/sketches.py) ---------------
+
+
+def test_hll_accuracy_merge_invariance_and_serde():
+    from commoncrawl_ray.functions.sketches import HyperLogLog
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 62, 200_000)
+    uniq = len(np.unique(vals))
+    whole = HyperLogLog(14).add_ints(vals)
+    est = whole.estimate()
+    assert abs(est - uniq) / uniq < 0.03  # ~1.04/sqrt(2^14) std err
+    # merge in arbitrary order == sequential fold, bit-identical
+    parts = [HyperLogLog(14).add_ints(c) for c in np.array_split(vals, 7)]
+    acc = parts[3]
+    for i in (6, 0, 5, 1, 4, 2):
+        acc.merge(parts[i])
+    assert acc.estimate() == est
+    assert (acc.registers == whole.registers).all()
+    assert HyperLogLog.from_bytes(whole.to_bytes()).estimate() == est
+    # small-range linear counting
+    small = HyperLogLog(14).add_ints(np.arange(100))
+    assert abs(small.estimate() - 100) < 3
+
+
+def test_spacesaving_exact_mode_and_overestimate_bound():
+    from commoncrawl_ray.functions.sketches import SpaceSaving
+
+    a = SpaceSaving(16).add_counted(["a", "b", "c"], [20, 30, 5])
+    b = SpaceSaving(16).add_counted(["a", "c", "d"], [30, 5, 5])
+    a.merge(SpaceSaving.from_bytes(b.to_bytes()))
+    assert a.top(4) == [("a", 50, 0), ("b", 30, 0), ("c", 10, 0), ("d", 5, 0)]
+    # under capacity: counts never underestimate; err bounds the excess
+    s = SpaceSaving(2)
+    for k, w in [("a", 50), ("b", 30), ("c", 10), ("d", 5)]:
+        s.add_counted([k], [w])
+    (k0, c0, e0), *_ = s.top(1)
+    assert c0 >= 50 and c0 - e0 <= 50
+
+
+def test_kll_exact_mode_matches_percentile_disc_and_bounds_rank_error():
+    from commoncrawl_ray.functions.sketches import KLLSketch
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=5000)
+    sv = np.sort(v)
+    exact = KLLSketch(8192).add(v)
+    for q in (0.1, 0.5, 0.95, 0.99):
+        assert exact.quantile(q) == sv[int(np.ceil(q * len(v))) - 1]
+    # exact mode is merge-order independent (never compacts)
+    parts = [KLLSketch(8192).add(c) for c in np.array_split(v, 5)]
+    m = parts[2]
+    for i in (4, 0, 3, 1):
+        m.merge(KLLSketch.from_bytes(parts[i].to_bytes()))
+    assert m.quantile(0.5) == exact.quantile(0.5)
+    # approximate mode: bounded rank error under many merges
+    vv = rng.normal(size=100_000)
+    svv = np.sort(vv)
+    ks = [KLLSketch(512).add(c) for c in np.array_split(vv, 23)]
+    acc = ks[11]
+    for i in range(23):
+        if i != 11:
+            acc.merge(ks[i])
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        rank = np.searchsorted(svv, acc.quantile(q)) / len(vv)
+        assert abs(rank - q) < 0.02, (q, rank)
