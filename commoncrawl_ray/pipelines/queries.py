@@ -1703,6 +1703,114 @@ WHERE c.component_id IS NULL OR c.component_id = d.doc_id
 """
 
 
+def q_events_running_total(sf_dir: str):
+    """Per-user cumulative sum (SQL running-total window:
+    SUM OVER PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING). Shape: sort(user_id) co-locates each user's rows in
+    one range partition, then a single vectorized block pass — lexsort
+    within the block, one np.cumsum, per-group offset subtraction.
+    Same partitioning assumption as q_events_quantiles (one group fits
+    a sort block)."""
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "running_total": pd.Series([], dtype=np.float64),
+                }
+            )
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        val = df["value"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(uid)])
+        cum = np.cumsum(val)
+        base = np.repeat(cum[starts] - val[starts], counts)
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": uid, "running_total": cum - base}
+        )
+
+    return (
+        _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .sort("user_id")
+        .map_batches(running, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS running_total
+FROM events
+"""
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Distributed SEMI join (EXISTS): customers having at least one
+    order, each exactly once however many orders they have. Both
+    sides prune to the key (+payload) columns at the read; the
+    existence check is the one union+sort(c_custkey) exchange of
+    stages/joins.merge_join — the right side ships ONLY its key
+    column, never order payloads."""
+    from ..stages.joins import merge_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+    return merge_join(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        right_cols=[], how="semi",
+    )
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no
+    large order (o_totalprice > 300000) — same exchange as the semi
+    join, inverted emit rule. The right-side predicate is pushed into
+    its read stage BEFORE the exchange, so only qualifying order keys
+    ever ship (and it keeps the result non-degenerate at every test
+    scale: with no predicate every customer has some order)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    big = (
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t.column("o_totalprice"), 300000.0)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    return merge_join(
+        cust, big, left_on="c_custkey", right_on="o_custkey",
+        right_cols=[], how="anti",
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog (p=14) distinct user_id estimate over events — the
     sketch path a 100 TB census uses instead of COUNT(DISTINCT)'s
@@ -1942,6 +2050,12 @@ REGISTRY: dict[str, tuple] = {
     "events_value_sketch_quantiles": (
         q_events_value_sketch_quantiles,
         SQL_EVENTS_VALUE_SKETCH_QUANTILES,
+    ),
+    "events_running_total": (q_events_running_total, SQL_EVENTS_RUNNING_TOTAL),
+    "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
     ),
     "docs_hash_sample": (q_docs_hash_sample, SQL_DOCS_HASH_SAMPLE),
     "docs_stratified_sample": (

@@ -137,8 +137,12 @@ def merge_join(
 
     Attaches ``right_cols`` (renamed ``<c><suffix>``) of EVERY right
     row whose ``right_on`` equals a left row's ``left_on``. ``how`` is
-    ``"inner"`` (drop unmatched left rows) or ``"left"`` (keep them
-    with null payloads). Reference parity: the query layer's
+    ``"inner"`` (drop unmatched left rows), ``"left"`` (keep them
+    with null payloads), ``"semi"`` (left rows with >= 1 match, once,
+    no payload — SQL EXISTS), or ``"anti"`` (left rows with no match —
+    SQL NOT EXISTS; the crawl frontier's seen-set subtraction is this
+    operator specialised to the URL-fingerprint key).
+    Reference parity: the query layer's
     merge-sorted shard joins (``query/Query.java`` result assembly,
     ``hadoop/mergeutils/MergeSortSpillWriter.java:66``) re-expressed
     Ray-Data-first.
@@ -155,8 +159,14 @@ def merge_join(
     (custkey, host_fp); a mega-key would need salting + a broadcast
     fix-up pass.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+        )
+    if how in ("semi", "anti"):
+        # existence joins carry no payload: the right side contributes
+        # only its key presence, each left row appears at most once
+        right_cols = []
     left_schema = left.schema()
     left_names = list(left_schema.names)
     left_types = dict(zip(left_schema.names, left_schema.types))
@@ -211,6 +221,14 @@ def merge_join(
             l_pos = order[s + nr : e]
             if len(l_pos) == 0:
                 continue
+            if how == "semi":
+                if nr > 0:
+                    lt_parts.append(l_pos)
+                continue
+            if how == "anti":
+                if nr == 0:
+                    lt_parts.append(l_pos)
+                continue
             if nr == 0:
                 if how == "left":
                     lt_parts.append(l_pos)
@@ -222,12 +240,13 @@ def merge_join(
         if not lt_parts:
             return out_schema.empty_table()
         idx_l = np.concatenate(lt_parts)
-        idx_r = np.concatenate(rt_parts)
         take_l = pa.array(idx_l, pa.int64())
-        take_r = pa.array(np.maximum(idx_r, 0), mask=idx_r < 0)
         cols = {n: t.column(n).combine_chunks().take(take_l) for n in left_names}
-        for c, _typ in payload_fields:
-            cols[c] = t.column(c).combine_chunks().take(take_r)
+        if payload_fields:
+            idx_r = np.concatenate(rt_parts)
+            take_r = pa.array(np.maximum(idx_r, 0), mask=idx_r < 0)
+            for c, _typ in payload_fields:
+                cols[c] = t.column(c).combine_chunks().take(take_r)
         return pa.table(cols, schema=out_schema)
 
     wire_ds = left.map_batches(to_wire_left, batch_format="pyarrow").union(

@@ -127,3 +127,33 @@ def test_grouped_topk_ascending(ray_session):
     out = grouped_topk(rd.from_arrow(t), "g", "v", 2, "id", descending=False)
     rows = sorted((r["rank"], r["v"]) for r in out.take_all())
     assert rows == [(1, 1), (2, 2)]
+
+
+def test_merge_join_semi_emits_each_matching_left_row_once(ray_session):
+    from commoncrawl_ray.stages.joins import merge_join
+
+    out = merge_join(_left(), _right(), "k", "rk", [], how="semi")
+    rows = sorted((r["k"], r["lv"]) for r in out.take_all())
+    # k=1 matches (two left rows, each once despite one right dup-free
+    # match), k=2 matches once despite TWO right rows, k=3 unmatched
+    assert rows == [(1, 10), (1, 11), (2, 20)]
+    assert out.schema().names == ["k", "lv"]
+
+
+def test_merge_join_anti_emits_unmatched_left_rows(ray_session):
+    from commoncrawl_ray.stages.joins import merge_join
+
+    out = merge_join(_left(), _right(), "k", "rk", [], how="anti")
+    rows = sorted((r["k"], r["lv"]) for r in out.take_all())
+    assert rows == [(3, BIG)]  # int64 survives (no pandas decay)
+
+
+def test_merge_join_anti_empty_result_keeps_schema(ray_session):
+    from commoncrawl_ray.stages.joins import merge_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "lv": pa.array([1, 2], pa.int64())})
+    )
+    out = merge_join(left, _right(), "k", "rk", [], how="anti")
+    assert out.count() == 0
+    assert out.schema().names == ["k", "lv"]
