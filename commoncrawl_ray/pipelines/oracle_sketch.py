@@ -274,3 +274,41 @@ def oracle_hll_table(sf_dir: str, path: str = HLL_ORACLE_PATH, p: int = 14) -> s
     est = HyperLogLog(p).add_ints(vals.astype(np.int64)).estimate()
     out = pa.table({"distinct_estimate": pa.array([est], pa.float64())})
     return _write_atomic(out, path, src_key)
+
+
+HLL_BY_TYPE_ORACLE_PATH = "/tmp/ccray_oracle_hll_by_type.parquet"
+
+
+def oracle_hll_by_type_table(
+    sf_dir: str, path: str = HLL_BY_TYPE_ORACLE_PATH, p: int = 12
+) -> str:
+    """Single-process per-group HLL (event_type -> distinct user_id
+    estimate). Same register-max determinism argument as
+    oracle_hll_table, applied per group — a value-hash match proves
+    the map-side per-(batch,key) combiner + groupby merge moved every
+    value into the right group's registers."""
+    from ..functions.sketches import HyperLogLog
+
+    src_key = os.path.abspath(sf_dir) + f"|by_type|p={p}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    keys = t.column("event_type").to_pylist()
+    vals = t.column("user_id").to_pylist()
+    hlls: dict[str, object] = {}
+    for k, v in zip(keys, vals):
+        if v is None:
+            continue
+        hlls.setdefault(k, HyperLogLog(p)).add_ints(np.array([v], dtype=np.int64))
+    rows = sorted(hlls.items())
+    out = pa.table(
+        {
+            "event_type": pa.array([k for k, _ in rows], pa.string()),
+            "distinct_estimate": pa.array(
+                [h.estimate() for _, h in rows], pa.float64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1305,6 +1305,7 @@ LIMIT 25
 
 from .oracle_sketch import (
     ARC_ORACLE_PATH,
+    HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
     PARSE_ORACLE_PATH,
@@ -1836,6 +1837,27 @@ SELECT distinct_estimate FROM read_parquet('{HLL_ORACLE_PATH}')
 """
 
 
+def q_approx_distinct_users_by_type(sf_dir: str):
+    """Per-event-type HLL distinct-user estimates — the groupby form
+    of the sketch census: map-side per-(batch,key) register partials
+    (the combiner discipline), groupby shuffle of 4 KB sketch rows
+    only, register-max merge per group. Hash-checked against the
+    single-process per-group fold (same determinism argument as
+    approx_distinct_users)."""
+    from ..stages.approx import approx_distinct_by_key
+    from .oracle_sketch import oracle_hll_by_type_table
+
+    oracle_hll_by_type_table(sf_dir)
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"], min_blocks=8)
+    return approx_distinct_by_key(ds, "event_type", "user_id", p=12)
+
+
+SQL_APPROX_DISTINCT_USERS_BY_TYPE = f"""
+SELECT event_type, distinct_estimate
+FROM read_parquet('{HLL_BY_TYPE_ORACLE_PATH}')
+"""
+
+
 def q_heavy_hitters_langs(sf_dir: str):
     """Space-Saving top-8 languages over documents (Metwally et al.
     2005; weighted-replay merge per Agarwal et al. 2012). Partials
@@ -2046,6 +2068,10 @@ REGISTRY: dict[str, tuple] = {
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "neardup_dedup_docs": (q_neardup_dedup_docs, SQL_NEARDUP_DEDUP_DOCS),
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
+    "approx_distinct_users_by_type": (
+        q_approx_distinct_users_by_type,
+        SQL_APPROX_DISTINCT_USERS_BY_TYPE,
+    ),
     "heavy_hitters_langs": (q_heavy_hitters_langs, SQL_HEAVY_HITTERS_LANGS),
     "events_value_sketch_quantiles": (
         q_events_value_sketch_quantiles,

@@ -116,6 +116,62 @@ def heavy_hitters(
     )
 
 
+def approx_distinct_by_key(
+    ds, key_col: str, val_col: str, p: int = 12
+):
+    """Per-group HLL distinct counts -> Dataset (key, distinct_estimate).
+
+    The groupby-aggregate form of ``approx_distinct``: the map side
+    pre-aggregates one HLL PER (batch, key) — the combiner discipline
+    every wide op here follows — so the shuffle moves
+    batches x group-cardinality sketch rows (2^p bytes each), never
+    input rows. map_groups then merges each key's partials (register
+    max => merge-order free, single-process-parity oracle-checkable).
+    Partitioning assumption: one output row per distinct key; suits
+    low-to-mid key cardinality (event types, languages, TLDs). For
+    billions of keys use exact groupby counts instead — the sketch
+    constant (2^p bytes/key) dominates below ~10k values per key.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        vals = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_sk = [], []
+        for s, e in zip(starts, ends):
+            out_k.append(keys[s])
+            out_sk.append(HyperLogLog(p).add_ints(vals[s:e]).to_bytes())
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "sk": pa.array(out_sk, pa.binary()),
+            }
+        )
+
+    def merge_group(df):
+        import pandas as pd
+
+        acc = None
+        for b in df["sk"]:
+            sk = HyperLogLog.from_bytes(b)
+            acc = sk if acc is None else acc.merge(sk)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "distinct_estimate": [acc.estimate()],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_SKETCH_BATCH)
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 def sketch_quantiles(
     ds, col: str, qs: list[float], capacity: int = 2048, fanin: int = 32
 ) -> pa.Table:
