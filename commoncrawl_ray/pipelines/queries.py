@@ -1993,6 +1993,31 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_docs_weighted_sample(sf_dir: str):
+    """Deterministic size-BIASED sample: keep doc iff
+    knuth32(doc_id) < n_chars * 2^32 / 4096 — inclusion probability
+    proportional to document length (capped at 1), the standard
+    pps-style subsample for length-balanced corpus slices, with the
+    hash-sample determinism guarantees (same doc in/out on every run).
+    Pure streaming filter, SQL-expressible end to end."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.uint64)
+        thresh = n * np.uint64((1 << 32) // 4096)
+        return t.filter(pa.array(_knuth32_np(ids) < thresh))
+
+    return _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < n_chars * 1048576
+"""
+
+
 def q_vocab_top_tokens(sf_dir: str):
     """Corpus vocabulary census — top-30 whitespace tokens by
     frequency via the Space-Saving reduce (a vocab builder's first
@@ -2088,6 +2113,7 @@ REGISTRY: dict[str, tuple] = {
         q_docs_stratified_sample,
         SQL_DOCS_STRATIFIED_SAMPLE,
     ),
+    "docs_weighted_sample": (q_docs_weighted_sample, SQL_DOCS_WEIGHTED_SAMPLE),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
