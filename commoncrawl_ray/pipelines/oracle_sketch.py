@@ -312,3 +312,42 @@ def oracle_hll_by_type_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+MULTIMODAL_ORACLE_PATH = "/tmp/ccray_oracle_multimodal.parquet"
+
+
+def oracle_multimodal_table(path: str = MULTIMODAL_ORACLE_PATH) -> str:
+    """Single-process multimodal summary: the SAME deterministic fake
+    decode/frame-sample kernels (stages/multimodal.py stage classes,
+    called directly — kernel sharing, as the crawl oracle shares
+    url_fpv2), with every piece of distributed machinery replaced by
+    plain dicts: no actor pools, no groupby aggregate, no union+sort
+    join. A value-hash match proves the actor-pool plumbing and the
+    co-partition join assembled the identical summary."""
+    from ..stages.multimodal import (
+        DecodeImageStage,
+        FrameSampleStage,
+        synth_media_table,
+    )
+
+    src_key = "synth|n=96|seed=42|n_frames=4"
+    if _is_fresh(path, src_key):
+        return path
+    media = synth_media_table(n=96, seed=42)
+    dec = DecodeImageStage(fake=True)(media)
+    frames = FrameSampleStage(n_frames=4, fake=True)(media)
+    counts: dict[int, int] = {}
+    for mid in frames.column("media_id").to_pylist():
+        counts[mid] = counts.get(mid, 0) + 1
+    feat_dims = [len(f) for f in dec.column("feat").to_pylist()]
+    ids = dec.column("media_id").to_pylist()
+    out = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": dec.column("kind"),
+            "feat_dim": pa.array(feat_dims, pa.int32()),
+            "n_frames": pa.array([counts.get(i, 0) for i in ids], pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -815,11 +815,16 @@ FROM events GROUP BY event_type
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing end-to-end (rows-only; decode is the
-    documented environment-gated stub run in fake mode): synthetic
+    """Multimodal plumbing end-to-end (decode is the documented
+    environment-gated stub run in deterministic fake mode): synthetic
     media table -> actor-pool feature extraction + video frame
     sampling, joined into one (media_id, kind, n_frames, feat_dim)
-    summary."""
+    summary. Hash-checked against the single-process oracle
+    (oracle_sketch.oracle_multimodal_table: same fake kernels, plain
+    dicts instead of actor pools + groupby + union+sort join)."""
+    from .oracle_sketch import oracle_multimodal_table
+
+    oracle_multimodal_table()
     from ray.data.aggregate import Count
 
     from ..stages.multimodal import (
@@ -1308,9 +1313,16 @@ from .oracle_sketch import (
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
+    MULTIMODAL_ORACLE_PATH,
     PARSE_ORACLE_PATH,
     SIMHASH_ORACLE_PATH,
 )
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT media_id, kind, feat_dim, n_frames
+FROM read_parquet('{MULTIMODAL_ORACLE_PATH}')
+"""
+
 
 SQL_SIMHASH_DOCS = f"""
 SELECT doc_id, simhash FROM read_parquet('{SIMHASH_ORACLE_PATH}')
@@ -2074,7 +2086,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "orders_customer_join": (q_orders_customer_join, SQL_ORDERS_CUSTOMER_JOIN),
     "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),
