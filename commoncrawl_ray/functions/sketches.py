@@ -155,22 +155,45 @@ class SpaceSaving:
         self.capacity = capacity
         self.counts: dict[str, int] = {}
         self.errs: dict[str, int] = {}
+        # lazy min-heap of (count, key) snapshots: stale entries (count
+        # no longer current) are skipped at pop time, so eviction is
+        # O(log n) amortized instead of an O(capacity) min() scan —
+        # the difference between a streaming summary and a hot loop
+        # when a 100 TB vocab census evicts on most offers.
+        self._heap: list[tuple[int, str]] = []
+
+    def _pop_min(self) -> str:
+        import heapq
+
+        while True:
+            c, k = heapq.heappop(self._heap)
+            if self.counts.get(k) == c:
+                return k
+            # stale snapshot (key updated or already evicted) — skip
 
     def _offer(self, key: str, weight: int) -> None:
+        import heapq
+
         if key in self.counts:
             self.counts[key] += weight
+            heapq.heappush(self._heap, (self.counts[key], key))
             return
         if len(self.counts) < self.capacity:
             self.counts[key] = weight
             self.errs[key] = 0
+            heapq.heappush(self._heap, (weight, key))
             return
         # evict the current minimum; the newcomer inherits its count
         # as error (classic Space-Saving replacement rule)
-        mk = min(self.counts, key=lambda k: (self.counts[k], k))
+        mk = self._pop_min()
         mc = self.counts.pop(mk)
         self.errs.pop(mk)
         self.counts[key] = mc + weight
         self.errs[key] = mc
+        heapq.heappush(self._heap, (self.counts[key], key))
+        if len(self._heap) > 8 * self.capacity:  # compact stale entries
+            self._heap = [(c, k) for k, c in self.counts.items()]
+            heapq.heapify(self._heap)
 
     def add_counted(self, keys, weights) -> "SpaceSaving":
         """Fold pre-aggregated (key, weight) pairs in — the per-batch
@@ -184,12 +207,15 @@ class SpaceSaving:
         """Weighted-replay merge (Agarwal et al. 2012): replay the
         other summary's (key, count) items; errors add for shared
         keys, and replayed items keep their own overestimation."""
+        import heapq
+
         for k in sorted(other.counts):  # sorted => merge-order determinism
             w = other.counts[k]
             e = other.errs[k]
             if k in self.counts:
                 self.counts[k] += w
                 self.errs[k] += e
+                heapq.heappush(self._heap, (self.counts[k], k))
             else:
                 self._offer(k, w)
                 if k in self.counts:  # survived (or displaced the min)
@@ -211,6 +237,8 @@ class SpaceSaving:
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "SpaceSaving":
+        import heapq
+
         cap, n = struct.unpack_from("<II", b, 0)
         ss = cls(cap)
         off = 8
@@ -221,6 +249,8 @@ class SpaceSaving:
             off += klen
             ss.counts[k] = cnt
             ss.errs[k] = int(err)
+        ss._heap = [(c, k) for k, c in ss.counts.items()]
+        heapq.heapify(ss._heap)
         return ss
 
 
