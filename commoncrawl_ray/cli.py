@@ -11,6 +11,7 @@ Commands:
   crawl   — run/resume the epoch crawl loop against a checkpoint dir
   parse   — parse/extract a pages parquet table to a docs table
   query   — run a registry query (see ``queries --list``) to parquet/stdout
+  compact — coalesce a directory of small parquet files to ~target size
   synth   — generate a synthetic pages universe parquet table
 """
 
@@ -22,7 +23,11 @@ import os
 import sys
 
 
+_OWNS_SESSION = False
+
+
 def _init_ray(num_cpus: int | None):
+    global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
@@ -31,7 +36,24 @@ def _init_ray(num_cpus: int | None):
         if num_cpus is not None and addr == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(address=addr, **kwargs)
-    return ray
+        _OWNS_SESSION = True
+    return _RayHandle(ray)
+
+
+class _RayHandle:
+    """Shutdown-only-if-owned wrapper: a command run inside an
+    existing session (pytest fixture, a calling driver) must not tear
+    that session down when it finishes."""
+
+    def __init__(self, ray_mod):
+        self._ray = ray_mod
+
+    def __getattr__(self, name):
+        return getattr(self._ray, name)
+
+    def shutdown(self):
+        if _OWNS_SESSION:
+            self._ray.shutdown()
 
 
 def _cmd_crawl(args) -> int:
@@ -136,6 +158,51 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    """Coalesce a directory of small parquet files into ~target-size
+    outputs. The resumable-output discipline (one file per shard /
+    partition per attempt) trades write-side idempotence for a long
+    tail of small files; compaction restores read efficiency — row
+    groups sized so a scan's per-file overhead amortizes. Refuses a
+    non-empty output dir (same stale-mix rule as ``parse``)."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    if os.path.isdir(args.output) and any(
+        f.endswith(".parquet") for f in os.listdir(args.output)
+    ):
+        print(
+            f"error: output dir {args.output} already contains parquet files; "
+            "use a fresh directory",
+            file=sys.stderr,
+        )
+        ray.shutdown()
+        return 2
+    in_bytes = sum(
+        os.path.getsize(os.path.join(args.input, f))
+        for f in os.listdir(args.input)
+        if f.endswith(".parquet")
+    )
+    target = max(1, -(-in_bytes // (args.target_mb << 20)))
+    ds = rd.read_parquet(args.input)
+    # repartition without shuffle: coalesce/split whole blocks, no
+    # all-to-all — compaction moves bytes once, not twice
+    ds.repartition(target).write_parquet(args.output)
+    n_out = sum(1 for f in os.listdir(args.output) if f.endswith(".parquet"))
+    print(
+        json.dumps(
+            {
+                "input_bytes": in_bytes,
+                "files_out": n_out,
+                "target_files": target,
+                "output": args.output,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def _cmd_synth(args) -> int:
     ray = _init_ray(args.num_cpus)
     from .sources.synth import write_pages_parquet_ray
@@ -173,6 +240,12 @@ def main(argv=None) -> int:
     q.add_argument("--head", type=int, default=20)
     q.add_argument("--list", action="store_true")
     q.set_defaults(fn=_cmd_query)
+
+    cp = sub.add_parser("compact", help="coalesce small parquet files")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.set_defaults(fn=_cmd_compact)
 
     s = sub.add_parser("synth", help="generate a synthetic pages universe")
     s.add_argument("--output", required=True)

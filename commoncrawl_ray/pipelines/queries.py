@@ -1765,6 +1765,56 @@ FROM events
 """
 
 
+def q_events_percent_rank(sf_dir: str):
+    """percent_rank window per event_type over (value, event_id) —
+    with event_id in the ORDER BY every row's peer group is itself, so
+    percent_rank = (rank-1)/(n-1) with rank = 1-based position, and
+    the float arithmetic is identical on both sides. Same shape as
+    q_events_running_total: sort(event_type) range co-partition + one
+    vectorized lexsort block pass."""
+
+    def prank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "event_type": pd.Series([], dtype=object),
+                    "pr": pd.Series([], dtype=np.float64),
+                }
+            )
+        et = df["event_type"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        val = df["value"].to_numpy()
+        order = np.lexsort((eid, val, et))
+        et, eid = et[order], eid[order]
+        starts = np.r_[0, np.flatnonzero(et[1:] != et[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(et)])
+        pos = np.arange(len(et)) - np.repeat(starts, counts)
+        denom = np.repeat(np.maximum(counts - 1, 1), counts)
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "event_type": et,
+                "pr": pos.astype(np.float64) / denom,
+            }
+        )
+
+    return (
+        _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+        .sort("event_type")
+        .map_batches(prank, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_EVENTS_PERCENT_RANK = """
+SELECT event_id, event_type,
+       percent_rank() OVER (
+         PARTITION BY event_type ORDER BY value, event_id
+       ) AS pr
+FROM events
+"""
+
+
 def q_customers_with_orders(sf_dir: str):
     """Distributed SEMI join (EXISTS): customers having at least one
     order, each exactly once however many orders they have. Both
@@ -2115,6 +2165,7 @@ REGISTRY: dict[str, tuple] = {
         SQL_EVENTS_VALUE_SKETCH_QUANTILES,
     ),
     "events_running_total": (q_events_running_total, SQL_EVENTS_RUNNING_TOTAL),
+    "events_percent_rank": (q_events_percent_rank, SQL_EVENTS_PERCENT_RANK),
     "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "customers_without_orders": (
         q_customers_without_orders,
