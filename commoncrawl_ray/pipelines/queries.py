@@ -1502,6 +1502,127 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the multi-way join composition test: revenue
+    by nation for one region where supplier and customer share the
+    nation. Physical plan (the 100 TB discipline, one decision per
+    table size):
+
+    - region/nation/supplier are BROADCAST (ray.put once, numpy
+      searchsorted probes inside map_batches) — never shuffled;
+    - customer x orders and (that result) x lineitem are the two
+      genuinely big exchanges, each a merge_join union+sort on ONE
+      key (custkey, then orderkey), with the region filter applied to
+      customers BEFORE the first exchange so non-ASIA rows never ship;
+    - revenue is summed in integer 1e-4 units (exact associative
+      aggregation — float SUM order would diverge from the oracle).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    import pyarrow.parquet as _pqm
+
+    nat = _pqm.read_table(f"{sf_dir}/nation.parquet")
+    reg = _pqm.read_table(f"{sf_dir}/region.parquet")
+    sup = _pqm.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    region_of = dict(
+        zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist())
+    )
+    nat_keys = np.array(nat.column("n_nationkey").to_pylist(), dtype=np.int64)
+    nat_order = np.argsort(nat_keys)
+    nat_keys = nat_keys[nat_order]
+    nat_names = np.array(nat.column("n_name").to_pylist(), dtype=object)[nat_order]
+    nat_region = np.array(
+        [region_of[rk] for rk in nat.column("n_regionkey").to_pylist()], dtype=object
+    )[nat_order]
+    asia_nations = set(nat_keys[nat_region == "ASIA"].tolist())
+    sup_keys = np.array(sup.column("s_suppkey").to_pylist(), dtype=np.int64)
+    sup_order = np.argsort(sup_keys)
+    sup_keys = sup_keys[sup_order]
+    sup_nation = np.array(sup.column("s_nationkey").to_pylist(), dtype=np.int64)[
+        sup_order
+    ]
+    shared = ray.put((sorted(asia_nations), sup_keys, sup_nation))
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        asia, _, _ = ray.get(shared)
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, np.array(asia, dtype=np.int64))
+        return t.filter(pa.array(mask))
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_in_region, batch_format="pyarrow"
+    )
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_cust = merge_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_nationkey"], how="inner",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "revenue_e4": pa.array(rev),
+            }
+        )
+
+    line = _pq(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_prep, batch_format="pyarrow")
+    joined = merge_join(
+        line, o_cust, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["c_nationkey"], how="inner",
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        _, sk, sn = ray.get(shared)
+        lsk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, lsk)
+        pos = np.minimum(pos, len(sk) - 1)
+        supp_nat = np.where(sk[pos] == lsk, sn[pos], -1)
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(supp_nat == cn))
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+    def name_of(t: pa.Table) -> pa.Table:
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nat_keys, keys)
+        return pa.table(
+            {
+                "n_name": pa.array(nat_names[pos].tolist(), pa.string()),
+                "revenue_e4": t.column("revenue_e4"),
+            }
+        )
+
+    return agg.map_batches(name_of, batch_format="pyarrow")
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
 def q_top_docs_per_lang(sf_dir: str):
     """Grouped top-k window rank (stages/rank.grouped_topk): the 3
     longest documents per language, rank 1-based, doc_id tiebreak."""
@@ -2167,6 +2288,7 @@ REGISTRY: dict[str, tuple] = {
     "events_running_total": (q_events_running_total, SQL_EVENTS_RUNNING_TOTAL),
     "events_percent_rank": (q_events_percent_rank, SQL_EVENTS_PERCENT_RANK),
     "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
+    "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "customers_without_orders": (
         q_customers_without_orders,
         SQL_CUSTOMERS_WITHOUT_ORDERS,
