@@ -1502,6 +1502,54 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_orders_of_rich_customers_bloom(sf_dir: str):
+    """Bloom-prefiltered SEMI join — the shuffle-volume reducer for
+    asymmetric joins at 100 TB: build a bloom over the (filtered)
+    small side's keys driver-side, ray.put it ONCE, and drop
+    non-matching big-side rows inside map_batches BEFORE the exact
+    merge_join exchange. The bloom pass is lossy-but-safe (false
+    positives only), so the exact semi join after it makes the final
+    result EXACT — which is what keeps this SQL-checkable while still
+    exercising the bloom probe on every row. Reuses the crawl's
+    state/bloom.py filter (reference BloomFilter.java semantics)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pqm
+
+    from ..stages.joins import merge_join
+    from ..state.bloom import BloomFilter
+
+    rich = _pqm.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).filter(pc.greater(pc.field("c_acctbal"), 5000.0))
+    keys = rich.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    bloom = BloomFilter(max(len(keys), 1))
+    bloom.add_batch(keys)
+    blob = ray.put(bloom.to_bytes())
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(ray.get(blob))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bf.maybe_present_batch(ck)))
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        prefilter, batch_format="pyarrow"
+    )
+    rich_ds = rd.from_arrow(rich.select(["c_custkey"]))
+    return merge_join(
+        orders, rich_ds, left_on="o_custkey", right_on="c_custkey",
+        right_cols=[], how="semi",
+    )
+
+
+SQL_ORDERS_OF_RICH_CUSTOMERS_BLOOM = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
+)
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape — the multi-way join composition test: revenue
     by nation for one region where supplier and customer share the
@@ -2101,6 +2149,33 @@ def _knuth32_np(ids: np.ndarray) -> np.ndarray:
     return (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
 
 
+def q_doc_length_quantiles_by_lang(sf_dir: str):
+    """Per-language doc-length distribution (p50/p90) via the
+    per-group KLL aggregate — the giant-group scale path for grouped
+    quantiles: only each group's SKETCH must fit in memory, never the
+    group itself (the exact q_events_quantiles needs a group to fit a
+    sort block). Exact-capacity configuration => percentile_disc
+    parity, SQL-checked."""
+    from ..stages.approx import sketch_quantiles_by_key
+
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"], min_blocks=8)
+    return sketch_quantiles_by_key(
+        ds, "lang", "n_chars", qs=[0.5, 0.9], capacity=8192
+    )
+
+
+SQL_DOC_LENGTH_QUANTILES_BY_LANG = """
+SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+         AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.9 AS DOUBLE),
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+FROM documents GROUP BY lang
+"""
+
+
 def q_docs_hash_sample(sf_dir: str):
     """Deterministic 20%% consistent sample of documents by key hash —
     the sampling discipline a 100 TB pipeline needs (the same doc is
@@ -2289,9 +2364,17 @@ REGISTRY: dict[str, tuple] = {
     "events_percent_rank": (q_events_percent_rank, SQL_EVENTS_PERCENT_RANK),
     "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
+    "orders_of_rich_customers_bloom": (
+        q_orders_of_rich_customers_bloom,
+        SQL_ORDERS_OF_RICH_CUSTOMERS_BLOOM,
+    ),
     "customers_without_orders": (
         q_customers_without_orders,
         SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "doc_length_quantiles_by_lang": (
+        q_doc_length_quantiles_by_lang,
+        SQL_DOC_LENGTH_QUANTILES_BY_LANG,
     ),
     "docs_hash_sample": (q_docs_hash_sample, SQL_DOCS_HASH_SAMPLE),
     "docs_stratified_sample": (

@@ -172,6 +172,61 @@ def approx_distinct_by_key(
     )
 
 
+def sketch_quantiles_by_key(
+    ds, key_col: str, val_col: str, qs: list[float], capacity: int = 2048
+):
+    """Per-group KLL quantiles -> Dataset (key, q, value).
+
+    Same combiner-then-groupby shape as ``approx_distinct_by_key``:
+    one KLL partial per (batch, key), shuffle of sketch rows only,
+    per-key merge + quantile extraction in map_groups. With
+    ``capacity`` >= the largest group the result is exact
+    percentile_disc (merge-order free) — unlike the exact
+    sort-and-scan quantiles in pipelines/queries.py this never needs
+    a group to fit one sort block, only its SKETCH to fit memory, so
+    it is the high-cardinality/giant-group scale path.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        vals = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_sk = [], []
+        for s, e in zip(starts, ends):
+            out_k.append(keys[s])
+            out_sk.append(KLLSketch(capacity).add(vals[s:e]).to_bytes())
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "sk": pa.array(out_sk, pa.binary()),
+            }
+        )
+
+    def merge_group(df):
+        import pandas as pd
+
+        acc = None
+        for b in df["sk"]:
+            sk = KLLSketch.from_bytes(b)
+            acc = sk if acc is None else acc.merge(sk)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]] * len(qs),
+                "q": list(qs),
+                "value": [acc.quantile(q) for q in qs],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_SKETCH_BATCH)
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 def sketch_quantiles(
     ds, col: str, qs: list[float], capacity: int = 2048, fanin: int = 32
 ) -> pa.Table:
