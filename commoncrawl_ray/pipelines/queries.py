@@ -1526,8 +1526,17 @@ def q_orders_of_rich_customers_bloom(sf_dir: str):
     bloom.add_batch(keys)
     blob = ray.put(bloom.to_bytes())
 
+    blob_key = blob.hex()
+
     def prefilter(t: pa.Table) -> pa.Table:
-        bf = BloomFilter.from_bytes(ray.get(blob))
+        # deserialize once per worker process, not per batch: from_bytes
+        # copies the bit array, and at 10^8 small-side keys that's a
+        # ~100 MB memcpy a per-batch path would repeat endlessly
+        bf = _WORKER_BLOOM_CACHE.get(blob_key)
+        if bf is None:
+            bf = BloomFilter.from_bytes(ray.get(blob))
+            _WORKER_BLOOM_CACHE.clear()  # one resident filter per worker
+            _WORKER_BLOOM_CACHE[blob_key] = bf
         ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(bf.maybe_present_batch(ck)))
 
@@ -2137,6 +2146,9 @@ UNION ALL SELECT CAST(0.9 AS DOUBLE),
 UNION ALL SELECT CAST(0.99 AS DOUBLE),
        percentile_disc(0.99) WITHIN GROUP (ORDER BY value) FROM events
 """
+
+
+_WORKER_BLOOM_CACHE: dict = {}  # per-worker-process broadcast-filter cache
 
 
 def _knuth32_np(ids: np.ndarray) -> np.ndarray:
