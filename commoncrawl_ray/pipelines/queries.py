@@ -1993,6 +1993,117 @@ FROM events
 """
 
 
+def q_events_value_delta(sf_dir: str):
+    """LAG window: per-user delta of value vs the previous event
+    (ts, event_id order), first event per user coalesced to 0.0 on
+    both sides so null semantics never enter the hash compare. Same
+    sort(user_id) + lexsort block-pass shape as the running total."""
+
+    def delta(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "delta": pd.Series([], dtype=np.float64),
+                }
+            )
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        val = df["value"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        d = np.empty(len(val), dtype=np.float64)
+        d[1:] = val[1:] - val[:-1]
+        d[0] = 0.0
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        d[starts] = 0.0  # first event of each user
+        return pd.DataFrame({"event_id": eid, "user_id": uid, "delta": d})
+
+    return (
+        _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .sort("user_id")
+        .map_batches(delta, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_EVENTS_VALUE_DELTA = """
+SELECT event_id, user_id,
+       COALESCE(
+         value - LAG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ), 0.0
+       ) AS delta
+FROM events
+"""
+
+
+def q_signup_to_purchase_funnel(sf_dir: str):
+    """Funnel: for each user, microseconds from FIRST signup to the
+    first purchase at-or-after it (users who never convert are
+    dropped). One sort(user_id) range co-partition, then a fully
+    vectorized block pass: first-signup per user via unique(return
+    index) on the (user, ts)-sorted signup rows, qualifying purchases
+    via a searchsorted map back to each user's signup floor. The
+    ordered-scan-per-entity pattern behind retention/attribution at
+    corpus scale."""
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "us_to_purchase": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        s_mask = et == "signup"
+        if not s_mask.any():
+            return empty
+        s_users, s_first = np.unique(uid[s_mask], return_index=True)
+        s_min = ts[s_mask][s_first]  # first signup ts per user
+        p_mask = et == "purchase"
+        p_uid, p_ts = uid[p_mask], ts[p_mask]
+        pos = np.searchsorted(s_users, p_uid)
+        pos_c = np.minimum(pos, len(s_users) - 1)
+        ok = (s_users[pos_c] == p_uid) & (p_ts >= s_min[pos_c])
+        p_uid, p_ts = p_uid[ok], p_ts[ok]
+        if len(p_uid) == 0:
+            return empty
+        c_users, c_first = np.unique(p_uid, return_index=True)
+        first_p = p_ts[c_first]  # first qualifying purchase per user
+        smin = s_min[np.searchsorted(s_users, c_users)]
+        return pd.DataFrame(
+            {"user_id": c_users, "us_to_purchase": first_p - smin}
+        )
+
+    return (
+        _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .sort("user_id")
+        .map_batches(funnel, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_SIGNUP_TO_PURCHASE_FUNNEL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(date_diff('microsecond', s.st, MIN(e.ts)) AS BIGINT)
+         AS us_to_purchase
+FROM events e JOIN s ON e.user_id = s.user_id
+WHERE e.event_type = 'purchase' AND e.ts >= s.st
+GROUP BY s.user_id, s.st
+"""
+
+
 def q_customers_with_orders(sf_dir: str):
     """Distributed SEMI join (EXISTS): customers having at least one
     order, each exactly once however many orders they have. Both
@@ -2374,6 +2485,11 @@ REGISTRY: dict[str, tuple] = {
     ),
     "events_running_total": (q_events_running_total, SQL_EVENTS_RUNNING_TOTAL),
     "events_percent_rank": (q_events_percent_rank, SQL_EVENTS_PERCENT_RANK),
+    "events_value_delta": (q_events_value_delta, SQL_EVENTS_VALUE_DELTA),
+    "signup_to_purchase_funnel": (
+        q_signup_to_purchase_funnel,
+        SQL_SIGNUP_TO_PURCHASE_FUNNEL,
+    ),
     "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "orders_of_rich_customers_bloom": (
