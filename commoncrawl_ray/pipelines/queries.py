@@ -2039,6 +2039,64 @@ FROM events
 """
 
 
+def q_events_rolling_avg(sf_dir: str):
+    """Rolling mean over the last 4 events per user (ROWS 3 PRECEDING)
+    — the windowed-aggregate form of the reference's MovingAverage
+    (functions/stats.py ports the kernel; this is the set-oriented
+    version). The frame sum is built from explicit shifted adds
+    (v + lag1 + lag2 + lag3, left to right) rather than cumsum
+    differences: same 4-term float addition a row-at-a-time engine
+    performs, so the hash compare sees identical doubles."""
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "avg4": pd.Series([], dtype=np.float64),
+                }
+            )
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        val = df["value"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        pos = np.arange(len(uid)) - np.repeat(starts, np.diff(np.r_[starts, len(uid)]))
+        # ascending frame order (v[-3]+v[-2]+v[-1]+v[0]) — the same
+        # left-to-right chain a scan over the frame performs
+        total = np.zeros(len(val), dtype=np.float64)
+        count = np.ones(len(val), dtype=np.float64)
+        for k in (3, 2, 1):
+            in_frame = pos >= k
+            shifted = np.zeros(len(val))
+            shifted[k:] = val[:-k]
+            total = np.where(in_frame, total + shifted, total)
+            count += in_frame
+        total += val
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": uid, "avg4": total / count}
+        )
+
+    return (
+        _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .sort("user_id")
+        .map_batches(rolling, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_EVENTS_ROLLING_AVG = """
+SELECT event_id, user_id,
+       AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ) AS avg4
+FROM events
+"""
+
+
 def q_signup_to_purchase_funnel(sf_dir: str):
     """Funnel: for each user, microseconds from FIRST signup to the
     first purchase at-or-after it (users who never convert are
@@ -2486,6 +2544,7 @@ REGISTRY: dict[str, tuple] = {
     "events_running_total": (q_events_running_total, SQL_EVENTS_RUNNING_TOTAL),
     "events_percent_rank": (q_events_percent_rank, SQL_EVENTS_PERCENT_RANK),
     "events_value_delta": (q_events_value_delta, SQL_EVENTS_VALUE_DELTA),
+    "events_rolling_avg": (q_events_rolling_avg, SQL_EVENTS_ROLLING_AVG),
     "signup_to_purchase_funnel": (
         q_signup_to_purchase_funnel,
         SQL_SIGNUP_TO_PURCHASE_FUNNEL,
