@@ -23,36 +23,37 @@ import os
 import sys
 
 
-_OWNS_SESSION = False
-
-
 def _init_ray(num_cpus: int | None):
-    global _OWNS_SESSION
     import ray
 
+    owned = False
     if not ray.is_initialized():
         kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
         addr = os.environ.get("RAY_ADDRESS", "local")
         if num_cpus is not None and addr == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(address=addr, **kwargs)
-        _OWNS_SESSION = True
-    return _RayHandle(ray)
+        owned = True
+    return _RayHandle(ray, owned)
 
 
 class _RayHandle:
     """Shutdown-only-if-owned wrapper: a command run inside an
     existing session (pytest fixture, a calling driver) must not tear
-    that session down when it finishes."""
+    that session down when it finishes. Ownership is captured per
+    handle at init time — a process-global latch would make a later
+    command that merely ATTACHED to someone else's session shut that
+    session down."""
 
-    def __init__(self, ray_mod):
+    def __init__(self, ray_mod, owned: bool):
         self._ray = ray_mod
+        self._owned = owned
 
     def __getattr__(self, name):
         return getattr(self._ray, name)
 
     def shutdown(self):
-        if _OWNS_SESSION:
+        if self._owned:
             self._ray.shutdown()
 
 
@@ -165,9 +166,16 @@ def _cmd_compact(args) -> int:
     tail of small files; compaction restores read efficiency — row
     groups sized so a scan's per-file overhead amortizes. Refuses a
     non-empty output dir (same stale-mix rule as ``parse``)."""
-    ray = _init_ray(args.num_cpus)
-    import ray.data as rd
-
+    if not os.path.isdir(args.input):
+        print(f"error: input dir {args.input} does not exist", file=sys.stderr)
+        return 2
+    in_files = [f for f in os.listdir(args.input) if f.endswith(".parquet")]
+    if not in_files:
+        print(
+            f"error: input dir {args.input} contains no parquet files",
+            file=sys.stderr,
+        )
+        return 2
     if os.path.isdir(args.output) and any(
         f.endswith(".parquet") for f in os.listdir(args.output)
     ):
@@ -176,13 +184,11 @@ def _cmd_compact(args) -> int:
             "use a fresh directory",
             file=sys.stderr,
         )
-        ray.shutdown()
         return 2
-    in_bytes = sum(
-        os.path.getsize(os.path.join(args.input, f))
-        for f in os.listdir(args.input)
-        if f.endswith(".parquet")
-    )
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    in_bytes = sum(os.path.getsize(os.path.join(args.input, f)) for f in in_files)
     target = max(1, -(-in_bytes // (args.target_mb << 20)))
     ds = rd.read_parquet(args.input)
     # repartition without shuffle: coalesce/split whole blocks, no

@@ -294,9 +294,20 @@ class KLLSketch:
                 lev += 1
                 continue
             buf = np.sort(self.levels[lev], kind="stable")
+            # weight conservation: an odd item cannot promote (it has
+            # no pair partner at 2**(lev+1) weight) — retain it at this
+            # level, compact the even remainder. Without this the
+            # represented mass drifts from n by 2**lev per odd
+            # compaction and rank estimates acquire a bias outside the
+            # KLL analysis.
+            if len(buf) % 2:
+                leftover = buf[-1:]
+                buf = buf[:-1]
+            else:
+                leftover = buf[:0]
             keep = buf[self.parity[lev] :: 2]
             self.parity[lev] ^= 1
-            self.levels[lev] = np.empty(0, dtype=np.float64)
+            self.levels[lev] = leftover
             if lev + 1 == len(self.levels):
                 self.levels.append(np.empty(0, dtype=np.float64))
                 self.parity.append(0)

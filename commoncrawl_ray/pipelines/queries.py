@@ -2459,37 +2459,28 @@ WHERE (doc_id * 2654435761) % 4294967296 < n_chars * 1048576
 
 def q_vocab_top_tokens(sf_dir: str):
     """Corpus vocabulary census — top-30 whitespace tokens by
-    frequency via the Space-Saving reduce (a vocab builder's first
-    pass). The per-batch partial is RE2 split + flatten + value_counts
-    (all Arrow kernels, zero Python in the token path); the summary
-    folds per-batch DISTINCT tokens. capacity=4096 >= global distinct
-    here => exact counts (the SQL-oracle configuration); at real
-    corpus vocabularies the same query is the bounded-memory
-    approximate heavy-hitter census."""
+    frequency: an Arrow RE2 split/flatten tokenize stage feeding the
+    SAME stages/approx.heavy_hitters reduce the language census uses
+    (one operator, two callers — no duplicated reduce tail). The
+    tokenize stage is zero Python in the token path; capacity=4096 >=
+    global distinct here => exact counts (the SQL-oracle
+    configuration); at real corpus vocabularies the same query is the
+    bounded-memory approximate heavy-hitter census."""
     import pyarrow.compute as pc
 
-    from ..functions.sketches import SpaceSaving
-    from ..stages.approx import _reduce_sketches
+    from ..stages.approx import heavy_hitters
 
-    def partial(t: pa.Table) -> pa.Table:
+    def tokenize(t: pa.Table) -> pa.Table:
         flat = pc.list_flatten(
             pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
         )
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = pc.value_counts(flat)
-        ss = SpaceSaving(4096).add_counted(
-            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
-        )
-        return pa.table({"sk": pa.array([ss.to_bytes()], pa.binary())})
+        return pa.table({"token": flat.filter(pc.not_equal(flat, ""))})
 
-    ds = _pq(sf_dir, "documents", ["text"], min_blocks=8)
-    acc = _reduce_sketches(ds, partial, SpaceSaving.from_bytes, fanin=8)
-    rows = acc.top(30) if acc is not None else []
-    return pa.table(
-        {
-            "token": pa.array([r[0] for r in rows], pa.string()),
-            "cnt": pa.array([r[1] for r in rows], pa.int64()),
-        }
+    ds = _pq(sf_dir, "documents", ["text"], min_blocks=8).map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+    return heavy_hitters(ds, "token", k=30, capacity=4096, fanin=8).drop_columns(
+        ["err"]
     )
 
 

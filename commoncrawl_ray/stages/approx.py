@@ -5,9 +5,8 @@ the right tool at 100 TB where exact `groupby`/`sort` answers cost an
 all-to-all shuffle:
 
     map_batches(partial sketch per input batch)   # streaming, no shuffle
-      -> repartition(fanin)                       # tiny rows, bounded move
-      -> map_batches(merge per block)             # <= fanin sketch rows
-      -> take_all() + driver merge                # <= fanin rows, KB-scale
+      -> map_batches(merge, batch_size=fanin) x2  # block-coalescing tree
+      -> take_all() + driver merge                # <= partials/fanin^2 rows
 
 The only data that ever moves is serialized sketch bytes: at 100 TB
 with 64 MB input blocks that is ~1.6M partial rows x ~16 KB = ~26 GB
@@ -134,8 +133,19 @@ def approx_distinct_by_key(
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        # null keys can't sort (None vs str) and null values must be
+        # skipped exactly as the single-process oracle skips them
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column(key_col)), pc.is_valid(t.column(val_col))
+            )
+        )
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         vals = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.string()), "sk": pa.array([], pa.binary())}
+            )
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
         starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
@@ -188,8 +198,19 @@ def sketch_quantiles_by_key(
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        # same null discipline as approx_distinct_by_key: null keys
+        # can't sort, null values are skipped (KLL.add also drops NaN)
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column(key_col)), pc.is_valid(t.column(val_col))
+            )
+        )
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         vals = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(keys) == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.string()), "sk": pa.array([], pa.binary())}
+            )
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
         starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]

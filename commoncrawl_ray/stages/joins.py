@@ -163,10 +163,12 @@ def merge_join(
         raise ValueError(
             f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
         )
-    if how in ("semi", "anti"):
+    if how in ("semi", "anti") and right_cols:
         # existence joins carry no payload: the right side contributes
-        # only its key presence, each left row appears at most once
-        right_cols = []
+        # only its key presence — silently dropping requested payload
+        # columns would surface as a confusing missing-column error
+        # far downstream
+        raise ValueError(f"right_cols must be empty for how={how!r}")
     left_schema = left.schema()
     left_names = list(left_schema.names)
     left_types = dict(zip(left_schema.names, left_schema.types))
