@@ -2357,6 +2357,39 @@ FROM documents GROUP BY lang
 """
 
 
+def q_docs_partitioned_write(sf_dir: str):
+    """Hive-partitioned parquet sink round-trip — the resumable-output
+    discipline as a tested operator: write documents partitioned by
+    lang (one directory per key, so a failed 100 TB run skips finished
+    partitions on retry and downstream readers prune by directory),
+    then read the partitioned tree back and count per partition. The
+    result hash-checks the WHOLE write+read path: a dropped/duplicated
+    row or a row filed under the wrong partition changes the counts."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ccray_part_write_", dir="/tmp")
+    try:
+        _pq(sf_dir, "documents", ["doc_id", "lang"]).write_parquet(
+            out, partition_cols=["lang"]
+        )
+        back = rd.read_parquet(out)
+        return (
+            back.groupby("lang")
+            .count()
+            .rename_columns({"count()": "n_docs"})
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_DOCS_PARTITIONED_WRITE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 def q_docs_hash_sample(sf_dir: str):
     """Deterministic 20%% consistent sample of documents by key hash —
     the sampling discipline a 100 TB pipeline needs (the same doc is
@@ -2549,6 +2582,10 @@ REGISTRY: dict[str, tuple] = {
     "customers_without_orders": (
         q_customers_without_orders,
         SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "docs_partitioned_write": (
+        q_docs_partitioned_write,
+        SQL_DOCS_PARTITIONED_WRITE,
     ),
     "doc_length_quantiles_by_lang": (
         q_doc_length_quantiles_by_lang,
