@@ -1351,7 +1351,10 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     sf_dir."""
     from .oracle_sketch import (
         oracle_arc_roundtrip_table,
+        oracle_hll_by_type_table,
+        oracle_hll_table,
         oracle_minhash_pairs_table,
+        oracle_multimodal_table,
         oracle_parse_extract_table,
         oracle_simhash_table,
     )
@@ -1361,6 +1364,9 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_minhash_pairs_table(sf_dir)
     oracle_parse_extract_table(sf_dir)
     oracle_arc_roundtrip_table()
+    oracle_hll_table(sf_dir)
+    oracle_hll_by_type_table(sf_dir)
+    oracle_multimodal_table()
 
 
 def q_crawl_log(sf_dir: str):
