@@ -68,6 +68,16 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> _U64(31))
 
 
+def knuth32(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash, 32-bit (TAOCP v3 §6.4) — the one
+    hash here chosen to be SQL-EXPRESSIBLE ((id*2654435761) %% 2^32 in
+    plain BIGINT arithmetic), the basis of every consistent-sampling
+    operator (pipelines/queries.py sampling queries, the IVF hash
+    sample). Domain: non-negative ids below ~2^31; splitmix64 is the
+    full-range variant."""
+    return (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+
+
 def _clz64(w: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros for uint64 (w == 0 -> 64)."""
     w = w.astype(_U64, copy=True)

@@ -351,3 +351,80 @@ def oracle_multimodal_table(path: str = MULTIMODAL_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+KNN_IVF_ORACLE_PATH = "/tmp/ccray_oracle_knn_ivf.parquet"
+
+
+def oracle_knn_ivf_table(
+    sf_dir: str,
+    path: str = KNN_IVF_ORACLE_PATH,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 8,
+    sample_size: int = 4096,
+) -> str:
+    """Single-process APPROXIMATE IVF (hash-sample quantizer config):
+    shares the numeric kernels (kmeans_fit, _normalize, list_to_matrix,
+    knuth32 — the crawl-oracle kernel-sharing rule) but replaces every
+    piece of distribution with sequential numpy: no broadcast, no
+    per-batch partial top-k, no sort-shuffle reduce. Valid because the
+    hash sample fixes the quantizer deterministically (stages/ann.py
+    sample_mode="hash"), assignment/probe are pure functions of the
+    centroids, and the union of per-batch top-k always contains the
+    global top-k — so the distributed result must match this one, with
+    cosines rounded to 6 decimals absorbing BLAS shape-dependent ulps."""
+    from ..functions.sketches import knuth32
+    from ..functions.vec import list_to_matrix
+    from ..stages.ann import _normalize, kmeans_fit
+
+    src_key = f"{os.path.abspath(sf_dir)}|ivf|{k}|{n_centroids}|{nprobe}|{sample_size}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = list_to_matrix(t.column("embedding"))
+
+    # the same deterministic sample rule as stages/ann.py
+    n = len(ids)
+    if n > sample_size:
+        thresh = np.uint64(
+            min(1 << 32, int(np.ceil((1 << 32) * 2.0 * sample_size / n)))
+        )
+        sel = np.nonzero(knuth32(ids) < thresh)[0]
+        sel = sel[np.argsort(ids[sel], kind="stable")][:sample_size]
+    else:
+        sel = np.argsort(ids, kind="stable")
+    centroids = kmeans_fit(mat[sel], n_centroids)
+
+    qsel = [int(np.nonzero(ids == qid)[0][0]) for qid in range(4)]
+    qn = _normalize(np.asarray(mat[qsel], dtype=np.float64))
+    q_cent = qn @ centroids.T
+    nprobe_eff = min(nprobe, centroids.shape[0])
+    probe = np.argsort(-q_cent, axis=1, kind="stable")[:, :nprobe_eff]
+
+    matn = _normalize(mat.astype(np.float64))
+    assign = np.argmax(matn @ centroids.T, axis=1)
+    rows_q, rows_id, rows_cos, rows_rank = [], [], [], []
+    for qi in range(len(qn)):
+        cand = np.nonzero(np.isin(assign, probe[qi]))[0]
+        if len(cand) == 0:
+            continue
+        sims = matn[cand] @ qn[qi]
+        order = np.lexsort((ids[cand], -sims))[:k]
+        for r, j in enumerate(order):
+            rows_q.append(qi)
+            rows_id.append(int(ids[cand][j]))
+            rows_cos.append(round(float(sims[j]), 6))
+            rows_rank.append(r)
+    out = pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "cosine": pa.array(rows_cos, pa.float64()),
+            "rank": pa.array(rows_rank, pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1017,26 +1017,48 @@ WHERE 5 * i.inter >= 4 * (sa.sz + sb.sz - i.inter)
 def q_knn_ivf(sf_dir: str):
     """IVF ANN (kmeans coarse quantizer + nprobe inverted-list scan)
     top-10 neighbours for query vectors vec_id 0..3 — the scale path
-    next to the brute-force baseline q_knn_cosine. Approximate =>
-    rows-only for the driver; recall vs brute force asserted in
-    tests/test_ann.py."""
+    next to the brute-force baseline q_knn_cosine. Runs the
+    sample_mode="hash" configuration: the quantizer sample is a
+    deterministic hash-selected id set, so the whole APPROXIMATE
+    result is a pure function of the input and hash-checks against
+    the single-process oracle (oracle_sketch.oracle_knn_ivf_table —
+    same numeric kernels, zero distribution machinery). Recall vs
+    brute force additionally asserted in tests/test_ann.py."""
     import pyarrow.parquet as pq
 
     from ..stages.ann import knn_ivf
+    from .oracle_sketch import oracle_knn_ivf_table
 
+    oracle_knn_ivf_table(sf_dir)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
     qmat = np.array(
         [t.column("embedding")[ids.index(qid)].as_py() for qid in range(4)],
         dtype=np.float64,
     )
-    return knn_ivf(
+    res = knn_ivf(
         _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
         qmat,
         k=10,
         n_centroids=32,
         nprobe=8,
+        sample_mode="hash",
     )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("query_id").cast(pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "cosine": pa.array(
+                    np.round(batch.column("cosine").to_numpy(), 6), pa.float64()
+                ),
+                "rank": batch.column("rank").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(finalize, batch_format="pyarrow")
+
 
 
 def q_knn_ivf_exhaustive(sf_dir: str):
@@ -1313,6 +1335,7 @@ from .oracle_sketch import (
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
+    KNN_IVF_ORACLE_PATH,
     MULTIMODAL_ORACLE_PATH,
     PARSE_ORACLE_PATH,
     SIMHASH_ORACLE_PATH,
@@ -1321,6 +1344,11 @@ from .oracle_sketch import (
 SQL_MULTIMODAL_FEATURES = f"""
 SELECT media_id, kind, feat_dim, n_frames
 FROM read_parquet('{MULTIMODAL_ORACLE_PATH}')
+"""
+
+SQL_KNN_IVF = f"""
+SELECT query_id, vec_id, cosine, rank
+FROM read_parquet('{KNN_IVF_ORACLE_PATH}')
 """
 
 
@@ -1353,6 +1381,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_arc_roundtrip_table,
         oracle_hll_by_type_table,
         oracle_hll_table,
+        oracle_knn_ivf_table,
         oracle_minhash_pairs_table,
         oracle_multimodal_table,
         oracle_parse_extract_table,
@@ -1367,6 +1396,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_hll_table(sf_dir)
     oracle_hll_by_type_table(sf_dir)
     oracle_multimodal_table()
+    oracle_knn_ivf_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -2326,14 +2356,7 @@ UNION ALL SELECT CAST(0.99 AS DOUBLE),
 _WORKER_BLOOM_CACHE: dict = {}  # per-worker-process broadcast-filter cache
 
 
-def _knuth32_np(ids: np.ndarray) -> np.ndarray:
-    """Knuth multiplicative hash, 32-bit (TAOCP v3 §6.4): the one hash
-    in this repo chosen to be SQL-EXPRESSIBLE ((id*2654435761) %% 2^32
-    in plain BIGINT arithmetic) so consistent-sampling queries can be
-    value-hash-checked end-to-end. Domain: non-negative ids below
-    ~2^31 (DuckDB BIGINT product must not overflow); the production
-    variant for full-range keys is functions/sketches.splitmix64."""
-    return (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+from ..functions.sketches import knuth32 as _knuth32_np  # SQL-expressible hash
 
 
 def q_doc_length_quantiles_by_lang(sf_dir: str):
@@ -2555,7 +2578,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "sharded_top_docs": (q_sharded_top_docs, SQL_SHARDED_TOP_DOCS),
-    "knn_ivf": (q_knn_ivf, None),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

@@ -65,6 +65,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     sample_size: int = 4096,
     seed: int = 42,
+    sample_mode: str = "random",
 ):
     """-> Dataset of (query_id, vec_id, cosine, rank) — approximate
     top-k per query row of ``query_mat``."""
@@ -79,7 +80,32 @@ def knn_ivf(
     # per-row Bernoulli filter, no shuffle; the over-sampled fraction
     # (2x) keeps the follow-up limit() from starving.
     n_rows = ds.count()  # parquet metadata for file-backed inputs
-    if n_rows > sample_size:
+    if sample_mode == "hash":
+        # fully DETERMINISTIC sample, independent of block layout:
+        # hash-select ~2x sample_size ids, order by id, truncate. A
+        # single process applying the same rule reproduces the exact
+        # sample (and therefore the exact centroids) — what makes the
+        # approximate IVF config oracle-checkable
+        # (oracle_sketch.oracle_knn_ivf_table).
+        from ..functions.sketches import knuth32
+
+        if n_rows > sample_size:
+            thresh = np.uint64(
+                min(1 << 32, int(np.ceil((1 << 32) * 2.0 * sample_size / n_rows)))
+            )
+
+            def hash_keep(t: pa.Table) -> pa.Table:
+                ids_ = t.column(id_col).to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(knuth32(ids_) < thresh))
+
+            sample_ds = (
+                ds.map_batches(hash_keep, batch_format="pyarrow")
+                .sort(id_col)
+                .limit(sample_size)
+            )
+        else:
+            sample_ds = ds.sort(id_col)
+    elif n_rows > sample_size:
         frac = min(1.0, (2.0 * sample_size) / n_rows)
         sample_ds = ds.random_sample(frac, seed=seed).limit(sample_size)
     else:

@@ -165,3 +165,38 @@ def test_query_control_progress_and_cancel(ray_session, tmp_path):
     # no cache entry for the cancelled query
     h2_dir = [d for d in (tmp_path).iterdir() if q2.cache_fp() in d.name]
     assert not any(d.name == q2.cache_fp() for d in h2_dir)
+
+
+def test_knn_ivf_hash_sample_under_capacity(ray_session):
+    """sample_mode='hash' with sample_size < n exercises the
+    hash-filter -> sort(id) -> truncate quantizer path; recall vs
+    brute force must stay sane and reruns must be identical."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.ann import knn_ivf
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    q = mat[:3].astype(np.float64)
+
+    def run():
+        res = knn_ivf(
+            rd.from_arrow(t), q, k=5, n_centroids=16, nprobe=16,
+            sample_size=64, sample_mode="hash",
+        ).to_pandas()
+        return sorted(map(tuple, res[["query_id", "vec_id", "rank"]].to_numpy()))
+
+    first = run()
+    assert run() == first  # deterministic across runs
+    # nprobe == n_centroids => exact: each query's rank-0 is itself
+    top0 = {qid: vid for qid, vid, r in first if r == 0}
+    assert top0 == {0: 0, 1: 1, 2: 2}
