@@ -428,3 +428,104 @@ def oracle_knn_ivf_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+KNN_IVFPQ_ORACLE_PATH = "/tmp/ccray_oracle_knn_ivfpq.parquet"
+
+
+def oracle_knn_ivfpq_table(
+    sf_dir: str,
+    path: str = KNN_IVFPQ_ORACLE_PATH,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 8,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 4096,
+) -> str:
+    """Single-process IVF-PQ (same deterministic training as
+    stages/ann.knn_ivfpq: hash sample -> shared kmeans_fit coarse ->
+    kmeans_l2 residual sub-quantizers), sequential encode + ADC over
+    the whole matrix, global top-k. Kernel sharing + independent
+    execution, per the oracle discipline."""
+    from ..functions.sketches import knuth32
+    from ..functions.vec import list_to_matrix
+    from ..stages.ann import _normalize, kmeans_fit, kmeans_l2
+
+    src_key = (
+        f"{os.path.abspath(sf_dir)}|ivfpq|{k}|{n_centroids}|{nprobe}|{m}|"
+        f"{n_codes}|{sample_size}"
+    )
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = list_to_matrix(t.column("embedding"))
+    n = len(ids)
+    if n > sample_size:
+        thresh = np.uint64(
+            min(1 << 32, int(np.ceil((1 << 32) * 2.0 * sample_size / n)))
+        )
+        sel = np.nonzero(knuth32(ids) < thresh)[0]
+        sel = sel[np.argsort(ids[sel], kind="stable")][:sample_size]
+    else:
+        sel = np.argsort(ids, kind="stable")
+    sample = mat[sel]
+    dim = sample.shape[1]
+    sub = dim // m
+    centroids = kmeans_fit(sample, n_centroids)
+    sn = _normalize(sample.astype(np.float64))
+    s_assign = np.argmax(sn @ centroids.T, axis=1)
+    resid = sn - centroids[s_assign]
+    codebooks = [
+        kmeans_l2(resid[:, s * sub : (s + 1) * sub], n_codes, seed=42 + s)
+        for s in range(m)
+    ]
+
+    matn = _normalize(mat.astype(np.float64))
+    assign = np.argmax(matn @ centroids.T, axis=1)
+    r = matn - centroids[assign]
+    codes = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        rs_ = r[:, s * sub : (s + 1) * sub]
+        d = (
+            (rs_**2).sum(axis=1)[:, None]
+            - 2.0 * (rs_ @ codebooks[s].T)
+            + (codebooks[s] ** 2).sum(axis=1)[None, :]
+        )
+        codes[:, s] = np.argmin(d, axis=1)
+
+    qsel = [int(np.nonzero(ids == qid)[0][0]) for qid in range(4)]
+    qn = _normalize(mat[qsel].astype(np.float64))
+    q_cent = qn @ centroids.T
+    nprobe_eff = min(nprobe, centroids.shape[0])
+    probe = np.argsort(-q_cent, axis=1, kind="stable")[:, :nprobe_eff]
+    sub_idx = np.arange(m)[None, :]
+    rows_q, rows_id, rows_sc, rows_rank = [], [], [], []
+    for qi in range(len(qn)):
+        lut = np.stack(
+            [qn[qi, s * sub : (s + 1) * sub] @ codebooks[s].T for s in range(m)]
+        )  # (m, k')
+        cand = np.nonzero(np.isin(assign, probe[qi]))[0]
+        if len(cand) == 0:
+            continue
+        sc = lut[sub_idx.ravel()[None, :], codes[cand]].sum(axis=1) + q_cent[
+            qi, assign[cand]
+        ]
+        order = np.lexsort((ids[cand], -sc))[:k]
+        for rnk, j in enumerate(order):
+            rows_q.append(qi)
+            rows_id.append(int(ids[cand][j]))
+            rows_sc.append(round(float(sc[j]), 6))
+            rows_rank.append(rnk)
+    out = pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "score": pa.array(rows_sc, pa.float64()),
+            "rank": pa.array(rows_rank, pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

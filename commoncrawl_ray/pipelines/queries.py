@@ -1030,6 +1030,7 @@ def q_knn_ivf(sf_dir: str):
     from .oracle_sketch import oracle_knn_ivf_table
 
     oracle_knn_ivf_table(sf_dir)
+    oracle_knn_ivfpq_table(sf_dir)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
     qmat = np.array(
@@ -1059,6 +1060,49 @@ def q_knn_ivf(sf_dir: str):
 
     return res.map_batches(finalize, batch_format="pyarrow")
 
+
+
+def q_knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (Jegou/Douze/Schmid 2011): coarse inverted lists +
+    product-quantized residuals scored via per-query lookup tables —
+    the memory-compressed scale path (m bytes/vector in the scan, m
+    table lookups/score). Deterministic end to end (hash-sample
+    training, shared kernels), hash-checked against the sequential
+    oracle (oracle_sketch.oracle_knn_ivfpq_table); recall vs brute
+    force asserted in tests/test_ann.py."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import knn_ivfpq
+    from .oracle_sketch import oracle_knn_ivfpq_table
+
+    oracle_knn_ivfpq_table(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    qmat = np.array(
+        [t.column("embedding")[ids.index(qid)].as_py() for qid in range(4)],
+        dtype=np.float64,
+    )
+    res = knn_ivfpq(
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qmat,
+        k=10,
+        n_centroids=32,
+        nprobe=8,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("query_id").cast(pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "score": pa.array(
+                    np.round(batch.column("score").to_numpy(), 6), pa.float64()
+                ),
+                "rank": batch.column("rank").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_knn_ivf_exhaustive(sf_dir: str):
@@ -1335,6 +1379,7 @@ from .oracle_sketch import (
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
+    KNN_IVFPQ_ORACLE_PATH,
     KNN_IVF_ORACLE_PATH,
     MULTIMODAL_ORACLE_PATH,
     PARSE_ORACLE_PATH,
@@ -1349,6 +1394,11 @@ FROM read_parquet('{MULTIMODAL_ORACLE_PATH}')
 SQL_KNN_IVF = f"""
 SELECT query_id, vec_id, cosine, rank
 FROM read_parquet('{KNN_IVF_ORACLE_PATH}')
+"""
+
+SQL_KNN_IVFPQ = f"""
+SELECT query_id, vec_id, score, rank
+FROM read_parquet('{KNN_IVFPQ_ORACLE_PATH}')
 """
 
 
@@ -1382,6 +1432,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_hll_by_type_table,
         oracle_hll_table,
         oracle_knn_ivf_table,
+        oracle_knn_ivfpq_table,
         oracle_minhash_pairs_table,
         oracle_multimodal_table,
         oracle_parse_extract_table,
@@ -2579,6 +2630,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "sharded_top_docs": (q_sharded_top_docs, SQL_SHARDED_TOP_DOCS),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
+    "knn_ivfpq": (q_knn_ivfpq, SQL_KNN_IVFPQ),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

@@ -200,3 +200,33 @@ def test_knn_ivf_hash_sample_under_capacity(ray_session):
     # nprobe == n_centroids => exact: each query's rank-0 is itself
     top0 = {qid: vid for qid, vid, r in first if r == 0}
     assert top0 == {0: 0, 1: 1, 2: 2}
+
+
+def test_knn_ivfpq_recall_vs_brute_force(ray_session):
+    """PQ compression loses precision but IVF-PQ top-10 must still
+    recall most of the true top-10 (nprobe=all isolates PQ error from
+    list-pruning error)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from commoncrawl_ray.pipelines.queries import _pq
+    from commoncrawl_ray.stages.ann import _normalize, knn_ivfpq
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    qmat = mat[np.searchsorted(ids, [0, 1, 2, 3])]
+    res = knn_ivfpq(
+        _pq(sf, "embeddings", ["vec_id", "embedding"]),
+        qmat, k=10, n_centroids=32, nprobe=32,
+    ).to_pandas()
+    matn = _normalize(mat)
+    qn = _normalize(qmat)
+    sims = qn @ matn.T
+    recalls = []
+    for qi in range(4):
+        true_top = set(ids[np.argsort(-sims[qi], kind="stable")[:10]].tolist())
+        got = set(res[res["query_id"] == qi]["vec_id"].tolist())
+        recalls.append(len(true_top & got) / 10.0)
+    assert np.mean(recalls) >= 0.5, recalls  # PQ distortion bound, m=8 x 8 dims
