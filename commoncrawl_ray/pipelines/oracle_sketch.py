@@ -529,3 +529,65 @@ def oracle_knn_ivfpq_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+PAGERANK_ORACLE_PATH = "/tmp/ccray_oracle_pagerank.parquet"
+
+
+def oracle_pagerank_table(
+    sf_dir: str,
+    path: str = PAGERANK_ORACLE_PATH,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> str:
+    """Single-process PageRank over the host graph of the SAME pages
+    cache the registered query parses: sequential parse via the shared
+    kernel, the shared edge-extraction batch function, then a dense
+    numpy power iteration (dict indices instead of distributed joins).
+    Ranks rounded to 6 decimals on both sides."""
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+    from ..stages.pagerank import extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    pages_dir = pages_cache_dir(sf)
+    src_key = f"{os.path.abspath(sf_dir)}|pagerank|{sf}|{damping}|{iters}"
+    if _is_fresh(path, src_key):
+        return path
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        from ..sources.synth import write_pages_parquet_ray
+
+        write_pages_parquet_ray(pages_dir, sf)
+    pages = pq.read_table(pages_dir)
+    edge_set: set[tuple[str, str]] = set()
+    B = 256
+    for off in range(0, pages.num_rows, B):
+        parsed = parse_extract_batch(pages.slice(off, B))
+        et = extract_host_edges_batch(parsed)
+        edge_set.update(
+            zip(et.column("src").to_pylist(), et.column("dst").to_pylist())
+        )
+    nodes = sorted({h for e in edge_set for h in e})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        out = pa.table(
+            {"host": pa.array([], pa.string()), "pr": pa.array([], pa.float64())}
+        )
+        return _write_atomic(out, path, src_key)
+    src_i = np.array([idx[s] for s, _ in edge_set], dtype=np.int64)
+    dst_i = np.array([idx[d] for _, d in edge_set], dtype=np.int64)
+    deg = np.bincount(src_i, minlength=n).astype(np.float64)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = pr[deg == 0].sum()
+        w = np.where(deg > 0, pr / np.maximum(deg, 1.0), 0.0)
+        s = np.bincount(dst_i, weights=w[src_i], minlength=n)
+        pr = (1.0 - damping) / n + damping * (s + dangling / n)
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "pr": pa.array(np.round(pr, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1031,6 +1031,7 @@ def q_knn_ivf(sf_dir: str):
 
     oracle_knn_ivf_table(sf_dir)
     oracle_knn_ivfpq_table(sf_dir)
+    oracle_pagerank_table(sf_dir)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
     qmat = np.array(
@@ -1279,6 +1280,37 @@ FROM documents
 """
 
 
+def q_pagerank_hosts(sf_dir: str):
+    """PageRank over the crawl's host link graph — the iterative-
+    algorithm pipeline on the engine's own pages universe: streaming
+    parse -> anchor resolution -> distinct host edges (one sort
+    exchange) -> 10 damped power iterations, each moving the edge
+    table exactly once (stages/pagerank.py). Hash-checked against the
+    sequential oracle (same parse + edge kernels, dense numpy
+    iteration)."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import pagerank_hosts
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_pagerank_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_pagerank_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return pagerank_hosts(parsed, damping=0.85, iters=10)
+
+
 def q_parse_extract(sf_dir: str):
     """The flagship parse/extract pipeline over the engine's own pages
     universe at a matching scale (input_hint shape). Hash-checked
@@ -1380,6 +1412,7 @@ from .oracle_sketch import (
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
     KNN_IVFPQ_ORACLE_PATH,
+    PAGERANK_ORACLE_PATH,
     KNN_IVF_ORACLE_PATH,
     MULTIMODAL_ORACLE_PATH,
     PARSE_ORACLE_PATH,
@@ -1399,6 +1432,10 @@ FROM read_parquet('{KNN_IVF_ORACLE_PATH}')
 SQL_KNN_IVFPQ = f"""
 SELECT query_id, vec_id, score, rank
 FROM read_parquet('{KNN_IVFPQ_ORACLE_PATH}')
+"""
+
+SQL_PAGERANK_HOSTS = f"""
+SELECT host, pr FROM read_parquet('{PAGERANK_ORACLE_PATH}')
 """
 
 
@@ -1433,6 +1470,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_hll_table,
         oracle_knn_ivf_table,
         oracle_knn_ivfpq_table,
+        oracle_pagerank_table,
         oracle_minhash_pairs_table,
         oracle_multimodal_table,
         oracle_parse_extract_table,
@@ -2631,6 +2669,7 @@ REGISTRY: dict[str, tuple] = {
     "sharded_top_docs": (q_sharded_top_docs, SQL_SHARDED_TOP_DOCS),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_ivfpq": (q_knn_ivfpq, SQL_KNN_IVFPQ),
+    "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

@@ -1,0 +1,232 @@
+"""Distributed PageRank over the crawl's host link graph.
+
+The iterative-algorithm showcase on the engine's own data: pages ->
+parse (anchors) -> resolve -> host-to-host edge table -> power
+iteration. Reference contact point: the reference extracts exactly
+these anchors during metadata building (``NodeWalker.java:21``,
+anchorTags in ``protocol.jr:120``); ranking the discovered host graph
+is the canonical downstream consumer of that data (Page/Brin 1998,
+"The PageRank citation ranking").
+
+Scale shape:
+
+- **Edge build streams**: parse kernel per batch, href resolution per
+  page, host projection; edge dedup via one sort(src) range exchange
+  with block-local adjacent-dedup (equal keys co-locate in one sort
+  block — the repo's standing co-partition guarantee).
+- **Each power iteration moves the edge table once**: the rank/degree
+  table attaches to edges via the union+sort(src) merge_join,
+  contributions groupby(dst).sum, then a left merge_join back onto
+  the node table so sink-only hosts keep receiving teleport mass.
+  The edge table and node/degree table are built and materialized
+  ONCE; the loop-carried rank table is node-sized, stays a
+  DISTRIBUTED dataset throughout (components.py discipline), and is
+  materialized per round. The driver sees two scalars per iteration
+  (node count once, dangling mass each round) — never a node or edge
+  table.
+- Dangling mass (hosts with no out-links) is redistributed uniformly.
+
+Determinism: every step is a pure function of the edge set; float
+summation order varies with partitioning only at the ulp level, and
+the oracle comparison rounds ranks to 6 decimals (the established
+absorption bound for reduction reassociation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _host_of(url: str) -> str | None:
+    from urllib.parse import urlsplit
+
+    try:
+        h = urlsplit(url).hostname
+    except ValueError:
+        return None
+    return h.lower() if h else None
+
+
+def extract_host_edges_batch(t: pa.Table) -> pa.Table:
+    """Parse-output batch (url, anchors, base) -> (src, dst) host
+    pairs, per-page de-duplicated, self-loops dropped. The anchors
+    column is the reference's anchorTags wire format: href/text pairs
+    separated by line feeds (protocol.jr:120)."""
+    from .links import resolve_links
+
+    urls = t.column("url").to_pylist()
+    anchors = t.column("anchors").to_pylist()
+    bases = t.column("base_url").to_pylist()
+    src_out: list[str] = []
+    dst_out: list[str] = []
+    for u, a, b in zip(urls, anchors, bases):
+        if not a:
+            continue
+        src = _host_of(u)
+        if not src:
+            continue
+        hrefs = a.split("\n")[0::2]
+        seen: set[str] = set()
+        for link in resolve_links(u, hrefs, b):
+            dst = _host_of(link)
+            if dst and dst != src and dst not in seen:
+                seen.add(dst)
+                src_out.append(src)
+                dst_out.append(dst)
+    return pa.table(
+        {
+            "src": pa.array(src_out, pa.string()),
+            "dst": pa.array(dst_out, pa.string()),
+        }
+    )
+
+
+def _distinct_sorted(ds, cols: list[str]):
+    """Global distinct of a (string...) tuple dataset: one sort range
+    exchange + vectorized adjacent-dedup per block (equal first-key
+    rows never split across sort blocks)."""
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        arrs = [
+            t.column(c).to_numpy(zero_copy_only=False) for c in cols
+        ]
+        order = np.lexsort(arrs[::-1])  # last key primary for lexsort
+        keep = np.ones(len(order), dtype=bool)
+        same = np.ones(len(order) - 1, dtype=bool)
+        for v in arrs:
+            vs = v[order]
+            same &= vs[1:] == vs[:-1]
+        keep[1:] = ~same
+        # pyarrow in/out keeps the Arrow schema intact even for empty
+        # results (a pandas stage here reports Python dtypes upstream
+        # and breaks merge_join's wire-schema construction)
+        return t.take(pa.array(order[keep], pa.int64()))
+
+    return ds.sort(cols[0]).map_batches(
+        dedup_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def pagerank_hosts(parse_ds, damping: float = 0.85, iters: int = 10, parts: int = 8):
+    """parse_ds: parse-output Dataset carrying (url, anchors, base).
+    -> Dataset (host, pr), pr rounded to 6 decimals."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import merge_join
+
+    edges = _distinct_sorted(
+        parse_ds.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        ["src", "dst"],
+    ).repartition(parts).materialize()
+
+    # node table = distinct(src) ∪ distinct(dst); degree via groupby
+    nodes = _distinct_sorted(
+        edges.select_columns(["src"])
+        .map_batches(
+            lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+        )
+        .union(
+            edges.select_columns(["dst"]).map_batches(
+                lambda t: pa.table({"node": t.column("dst")}),
+                batch_format="pyarrow",
+            )
+        ),
+        ["node"],
+    )
+    degrees = edges.groupby("src").count()  # (src, count())
+    node_deg = merge_join(
+        nodes,
+        degrees.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "deg": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        left_on="node",
+        right_on="src",
+        right_cols=["deg"],
+        how="left",
+    ).repartition(parts).materialize()
+    n = node_deg.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"host": pa.array([], pa.string()), "pr": pa.array([], pa.float64())}
+            )
+        )
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pr", pa.array(np.full(len(t), 1.0 / n), pa.float64())
+        )
+
+    ranks = node_deg.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # dangling mass: one scalar leaves the cluster per iteration
+        dang_row = ranks.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("deg"))),
+            batch_format="pyarrow",
+        ).aggregate(Sum("pr", alias_name="s"))
+        dangling = float(dang_row["s"] or 0.0)
+
+        def to_weight(t: pa.Table) -> pa.Table:
+            pr = t.column("pr").to_numpy(zero_copy_only=False)
+            deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                w = np.where(np.isnan(deg) | (deg == 0), 0.0, pr / deg)
+            return pa.table({"node": t.column("node"), "w": pa.array(w)})
+
+        weights = ranks.map_batches(to_weight, batch_format="pyarrow")
+        contribs = merge_join(
+            edges, weights, left_on="src", right_on="node",
+            right_cols=["w"], how="inner",
+        )
+        sums = contribs.groupby("dst").aggregate(Sum("w", alias_name="s"))
+        new_ranks = merge_join(
+            node_deg, sums, left_on="node", right_on="dst",
+            right_cols=["s"], how="left",
+        )
+
+        def apply_rank(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+            s = np.nan_to_num(s, nan=0.0)
+            pr = (1.0 - damping) / n + damping * (s + dangling / n)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "deg": t.column("deg"),
+                    "pr": pa.array(pr, pa.float64()),
+                }
+            )
+
+        # bound the loop-carried block count: sorts/joins otherwise
+        # MULTIPLY blocks round over round until per-task overhead
+        # dominates (the components.py lesson; its ``parts`` knob)
+        ranks = (
+            new_ranks.map_batches(apply_rank, batch_format="pyarrow")
+            .repartition(parts)
+            .materialize()
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "pr": pa.array(
+                    np.round(t.column("pr").to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
