@@ -65,3 +65,47 @@ def test_random_graph_matches_union_find(ray_session):
 
     got = _cc(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
     assert got == want
+
+
+# --- pagerank building blocks (stages/pagerank.py) --------------------
+
+
+def test_extract_host_edges_batch():
+    import pyarrow as pa
+
+    from commoncrawl_ray.stages.pagerank import extract_host_edges_batch
+
+    t = pa.table(
+        {
+            "url": ["http://a.com/x", "http://b.com/y", "http://c.com/z"],
+            "anchors": [
+                # href\ntext\n pairs (protocol.jr:120 wire format)
+                "http://b.com/p\nlink\n/local\nself link\nhttp://a.com/q\ndup host a? no: self\n",
+                "rel/path\nrelative\nhttp://B.com/upper\nself after lower\nmailto:x@y\nskip\n",
+                None,
+            ],
+            "base_url": [None, "http://base.org/dir/", None],
+        }
+    )
+    out = extract_host_edges_batch(t)
+    pairs = sorted(zip(out.column("src").to_pylist(), out.column("dst").to_pylist()))
+    # a.com -> b.com (self-loops a->a dropped); b.com -> base.org via
+    # <base>-resolved relative link (B.com lowercases to self, dropped)
+    assert pairs == [("a.com", "b.com"), ("b.com", "base.org")]
+
+
+def test_distinct_sorted_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.pagerank import _distinct_sorted
+
+    t = pa.table(
+        {
+            "src": ["a", "a", "b", "a", "b"],
+            "dst": ["x", "x", "y", "z", "y"],
+        }
+    )
+    out = _distinct_sorted(rd.from_arrow(t), ["src", "dst"])
+    pairs = sorted(zip(*[out.to_pandas()[c] for c in ("src", "dst")]))
+    assert pairs == [("a", "x"), ("a", "z"), ("b", "y")]
