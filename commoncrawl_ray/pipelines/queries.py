@@ -1030,8 +1030,6 @@ def q_knn_ivf(sf_dir: str):
     from .oracle_sketch import oracle_knn_ivf_table
 
     oracle_knn_ivf_table(sf_dir)
-    oracle_knn_ivfpq_table(sf_dir)
-    oracle_pagerank_table(sf_dir)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
     qmat = np.array(
@@ -1486,6 +1484,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_hll_by_type_table(sf_dir)
     oracle_multimodal_table()
     oracle_knn_ivf_table(sf_dir)
+    oracle_knn_ivfpq_table(sf_dir)
+    oracle_pagerank_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
