@@ -531,29 +531,16 @@ def oracle_knn_ivfpq_table(
     return _write_atomic(out, path, src_key)
 
 
-PAGERANK_ORACLE_PATH = "/tmp/ccray_oracle_pagerank.parquet"
-
-
-def oracle_pagerank_table(
-    sf_dir: str,
-    path: str = PAGERANK_ORACLE_PATH,
-    damping: float = 0.85,
-    iters: int = 10,
-) -> str:
-    """Single-process PageRank over the host graph of the SAME pages
-    cache the registered query parses: sequential parse via the shared
-    kernel, the shared edge-extraction batch function, then a dense
-    numpy power iteration (dict indices instead of distributed joins).
-    Ranks rounded to 6 decimals on both sides."""
+def _sequential_host_edges(sf_dir: str):
+    """Sequential pages -> host edge build shared by the graph oracles
+    (pagerank, HITS): same parse + edge kernels as the distributed
+    path, plain Python set dedup. -> (nodes list, src_idx, dst_idx)."""
     from ..sources.synth import pages_cache_dir, sf_from_dir
     from ..stages.pagerank import extract_host_edges_batch
     from ..stages.parse_extract import parse_extract_batch
 
     sf = min(sf_from_dir(sf_dir), 0.01)
     pages_dir = pages_cache_dir(sf)
-    src_key = f"{os.path.abspath(sf_dir)}|pagerank|{sf}|{damping}|{iters}"
-    if _is_fresh(path, src_key):
-        return path
     if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
         from ..sources.synth import write_pages_parquet_ray
 
@@ -569,14 +556,38 @@ def oracle_pagerank_table(
         )
     nodes = sorted({h for e in edge_set for h in e})
     idx = {h: i for i, h in enumerate(nodes)}
+    src_i = np.array([idx[s] for s, _ in edge_set], dtype=np.int64)
+    dst_i = np.array([idx[d] for _, d in edge_set], dtype=np.int64)
+    return nodes, src_i, dst_i
+
+
+PAGERANK_ORACLE_PATH = "/tmp/ccray_oracle_pagerank.parquet"
+
+
+def oracle_pagerank_table(
+    sf_dir: str,
+    path: str = PAGERANK_ORACLE_PATH,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> str:
+    """Single-process PageRank over the host graph of the SAME pages
+    cache the registered query parses: sequential parse via the shared
+    kernel, the shared edge-extraction batch function, then a dense
+    numpy power iteration (dict indices instead of distributed joins).
+    Ranks rounded to 6 decimals on both sides."""
+    from ..sources.synth import sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|pagerank|{sf}|{damping}|{iters}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
     n = len(nodes)
     if n == 0:
         out = pa.table(
             {"host": pa.array([], pa.string()), "pr": pa.array([], pa.float64())}
         )
         return _write_atomic(out, path, src_key)
-    src_i = np.array([idx[s] for s, _ in edge_set], dtype=np.int64)
-    dst_i = np.array([idx[d] for _, d in edge_set], dtype=np.int64)
     deg = np.bincount(src_i, minlength=n).astype(np.float64)
     pr = np.full(n, 1.0 / n)
     for _ in range(iters):
@@ -588,6 +599,52 @@ def oracle_pagerank_table(
         {
             "host": pa.array(nodes, pa.string()),
             "pr": pa.array(np.round(pr, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
+HITS_ORACLE_PATH = "/tmp/ccray_oracle_hits.parquet"
+
+
+def oracle_hits_table(
+    sf_dir: str, path: str = HITS_ORACLE_PATH, iters: int = 6
+) -> str:
+    """Single-process HITS (Kleinberg 1999) over the same host graph:
+    a = E^T h then h = E a per iteration, L2-normalized. Dense numpy
+    vs the distributed per-iteration edge exchanges; scores rounded
+    to 6 decimals on both sides."""
+    from ..sources.synth import sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|hits|{sf}|{iters}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    n = len(nodes)
+    if n == 0:
+        out = pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "authority": pa.array([], pa.float64()),
+                "hub": pa.array([], pa.float64()),
+            }
+        )
+        return _write_atomic(out, path, src_key)
+    hub = np.full(n, 1.0)
+    auth = np.full(n, 1.0)
+    for _ in range(iters):
+        auth = np.bincount(dst_i, weights=hub[src_i], minlength=n)
+        norm = np.sqrt((auth**2).sum())
+        auth = auth / norm if norm else auth
+        hub = np.bincount(src_i, weights=auth[dst_i], minlength=n)
+        norm = np.sqrt((hub**2).sum())
+        hub = hub / norm if norm else hub
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "authority": pa.array(np.round(auth, 6), pa.float64()),
+            "hub": pa.array(np.round(hub, 6), pa.float64()),
         }
     )
     return _write_atomic(out, path, src_key)

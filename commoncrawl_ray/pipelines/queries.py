@@ -1309,6 +1309,35 @@ def q_pagerank_hosts(sf_dir: str):
     return pagerank_hosts(parsed, damping=0.85, iters=10)
 
 
+def q_hits_hosts(sf_dir: str):
+    """HITS hubs/authorities over the crawl host graph — the second
+    iterative graph pipeline next to PageRank (stages/pagerank.py
+    hits_hosts: two edge exchanges + two one-scalar L2 norms per
+    iteration, distributed score table throughout). Hash-checked
+    against the dense-numpy sequential oracle."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import hits_hosts
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_hits_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_hits_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return hits_hosts(parsed, iters=6)
+
+
 def q_parse_extract(sf_dir: str):
     """The flagship parse/extract pipeline over the engine's own pages
     universe at a matching scale (input_hint shape). Hash-checked
@@ -1410,6 +1439,7 @@ from .oracle_sketch import (
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
     KNN_IVFPQ_ORACLE_PATH,
+    HITS_ORACLE_PATH,
     PAGERANK_ORACLE_PATH,
     KNN_IVF_ORACLE_PATH,
     MULTIMODAL_ORACLE_PATH,
@@ -1434,6 +1464,10 @@ FROM read_parquet('{KNN_IVFPQ_ORACLE_PATH}')
 
 SQL_PAGERANK_HOSTS = f"""
 SELECT host, pr FROM read_parquet('{PAGERANK_ORACLE_PATH}')
+"""
+
+SQL_HITS_HOSTS = f"""
+SELECT host, authority, hub FROM read_parquet('{HITS_ORACLE_PATH}')
 """
 
 
@@ -1468,6 +1502,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_hll_table,
         oracle_knn_ivf_table,
         oracle_knn_ivfpq_table,
+        oracle_hits_table,
         oracle_pagerank_table,
         oracle_minhash_pairs_table,
         oracle_multimodal_table,
@@ -1486,6 +1521,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_knn_ivf_table(sf_dir)
     oracle_knn_ivfpq_table(sf_dir)
     oracle_pagerank_table(sf_dir)
+    oracle_hits_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -2670,6 +2706,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_ivfpq": (q_knn_ivfpq, SQL_KNN_IVFPQ),
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
+    "hits_hosts": (q_hits_hosts, SQL_HITS_HOSTS),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

@@ -230,3 +230,148 @@ def pagerank_hosts(parse_ds, damping: float = 0.85, iters: int = 10, parts: int 
         )
 
     return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+def hits_hosts(parse_ds, iters: int = 10, parts: int = 8):
+    """HITS hubs/authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment") over the same host graph ->
+    Dataset (host, authority, hub), rounded to 6 decimals.
+
+    Per iteration, two edge-table exchanges (a = E^T h, then
+    h = E a) and two one-scalar L2-norm aggregates; the score table
+    stays a distributed node-sized dataset with the same bounded
+    block count as pagerank_hosts."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import merge_join
+
+    edges = (
+        _distinct_sorted(
+            parse_ds.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+            ["src", "dst"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    nodes = (
+        _distinct_sorted(
+            edges.select_columns(["src"])
+            .map_batches(
+                lambda t: pa.table({"node": t.column("src")}),
+                batch_format="pyarrow",
+            )
+            .union(
+                edges.select_columns(["dst"]).map_batches(
+                    lambda t: pa.table({"node": t.column("dst")}),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["node"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    if nodes.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "authority": pa.array([], pa.float64()),
+                    "hub": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def with_const(name, value):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    name: pa.array(np.full(len(t), value), pa.float64()),
+                }
+            )
+
+        return f
+
+    def half_step(scores, score_col, join_key, group_key, out_col):
+        """One HITS half-update: propagate ``score_col`` across edges
+        joined on ``join_key``, sum per ``group_key``, left-join onto
+        the node table (zeros for isolated sides), L2-normalize."""
+        contribs = merge_join(
+            edges, scores, left_on=join_key, right_on="node",
+            right_cols=[score_col], how="inner",
+        )
+        sums = contribs.groupby(group_key).aggregate(
+            Sum(score_col, alias_name="s")
+        ).materialize()
+
+        # L2 norm from the pre-join sums: nodes absent from `sums`
+        # are exact zeros and contribute nothing — computing the norm
+        # here saves a whole materialize + node-table pass per half
+        # step (4 fewer Ray jobs per HITS iteration)
+        def sq(t: pa.Table) -> pa.Table:
+            v = t.column("s").to_numpy(zero_copy_only=False)
+            return pa.table({"v2": pa.array(v * v)})
+
+        total = sums.map_batches(sq, batch_format="pyarrow").aggregate(
+            Sum("v2", alias_name="s")
+        )
+        norm = float(np.sqrt(total["s"] or 0.0))
+
+        joined = merge_join(
+            nodes, sums, left_on="node", right_on=group_key,
+            right_cols=["s"], how="left",
+        )
+
+        def fill_scale(t: pa.Table) -> pa.Table:
+            v = np.nan_to_num(
+                t.column("s").to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0,
+            )
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    out_col: pa.array(v / norm if norm else v),
+                }
+            )
+
+        return (
+            joined.map_batches(fill_scale, batch_format="pyarrow")
+            .repartition(parts)
+            .materialize()
+        )
+
+    hub = nodes.map_batches(with_const("hub", 1.0), batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        # a = E^T h : hub scores flow src -> dst
+        auth = half_step(hub, "hub", "src", "dst", "authority")
+        # h = E a : authority scores flow dst -> src
+        hub = half_step(auth, "authority", "dst", "src", "hub")
+
+    combined = merge_join(
+        auth, hub, left_on="node", right_on="node",
+        right_cols=["hub"], how="left",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        a = np.round(
+            t.column("authority").to_numpy(zero_copy_only=False), 6
+        )
+        h = np.round(
+            np.nan_to_num(
+                t.column("hub").to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0,
+            ),
+            6,
+        )
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "authority": pa.array(a, pa.float64()),
+                "hub": pa.array(h, pa.float64()),
+            }
+        )
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
