@@ -2544,6 +2544,118 @@ FROM documents GROUP BY lang
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF top-3 terms per document — the IR/LLM feature pipeline:
+    per-doc term frequencies computed IN-BATCH (a document lives in
+    one row, so tf needs no shuffle), document frequency via one
+    groupby(token), idf attached by the union+sort(token) merge_join,
+    ranking via grouped_topk's pre-combined per-group top-k. The
+    score is ROUNDED to 6 decimals BEFORE ranking on both sides so
+    libm-vs-DuckDB ln() ulp differences can never reorder the top-k;
+    ties at equal rounded scores break on the token string."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+    from ..stages.rank import grouped_topk
+
+    n_docs = float(
+        __import__("pyarrow.parquet", fromlist=["read_metadata"]).read_metadata(
+            f"{sf_dir}/documents.parquet"
+        ).num_rows
+    )
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        doc_rep = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+        )
+        tok = flat.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        df_ = pd.DataFrame({"doc_id": doc_rep[keep], "token": tok[keep]})
+        g = df_.groupby(["doc_id", "token"], sort=True).size().reset_index(name="tf")
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "token": pa.array(g["token"].tolist(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tf = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    df_counts = (
+        tf.groupby("token")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "token": t.column("token"),
+                    "df": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    scored = merge_join(
+        tf, df_counts, left_on="token", right_on="token",
+        right_cols=["df"], how="inner",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tfv * np.log(n_docs / dfv), 6)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "token": t.column("token"),
+                "tf": t.column("tf"),
+                "tfidf": pa.array(tfidf, pa.float64()),
+            }
+        )
+
+    ranked = grouped_topk(
+        scored.map_batches(score, batch_format="pyarrow"),
+        group_col="doc_id",
+        order_col="tfidf",
+        k=3,
+        tiebreak_col="token",
+    )
+    return ranked.map_batches(
+        lambda t: t.rename_columns(
+            [{"rank": "rk"}.get(c, c) for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * LN(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tf, tfidf, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token
+  ) AS rk FROM scored
+) WHERE rk <= 3
+"""
+
+
 def q_docs_hash_sample(sf_dir: str):
     """Deterministic 20%% consistent sample of documents by key hash —
     the sampling discipline a 100 TB pipeline needs (the same doc is
@@ -2755,6 +2867,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "docs_weighted_sample": (q_docs_weighted_sample, SQL_DOCS_WEIGHTED_SAMPLE),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
