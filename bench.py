@@ -55,15 +55,25 @@ def _fresh_session(num_cpus: int):
     rd.range(num_cpus * 4).map_batches(lambda b: b, batch_format="pyarrow").count()
 
 
-def _best_of(phase_fn, num_cpus: int, repeats: int = _REPEATS):
+def _best_of(phase_fn, num_cpus: int, repeats: int = _REPEATS, setup=None, teardown=None):
     """Run ``phase_fn`` in a fresh session per attempt; return the
-    (wall_seconds, result) of the fastest attempt."""
+    (wall_seconds, result) of the fastest attempt.
+
+    ``setup``/``teardown`` run OUTSIDE the timed region (per attempt) —
+    scratch-dir creation/removal must not deflate throughput (ADVICE
+    r3). ``setup``'s return value is passed to ``phase_fn`` and
+    ``teardown``."""
     best = None
     for _ in range(max(1, repeats)):
         _fresh_session(num_cpus)
-        t = time.time()
-        result = phase_fn()
-        wall = time.time() - t
+        ctx = setup() if setup is not None else None
+        try:
+            t = time.time()
+            result = phase_fn(ctx) if setup is not None else phase_fn()
+            wall = time.time() - t
+        finally:
+            if teardown is not None:
+                teardown(ctx)
         if best is None or wall < best[0]:
             best = (wall, result)
     return best
@@ -98,7 +108,7 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
         from commoncrawl_ray.stages.parse_extract import parse_extract_batch
 
         return (
-            rd.read_parquet(pages_dir)
+            rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html"])
             .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
             .count()
         )
@@ -108,10 +118,17 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
     extras["parsed_pages_per_sec"] = round(n_pages / wall, 1)
 
     # --- crawl throughput ---------------------------------------------
-    def run_crawl():
-        import shutil
+    def crawl_setup():
         import tempfile
 
+        return tempfile.mkdtemp(prefix="cc_ray_bench_crawl_")
+
+    def crawl_teardown(ckpt):
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    def run_crawl(ckpt):
         from commoncrawl_ray.pipelines.common import CrawlConfig
         from commoncrawl_ray.pipelines.crawl import crawl
         from commoncrawl_ray.state.politeness import PolitenessPolicy
@@ -135,14 +152,12 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
             num_seen_partitions=8,
             policy=PolitenessPolicy(burst=128, refill=128),
         )
-        ckpt = tempfile.mkdtemp(prefix="cc_ray_bench_crawl_")
-        try:
-            res = crawl(cfg, ckpt, fetch_concurrency=(2, max(2, num_cpus // 2)))
-        finally:
-            shutil.rmtree(ckpt, ignore_errors=True)
+        res = crawl(cfg, ckpt, fetch_concurrency=(2, max(2, num_cpus // 2)))
         return sum(c["fetched"] for c in res.counters), res.seen_total
 
-    wall, (fetched, discovered) = _best_of(run_crawl, num_cpus)
+    wall, (fetched, discovered) = _best_of(
+        run_crawl, num_cpus, setup=crawl_setup, teardown=crawl_teardown
+    )
     timings["crawl_epochs"] = wall
     extras["fetched_pages_per_sec"] = round(fetched / wall, 1)
     extras["discovered_urls_per_sec"] = round(discovered / wall, 1)

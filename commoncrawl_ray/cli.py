@@ -104,7 +104,7 @@ def _cmd_parse(args) -> int:
         )
         ray.shutdown()
         return 2
-    ds = rd.read_parquet(args.input)
+    ds = rd.read_parquet(args.input, columns=["url", "warc_ts", "html"])
     docs = ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
     docs.write_parquet(args.output)
     # row count from the written files' footers — re-running the parse

@@ -43,15 +43,25 @@ _CHARSET_PATTERN = re.compile(r"charset=\s*([a-z][_\-0-9a-z]*)", re.IGNORECASE)
 # Full alias table: data/charset_aliases.tsv carries the complete
 # 706-entry alias -> canonical map the reference embeds
 # (util/shared/CharsetUtils.java:228-940, ICU converter alias data);
-# loaded lazily once per worker. The inline map below is only a hot
-# fast-path for the overwhelmingly common web charsets and overrides
-# nothing (the TSV wins on conflicts by being consulted first for
-# names it knows).
+# loaded lazily once per worker. The inline map below is a hot
+# fast-path for the overwhelmingly common web charsets; the TSV wins
+# on conflicts by being consulted first for names it knows, so every
+# TSV canonical must resolve to a codec via _canonical_to_codec (or
+# intentionally fall to byte detection).
 _ALIAS_TABLE: dict[str, str] | None = None
 
 # canonical ICU names Python lacks a same-named codec for, mapped to
 # the closest stdlib codec (same byte semantics)
 _CANON_EXTRAS = {
+    # ICU's x-JISAutoDetect (the TSV canonical for declared euc-jp /
+    # ujis / eucjis) auto-detects among EUC-JP/SJIS/ISO-2022-JP in
+    # Java; the stdlib has no such codec, so fall back to euc_jp — the
+    # declared intent of every alias that canonicalizes here.  A page
+    # that declared euc-jp but is really SJIS fails the euc_jp decode
+    # and falls through to byte detection, mirroring JISAutoDetect
+    # (ADVICE r3: without this entry, correctly-declared EUC-JP pages
+    # skipped straight to detection).
+    "x-jisautodetect": "euc_jp",
     "x-ms950-hkscs": "big5hkscs",
     "x-ibm33722": "euc_jp",
     "x-ibm943": "cp932",

@@ -978,6 +978,8 @@ def crawl(
         # 9. url_seen checkpoint + manifest (manifest LAST => epoch complete)
         seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
         seen_total = seen_pool.checkpoint(seen_dir)
+        from ..state import counters as _skew
+
         counters = {
             "epoch": epoch,
             "fetched": epoch_counts.get("fetched", 0),
@@ -986,6 +988,9 @@ def crawl(
             "dup_skipped": epoch_counts.get("dup_skipped", 0),
             "seen_total": seen_total,
             "stage_seconds": stage_t,
+            # "no silent caps": cumulative skipped-bucket counters from
+            # capped operators in this session (state/counters.py)
+            "skew_counters": _skew.snapshot(),
         }
         res.counters.append(counters)
         _atomic_write_json(

@@ -198,7 +198,7 @@ def oracle_parse_extract_table(sf_dir: str, path: str = PARSE_ORACLE_PATH) -> st
         write_pages_parquet_ray(pages_dir, sf)
     from ..stages.parse_extract import parse_extract_batch
 
-    src = pq.read_table(pages_dir)
+    src = pq.read_table(pages_dir, columns=["url", "warc_ts", "html"])
     parts = [
         _parse_projection(parse_extract_batch(src.slice(off, 1024)))
         for off in range(0, len(src), 1024)
@@ -531,21 +531,31 @@ def oracle_knn_ivfpq_table(
     return _write_atomic(out, path, src_key)
 
 
+_HOST_EDGES_CACHE: dict[str, tuple] = {}
+
+
 def _sequential_host_edges(sf_dir: str):
     """Sequential pages -> host edge build shared by the graph oracles
     (pagerank, HITS): same parse + edge kernels as the distributed
-    path, plain Python set dedup. -> (nodes list, src_idx, dst_idx)."""
+    path, plain Python set dedup. -> (nodes list, src_idx, dst_idx).
+
+    Memoized per pages cache dir (ADVICE r3): ensure_oracle_tables()
+    builds both graph oracles eagerly, so without the cache the whole
+    pages corpus would be re-parsed single-threaded twice."""
     from ..sources.synth import pages_cache_dir, sf_from_dir
     from ..stages.pagerank import extract_host_edges_batch
     from ..stages.parse_extract import parse_extract_batch
 
     sf = min(sf_from_dir(sf_dir), 0.01)
     pages_dir = pages_cache_dir(sf)
+    cached = _HOST_EDGES_CACHE.get(pages_dir)
+    if cached is not None:
+        return cached
     if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
         from ..sources.synth import write_pages_parquet_ray
 
         write_pages_parquet_ray(pages_dir, sf)
-    pages = pq.read_table(pages_dir)
+    pages = pq.read_table(pages_dir, columns=["url", "warc_ts", "html"])
     edge_set: set[tuple[str, str]] = set()
     B = 256
     for off in range(0, pages.num_rows, B):
@@ -558,6 +568,7 @@ def _sequential_host_edges(sf_dir: str):
     idx = {h: i for i, h in enumerate(nodes)}
     src_i = np.array([idx[s] for s, _ in edge_set], dtype=np.int64)
     dst_i = np.array([idx[d] for _, d in edge_set], dtype=np.int64)
+    _HOST_EDGES_CACHE[pages_dir] = (nodes, src_i, dst_i)
     return nodes, src_i, dst_i
 
 

@@ -1299,7 +1299,7 @@ def q_pagerank_hosts(sf_dir: str):
         write_pages_parquet_ray(path, sf)
     oracle_pagerank_table(sf_dir)
     parsed = (
-        rd.read_parquet(path)
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
         .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
         .map_batches(
             lambda t: t.select(["url", "anchors", "base_url"]),
@@ -1328,7 +1328,7 @@ def q_hits_hosts(sf_dir: str):
         write_pages_parquet_ray(path, sf)
     oracle_hits_table(sf_dir)
     parsed = (
-        rd.read_parquet(path)
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
         .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
         .map_batches(
             lambda t: t.select(["url", "anchors", "base_url"]),
@@ -1357,7 +1357,7 @@ def q_parse_extract(sf_dir: str):
     oracle_parse_extract_table(sf_dir)
     from ..stages.parse_extract import parse_extract_batch
 
-    ds = rd.read_parquet(path)
+    ds = rd.read_parquet(path, columns=["url", "warc_ts", "html"])
     return ds.map_batches(
         parse_extract_batch, batch_format="pyarrow", batch_size=256
     ).map_batches(_parse_projection, batch_format="pyarrow")
@@ -2079,12 +2079,15 @@ def q_events_running_total(sf_dir: str):
         val = df["value"].to_numpy()
         order = np.lexsort((eid, ts, uid))
         uid, eid, val = uid[order], eid[order], val[order]
-        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
-        counts = np.diff(np.r_[starts, len(uid)])
-        cum = np.cumsum(val)
-        base = np.repeat(cum[starts] - val[starts], counts)
+        # per-group cumsum (fresh accumulator per user) so the float
+        # addition chain matches the SQL window's per-partition scan —
+        # a global cumsum minus group base is a DIFFERENT float chain
+        # and only coincidentally hash-matches (ADVICE r3)
+        run = (
+            pd.Series(val).groupby(pd.Series(uid), sort=False).cumsum().to_numpy()
+        )
         return pd.DataFrame(
-            {"event_id": eid, "user_id": uid, "running_total": cum - base}
+            {"event_id": eid, "user_id": uid, "running_total": run}
         )
 
     return (

@@ -286,11 +286,16 @@ def run_query(
     keyed = [(name, pq.read_metadata(os.path.join(attempt, name)).num_rows) for name in files]
     if query.sort_by:
         _check_file_order(attempt, files, query.sort_by[0])
+    from ..state import counters as _skew
+
     manifest = {
         "query": {"domain_id": query.domain_id, "params": query.params},
         "sort_by": [list(s) for s in query.sort_by],
         "total_rows": int(sum(r for _, r in keyed)),
         "files": [{"name": n, "rows": int(r)} for n, r in keyed],
+        # "no silent caps": skipped-bucket counters from any capped
+        # operator that ran in this session (state/counters.py)
+        "skew_counters": _skew.snapshot(),
     }
     tmp_man = os.path.join(attempt, "manifest.json.tmp")
     with open(tmp_man, "w") as f:

@@ -162,8 +162,21 @@ def minhash_lsh_pairs(
     num_perm: int = _DEFAULT_PERMS,
     bands: int = _DEFAULT_BANDS,
     jaccard_threshold: float = 0.8,
+    max_bucket_docs: int | None = 4096,
 ):
     """-> distinct (id_a, id_b, jaccard) verified near-dup pairs.
+
+    ``max_bucket_docs`` caps the quadratic candidate emission inside one
+    (band_id, band_hash) bucket, the same guard as ``max_bucket_docs``
+    in ``simhash_near_dup`` and ``max_gram_docs`` in
+    ``ngram_jaccard_pairs`` (VERDICT r3 #1 — this was the last uncapped
+    bucket-local pass).  On boilerplate-heavy web corpora near-identical
+    docs collide in EVERY band, so one bucket can hold the whole clone
+    family and b(b-1)/2 pairs would materialize in a single sort block.
+    A bucket wider than the cap is skipped and counted
+    (``state.counters``, "no silent caps"); docs that identical are
+    caught upstream by ``exact_dedup`` in the llm_prep composite.
+    ``max_bucket_docs=None`` opts into exact mode.
 
     Fully distributed, no driver materialization (VERDICT r1 #1):
 
@@ -194,13 +207,28 @@ def minhash_lsh_pairs(
         ids = df["id"].to_numpy()
         starts, counts = _group_slices(band, bh)
         a_parts, b_parts = [], []
+        skipped_b = skipped_r = avoided = 0
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
             u = np.unique(ids[s : s + c])
             if len(u) < 2:
                 continue
+            if max_bucket_docs is not None and len(u) > max_bucket_docs:
+                skipped_b += 1
+                skipped_r += len(u)
+                avoided += len(u) * (len(u) - 1) // 2
+                continue
             iu, ju = np.triu_indices(len(u), k=1)
             a_parts.append(u[iu])
             b_parts.append(u[ju])
+        if skipped_b:
+            from ..state.counters import count_skip
+
+            count_skip(
+                "minhash_lsh_pairs",
+                buckets=skipped_b,
+                rows=skipped_r,
+                pairs_avoided=avoided,
+            )
         if not a_parts:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
         return pd.DataFrame(
@@ -396,8 +424,12 @@ def ngram_jaccard_pairs(
             docs = df["doc"].to_numpy()
             szs = df["sz"].to_numpy()
             starts, counts = _group_slices(grams)
+            skipped_b = skipped_r = avoided = 0
             for s, c in zip(starts[counts > 1], counts[counts > 1]):
                 if max_gram_docs is not None and c > max_gram_docs:
+                    skipped_b += 1
+                    skipped_r += int(c)
+                    avoided += int(c) * (int(c) - 1) // 2
                     continue
                 gd = docs[s : s + c]
                 gs = szs[s : s + c]
@@ -406,6 +438,15 @@ def ngram_jaccard_pairs(
                 b_out.append(gd[ju])
                 sa_out.append(gs[iu])
                 sb_out.append(gs[ju])
+            if skipped_b:
+                from ..state.counters import count_skip
+
+                count_skip(
+                    "ngram_jaccard_pairs",
+                    buckets=skipped_b,
+                    rows=skipped_r,
+                    pairs_avoided=avoided,
+                )
         if not a_out:
             return pa.schema(
                 [
@@ -475,22 +516,23 @@ def simhash_near_dup(
     from ..functions.simhash import simhash_text_batch
 
     def add_sim(batch: pa.Table) -> pa.Table:
+        # ×4 band replication via numpy tile + one Arrow concat — no
+        # per-band to_pylist round trips (VERDICT r3 #9).
         sims = simhash_text_batch(batch.column(text_col).to_pylist())
-        ids = batch.column(id_col)
-        out_id, out_band, out_key, out_sim = [], [], [], []
+        n = len(sims)
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
         u = sims.view(np.uint64)
+        keys = np.empty(4 * n, dtype=np.int64)
         for b in range(4):
-            key = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_id.extend(ids.to_pylist())
-            out_band.extend([b] * len(sims))
-            out_key.extend(key.tolist())
-            out_sim.extend(sims.tolist())
+            keys[b * n : (b + 1) * n] = (
+                (u >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
         return pa.table(
             {
-                "id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                "simhash": pa.array(out_sim, pa.int64()),
+                "id": pa.concat_arrays([ids] * 4),
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys),
+                "simhash": pa.array(np.tile(sims, 4)),
             }
         )
 
@@ -513,8 +555,12 @@ def simhash_near_dup(
         sims = df["simhash"].to_numpy()
         starts, counts = _group_slices(band, key)
         a_out, b_out, h_out = [], [], []
+        skipped_b = skipped_r = avoided = 0
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
             if max_bucket_docs is not None and c > max_bucket_docs:
+                skipped_b += 1
+                skipped_r += int(c)
+                avoided += int(c) * (int(c) - 1) // 2
                 continue
             gi = ids[s : s + c]
             gs = np.ascontiguousarray(sims[s : s + c]).view(np.uint64)
@@ -529,6 +575,15 @@ def simhash_near_dup(
                 a_out.append(gi[iu[hit]])
                 b_out.append(gi[ju[hit]])
                 h_out.append(h[hit])
+        if skipped_b:
+            from ..state.counters import count_skip
+
+            count_skip(
+                "simhash_near_dup",
+                buckets=skipped_b,
+                rows=skipped_r,
+                pairs_avoided=avoided,
+            )
         if not a_out:
             return empty
         return pd.DataFrame(

@@ -152,6 +152,28 @@ class AsyncHttpFetcher:
             )
         elif content_length is not None:
             body = await reader.readexactly(min(content_length, self.max_body))
+            if content_length > self.max_body:
+                # truncated: rewrite Content-Length to the actual body
+                # length so the record stays internally consistent
+                # (mirrors the dechunk path above; ADVICE r3) and mark
+                # the truncation like the reference's
+                # ContentTruncated flag (Constants.java x_commoncrawl_*)
+                lines = []
+                for ln in bytes(header_raw).splitlines(keepends=True):
+                    if ln.lower().startswith(b"content-length"):
+                        continue
+                    lines.append(ln)
+                term = (
+                    lines.pop() if lines and lines[-1] in (b"\r\n", b"\n") else b"\r\n"
+                )
+                header_raw = bytearray(
+                    b"".join(lines)
+                    + b"Content-Length: %d\r\n" % len(body)
+                    + b"x-commoncrawl-ContentTruncated: truncated-in-download\r\n"
+                    + term
+                )
+                # connection is Connection: close per request; the
+                # unread remainder is dropped with the socket
         else:
             body = await reader.read(self.max_body)
         return status, bytes(header_raw) + body

@@ -386,3 +386,43 @@ def test_simhash_bucket_cap(docs_ds):
     key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["hamming"]))
     assert key(full) == key(default)
     assert len(full) > 0
+
+
+def test_minhash_bucket_cap_and_counters(ray_session):
+    """VERDICT r3 #1: a synthetic mega-bucket (many identical docs —
+    every band collides) must not emit quadratic pairs when
+    max_bucket_docs caps it, and the skip must be COUNTED (no silent
+    caps). Distinct docs sharing no bands are unaffected."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.dedup import minhash_lsh_pairs
+    from commoncrawl_ray.state import counters
+
+    counters.reset()
+    clone_text = " ".join(f"c{j}" for j in range(40))
+    rows = [{"doc_id": i, "text": clone_text} for i in range(64)]
+    rows.append({"doc_id": 200, "text": " ".join(f"w{j}" for j in range(60))})
+    rows.append({"doc_id": 201, "text": " ".join(f"w{j}" for j in range(59)) + " zz"})
+    ds = rd.from_items(rows)
+
+    capped = minhash_lsh_pairs(
+        ds, jaccard_threshold=0.7, max_bucket_docs=16
+    ).to_pandas()
+    got = set(zip(capped["id_a"], capped["id_b"]))
+    # the clone family (64 docs > cap 16) is skipped entirely...
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # ...while the small near-dup pair still surfaces
+    assert (200, 201) in got
+    snap = counters.snapshot()
+    assert snap.get("minhash_lsh_pairs.skipped_buckets", 0) > 0
+    assert snap.get("minhash_lsh_pairs.skipped_rows", 0) >= 64
+    assert snap.get("minhash_lsh_pairs.pairs_avoided", 0) >= 64 * 63 // 2
+
+    # exact mode (None) emits the full quadratic family
+    counters.reset()
+    full = minhash_lsh_pairs(
+        ds, jaccard_threshold=0.7, max_bucket_docs=None
+    ).to_pandas()
+    fam = {(a, b) for a, b in zip(full["id_a"], full["id_b"]) if a < 100 and b < 100}
+    assert len(fam) == 64 * 63 // 2
+    assert counters.snapshot().get("minhash_lsh_pairs.skipped_buckets", 0) == 0
