@@ -109,7 +109,7 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
 
         return (
             rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html"])
-            .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+            .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
             .count()
         )
 

@@ -105,7 +105,7 @@ def _cmd_parse(args) -> int:
         ray.shutdown()
         return 2
     ds = rd.read_parquet(args.input, columns=["url", "warc_ts", "html"])
-    docs = ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+    docs = ds.map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
     docs.write_parquet(args.output)
     # row count from the written files' footers — re-running the parse
     # pipeline just to count would double the job's dominant cost

@@ -1300,7 +1300,7 @@ def q_pagerank_hosts(sf_dir: str):
     oracle_pagerank_table(sf_dir)
     parsed = (
         rd.read_parquet(path, columns=["url", "warc_ts", "html"])
-        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
         .map_batches(
             lambda t: t.select(["url", "anchors", "base_url"]),
             batch_format="pyarrow",
@@ -1329,7 +1329,7 @@ def q_hits_hosts(sf_dir: str):
     oracle_hits_table(sf_dir)
     parsed = (
         rd.read_parquet(path, columns=["url", "warc_ts", "html"])
-        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
         .map_batches(
             lambda t: t.select(["url", "anchors", "base_url"]),
             batch_format="pyarrow",
@@ -1359,7 +1359,7 @@ def q_parse_extract(sf_dir: str):
 
     ds = rd.read_parquet(path, columns=["url", "warc_ts", "html"])
     return ds.map_batches(
-        parse_extract_batch, batch_format="pyarrow", batch_size=256
+        parse_extract_batch, batch_format="pyarrow", batch_size=None
     ).map_batches(_parse_projection, batch_format="pyarrow")
 
 
@@ -1592,7 +1592,7 @@ def q_arc_roundtrip(sf_dir: str):
 
     return (
         read_arc_pages(paths)
-        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
         .map_batches(digest, batch_format="pyarrow")
     )
 
