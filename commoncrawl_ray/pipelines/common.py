@@ -41,6 +41,17 @@ class CrawlConfig:
     # AsyncHttpFetcher kwargs (timeouts, dns_override, max_in_flight).
     fetch_kind: str = "sim"
     http_opts: dict | None = None
+    # frontier priority: "depth" (priority = 1/(depth+1)) or "pagerank"
+    # (priority = 1/(depth+1) + PR(host), where PR is PageRank over the
+    # host edges accumulated from all PRIOR epochs' fetches, rounded to
+    # 6 decimals — epoch-k ranks feed epoch k+1 selection). Both the
+    # distributed engine (stages/pagerank.pagerank_edges) and the
+    # single-process oracle (dense numpy) compute the same iteration;
+    # the 6-decimal rounding is the established reassociation bound, so
+    # the priority floats — and hence crawl order — match exactly.
+    priority_kind: str = "depth"
+    pr_damping: float = 0.85
+    pr_iters: int = 4
 
     def priority_for_depth(self, depth: int) -> float:
         return 1.0 / (depth + 1)

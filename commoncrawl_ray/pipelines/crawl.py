@@ -210,12 +210,16 @@ def _side_write(table: pa.Table, directory: str, prefix: str) -> None:
 
     h = hashlib.blake2b(digest_size=12)
     h.update(str(table.num_rows).encode())
-    for col in ("url_fp", "action"):
+    for col in ("url_fp", "action", "src", "dst"):
         if col in table.column_names:
             chunk = table.column(col)
             h.update(str(chunk.to_pylist()[:64]).encode())
             if col == "url_fp":
                 h.update(chunk.cast(pa.int64()).to_numpy(zero_copy_only=False).tobytes())
+            elif col in ("src", "dst"):
+                # host-edge tables carry neither url_fp nor action; a
+                # rows-only hash would collide across same-sized batches
+                h.update("\x00".join(chunk.to_pylist()).encode())
     name = f"{prefix}-{h.hexdigest()}.parquet"
     os.makedirs(directory, exist_ok=True)
     tmp = os.path.join(directory, f".{name}.tmp{os.getpid()}")
@@ -292,6 +296,7 @@ def make_fetch_discover_fn(
     raw_log_dir: str,
     fetch_kind: str = "sim",
     http_opts: dict | None = None,
+    edges_dir: str | None = None,
 ):
     """Fused fetch + parse + link-explosion over REBALANCED blocks of
     selected rows: fetch (simulated synthetic web, or real sockets via
@@ -348,6 +353,46 @@ def make_fetch_discover_fn(
             raw_log_dir,
             "f",
         )
+        if edges_dir is not None:
+            # host-edge side-write for pagerank frontier priority:
+            # (fetched page's host -> host of each canonicalizable
+            # out-link), per-page distinct, self-loops dropped — same
+            # projection as stages/pagerank.extract_host_edges_batch,
+            # built from the crawl's own link discovery (memoized
+            # canonicalization shared with candidates_batch below).
+            # Duplicates across retries/epochs are fine: pagerank_edges
+            # runs a global distinct first.
+            from ..functions.canonicalize import host_from_canonical
+
+            e_src: list[str] = []
+            e_dst: list[str] = []
+            for u, links in zip(urls, links_col):
+                if not links:
+                    continue
+                src_h = host_from_canonical(u)
+                if src_h is None:
+                    continue
+                seen_d: set[str] = set()
+                for link in links:
+                    hit = _canon_memo_lookup(link)
+                    if hit == ():
+                        continue
+                    h = hit[1]
+                    if h != src_h and h not in seen_d:
+                        seen_d.add(h)
+                        e_src.append(src_h)
+                        e_dst.append(h)
+            if e_src:
+                _side_write(
+                    pa.table(
+                        {
+                            "src": pa.array(e_src, pa.string()),
+                            "dst": pa.array(e_dst, pa.string()),
+                        }
+                    ),
+                    edges_dir,
+                    "e",
+                )
         return candidates_batch(
             pa.table(
                 {
@@ -427,6 +472,33 @@ _CANON_MEMO: dict[str, tuple] = {}
 _CANON_MEMO_CAP = 500_000
 
 
+def _canon_memo_lookup(u: str) -> tuple:
+    """Memoized canonicalize+fingerprint of one raw link -> (canon,
+    host, url_fp, domain_fp, root_domain_fp), or () for a link that
+    doesn't canonicalize. Shared by candidate building and host-edge
+    extraction so the parity kernel runs once per distinct link per
+    worker process."""
+    from ..functions.canonicalize import host_from_canonical, url_fpv2
+
+    hit = _CANON_MEMO.get(u)
+    if hit is not None:
+        return hit
+    if len(_CANON_MEMO) > _CANON_MEMO_CAP:
+        _CANON_MEMO.clear()
+    fps = url_fpv2(u)
+    if fps is None:
+        _CANON_MEMO[u] = ()
+        return ()
+    c, dfp, ufp, rfp = fps
+    h = host_from_canonical(c)
+    if h is None:
+        _CANON_MEMO[u] = ()
+        return ()
+    hit = (c, h, ufp, dfp, rfp)
+    _CANON_MEMO[u] = hit
+    return hit
+
+
 def candidates_batch(batch: pa.Table) -> pa.Table:
     """Explode links -> canonicalize+fingerprint candidate rows.
 
@@ -437,31 +509,14 @@ def candidates_batch(batch: pa.Table) -> pa.Table:
     per-worker-process dict (nav links repeat across pages and
     batches; canonicalize+FP64 is the parity kernel and the costliest
     per-link step)."""
-    from ..functions.canonicalize import host_from_canonical, url_fpv2
-
     parent_depth = batch.column("depth").to_pylist()
     links_lists = batch.column("links").to_pylist()
-    if len(_CANON_MEMO) > _CANON_MEMO_CAP:
-        _CANON_MEMO.clear()
-    cache = _CANON_MEMO
     best: dict[int, tuple] = {}  # url_fp -> (depth, canon, host, dfp, rfp)
     for d0, links in zip(parent_depth, links_lists):
         d = d0 + 1
         for u in links:
-            hit = cache.get(u)
-            if hit is None:
-                fps = url_fpv2(u)
-                if fps is None:
-                    cache[u] = ()
-                    continue
-                c, dfp, ufp, rfp = fps
-                h = host_from_canonical(c)
-                if h is None:
-                    cache[u] = ()
-                    continue
-                hit = (c, h, ufp, dfp, rfp)
-                cache[u] = hit
-            elif hit == ():
+            hit = _canon_memo_lookup(u)
+            if hit == ():
                 continue
             c, h, ufp, dfp, rfp = hit
             prev = best.get(ufp)
@@ -788,6 +843,15 @@ def crawl(
                     "restoring the filter blob with the other class would "
                     "misparse it (ADVICE r2). Re-crawl or keep the kind."
                 )
+            cfg_prio = getattr(cfg, "priority_kind", "depth")
+            ckpt_prio = man.get("priority_kind", cfg_prio)
+            if ckpt_prio != cfg_prio:
+                raise ValueError(
+                    f"checkpoint was crawled with priority_kind={ckpt_prio!r} "
+                    f"but this config uses {cfg_prio!r}; resuming would "
+                    "silently change crawl order mid-run. Re-crawl or keep "
+                    "the kind."
+                )
             seen_pool.restore(os.path.join(ckpt_dir, f"url_seen_{last}"))
             res.counters = man.get("all_counters", [])
 
@@ -842,10 +906,76 @@ def crawl(
         log_dir = os.path.join(ckpt_dir, f"fetch_log_{epoch}")
         next_dir = os.path.join(ckpt_dir, f"frontier_{epoch + 1}")
         seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
-        for d in (raw_log_dir, log_dir, next_dir, seen_dir):
+        edges_dir = os.path.join(ckpt_dir, f"host_edges_{epoch}")
+        for d in (raw_log_dir, log_dir, next_dir, seen_dir, edges_dir):
             _shutil.rmtree(d, ignore_errors=True)
 
         stage_t: dict[str, float] = {}
+
+        # --- pagerank frontier priority (VERDICT r3 #8) ---------------
+        # epoch-k host ranks over the edges accumulated from ALL prior
+        # epochs' fetches feed epoch-k selection: priority =
+        # 1/(depth+1) + PR(host). The rank table is host-level (tiny vs
+        # the frontier) but joined DISTRIBUTED (one merge_join exchange
+        # on host) — at web scale the host table itself outgrows a
+        # broadcast. Ranks are rounded to 6 decimals inside
+        # pagerank_edges, the same reassociation bound the pagerank
+        # oracle check relies on, so the single-process oracle computes
+        # bit-identical priorities.
+        if cfg.priority_kind == "pagerank":
+            _t0 = _time.time()
+            prior_edge_dirs = [
+                d
+                for d in (
+                    os.path.join(ckpt_dir, f"host_edges_{e}") for e in range(epoch)
+                )
+                if os.path.isdir(d)
+                and any(f.endswith(".parquet") for f in os.listdir(d))
+            ]
+            edge_files = [
+                os.path.join(d, f)
+                for d in prior_edge_dirs
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if edge_files:
+                from ..stages.joins import merge_join
+                from ..stages.pagerank import pagerank_edges
+
+                ranks = pagerank_edges(
+                    rd.read_parquet(edge_files),
+                    damping=cfg.pr_damping,
+                    iters=cfg.pr_iters,
+                    parts=min(8, ncpu),
+                )
+
+                def reprioritize(t: pa.Table) -> pa.Table:
+                    depth = t.column("depth").to_numpy(zero_copy_only=False)
+                    pr = np.nan_to_num(
+                        t.column("pr").to_numpy(zero_copy_only=False).astype(np.float64),
+                        nan=0.0,
+                    )
+                    prio = 1.0 / (depth + 1.0) + pr
+                    t = t.set_column(
+                        t.column_names.index("priority"),
+                        "priority",
+                        pa.array(prio, pa.float64()),
+                    )
+                    return t.drop_columns(["pr"])
+
+                frontier = (
+                    merge_join(
+                        frontier,
+                        ranks,
+                        left_on="host",
+                        right_on="host",
+                        right_cols=["pr"],
+                        how="left",
+                    )
+                    .map_batches(reprioritize, batch_format="pyarrow")
+                    .repartition(n_part)
+                )
+            stage_t["pagerank_priority"] = round(_time.time() - _t0, 2)
 
         # --- the epoch job: ONE streaming pipeline with two all-to-all
         # exchanges (sort(host_fp) for politeness, groupby(url_fp) for
@@ -890,6 +1020,9 @@ def crawl(
                         raw_log_dir,
                         fetch_kind=cfg.fetch_kind,
                         http_opts=cfg.http_opts,
+                        edges_dir=(
+                            edges_dir if cfg.priority_kind == "pagerank" else None
+                        ),
                     ),
                     batch_format="pyarrow",
                     batch_size=None,
@@ -1003,6 +1136,7 @@ def crawl(
                 "num_seen_partitions": cfg.num_seen_partitions,
                 "seen_routing_scheme": _ROUTING_SCHEME,
                 "seen_filter_kind": getattr(cfg, "seen_filter_kind", "bloom"),
+                "priority_kind": getattr(cfg, "priority_kind", "depth"),
             },
         )
         res.seen_total = seen_total

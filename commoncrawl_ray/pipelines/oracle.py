@@ -11,11 +11,37 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..functions.canonicalize import url_fpv2
 from ..functions.fingerprint import fp64
 from ..sources.synth import get_universe
 from ..state.robots import is_blocked, robots_rules_for_host
 from .common import CrawlConfig, discover_links, log_sort_key
+
+
+def dense_pagerank(edges: set, damping: float, iters: int) -> dict:
+    """Dense-numpy PageRank over a (src_host, dst_host) edge set —
+    the single-process twin of ``stages.pagerank.pagerank_edges`` (same
+    init, dangling redistribution, damping and final 6-decimal
+    rounding; reassociation differences are absorbed by the rounding,
+    the bound the pagerank oracle check established). -> host -> pr."""
+    nodes = sorted({h for e in edges for h in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    idx = {h: i for i, h in enumerate(nodes)}
+    src_i = np.array([idx[s] for s, _ in edges], dtype=np.int64)
+    dst_i = np.array([idx[d] for _, d in edges], dtype=np.int64)
+    deg = np.bincount(src_i, minlength=n).astype(np.float64)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = pr[deg == 0].sum()
+        w = np.where(deg > 0, pr / np.maximum(deg, 1.0), 0.0)
+        s = np.bincount(dst_i, weights=w[src_i], minlength=n)
+        pr = (1.0 - damping) / n + damping * (s + dangling / n)
+    pr = np.round(pr, 6)
+    return {h: float(pr[i]) for i, h in enumerate(nodes)}
 
 
 @dataclass
@@ -62,6 +88,8 @@ def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
     uni = get_universe(cfg.sf, cfg.seed)
     res = OracleResult()
     frontier: list[_Candidate] = []
+    pagerank_mode = getattr(cfg, "priority_kind", "depth") == "pagerank"
+    edge_set: set[tuple[str, str]] = set()
 
     for url in uni.seed_urls():
         c = _admit(url, 0, 0, cfg)
@@ -74,6 +102,14 @@ def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
             break
         res.epochs_run = epoch + 1
         epoch_rows: list[dict] = []
+
+        # --- pagerank frontier priority (same rule as the engine) ----
+        if pagerank_mode and edge_set:
+            ranks = dense_pagerank(edge_set, cfg.pr_damping, cfg.pr_iters)
+            for c in frontier:
+                c.priority = cfg.priority_for_depth(c.depth) + ranks.get(
+                    c.host, 0.0
+                )
 
         # --- robots ---------------------------------------------------
         allowed: list[_Candidate] = []
@@ -109,6 +145,8 @@ def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
                 nc = _admit(link, c.depth + 1, epoch + 1, cfg)
                 if nc is None:
                     continue
+                if pagerank_mode and nc.host != c.host:
+                    edge_set.add((c.host, nc.host))
                 prev = discovered.get(nc.url_fp)
                 if prev is None or (nc.depth, nc.host_fp) < (prev.depth, prev.host_fp):
                     discovered[nc.url_fp] = nc

@@ -115,15 +115,26 @@ def _distinct_sorted(ds, cols: list[str]):
 def pagerank_hosts(parse_ds, damping: float = 0.85, iters: int = 10, parts: int = 8):
     """parse_ds: parse-output Dataset carrying (url, anchors, base).
     -> Dataset (host, pr), pr rounded to 6 decimals."""
+    return pagerank_edges(
+        parse_ds.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        damping=damping,
+        iters=iters,
+        parts=parts,
+    )
+
+
+def pagerank_edges(edge_ds, damping: float = 0.85, iters: int = 10, parts: int = 8):
+    """PageRank over a raw (src, dst) edge Dataset (duplicates fine —
+    a global distinct runs first). -> Dataset (host, pr), pr rounded
+    to 6 decimals. Entry point for callers that already hold an edge
+    table — e.g. the crawl's pagerank frontier priority, which feeds
+    the host edges accumulated from prior epochs' fetch logs back in."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from .joins import merge_join
 
-    edges = _distinct_sorted(
-        parse_ds.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
-        ["src", "dst"],
-    ).repartition(parts).materialize()
+    edges = _distinct_sorted(edge_ds, ["src", "dst"]).repartition(parts).materialize()
 
     # node table = distinct(src) ∪ distinct(dst); degree via groupby
     nodes = _distinct_sorted(
