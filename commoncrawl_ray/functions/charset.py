@@ -189,8 +189,12 @@ def _char_classes(text: str):
     hi = o[o >= 0x80]
     nb = int(hi.size)
     if nb == 0:
-        return 0, 0, 0, 0, 0
+        return 0, 0, 0, 0, 0, 0, 0
     kana = int(((hi >= 0x3040) & (hi <= 0x30FF)).sum())
+    hw_kana = int(((hi >= 0xFF61) & (hi <= 0xFF9F)).sum())
+    hangul = int(
+        (((hi >= 0xAC00) & (hi <= 0xD7AF)) | ((hi >= 0x3130) & (hi <= 0x318F))).sum()
+    )
     cjk = int(
         (((hi >= 0x4E00) & (hi <= 0x9FFF)) | ((hi >= 0x3400) & (hi <= 0x4DBF))).sum()
     )
@@ -198,7 +202,7 @@ def _char_classes(text: str):
         (((hi >= 0x3000) & (hi <= 0x303F)) | ((hi >= 0xFF00) & (hi <= 0xFFEF))).sum()
     )
     cyr = int(((hi >= 0x0400) & (hi <= 0x04FF)).sum())
-    return nb, kana, cjk, full, cyr
+    return nb, kana, hangul, cjk, full, hw_kana, cyr
 
 
 def _freq_zone_ratio(probe: bytes, enc: str) -> float:
@@ -228,9 +232,65 @@ def _freq_zone_ratio(probe: bytes, enc: str) -> float:
         hits = int(((leads >= 0xB0) & (leads <= 0xF7)).sum())
     elif enc == "big5":
         hits = int(((leads >= 0xA4) & (leads <= 0xC6)).sum())
+    elif enc == "euc_kr":
+        # KS X 1001 frequent-hangul rows (EUCKRDistributionAnalysis):
+        # the modern-syllable block B0-C8; hanja rows CA+ are rare in
+        # living text, which is what separates Korean from GB/Big5
+        # byte streams that share the same structural envelope
+        hits = int(((leads >= 0xB0) & (leads <= 0xC8)).sum())
     else:
         hits = 0
     return hits / total
+
+
+def _euctw_chars(probe: bytes) -> int:
+    """Structural EUC-TW verifier (nsEUCTWVerifier state machine, no
+    Python codec exists): plane-1 chars are [A1-F9][A1-FE]; plane-2+
+    chars are SS2 (8E) [A1-B0] [A1-FE][A1-FE]. Returns the multi-byte
+    char count, or -1 on any structural violation (incl. a char cut by
+    the probe cap — mirroring the incremental decoders' final=False
+    leniency would accept a trailing partial char, so a clean prefix
+    ending mid-char returns the count seen so far)."""
+    i, n, chars = 0, len(probe), 0
+    while i < n:
+        b = probe[i]
+        if b < 0x80:
+            i += 1
+            continue
+        if b == 0x8E:  # SS2: 4-byte plane-2..16 char
+            if i + 4 > n:
+                return chars  # cut by the cap: accept the clean prefix
+            p, t1, t2 = probe[i + 1], probe[i + 2], probe[i + 3]
+            if not (0xA1 <= p <= 0xB0 and 0xA1 <= t1 <= 0xFE and 0xA1 <= t2 <= 0xFE):
+                return -1
+            chars += 1
+            i += 4
+        elif 0xA1 <= b <= 0xF9:
+            if i + 2 > n:
+                return chars
+            if not (0xA1 <= probe[i + 1] <= 0xFE):
+                return -1
+            chars += 1
+            i += 2
+        else:
+            return -1
+    return chars
+
+
+def _ucs2_sample(probe: bytes) -> str | None:
+    """BOM-less UTF-16 sampler (nsUCS2BEVerifier / nsUCS2LEVerifier
+    statistical samplers): Latin-heavy UCS-2 text puts a NUL in every
+    other byte; the lattice parity picks the endianness."""
+    b = np.frombuffer(probe[: len(probe) & ~1], dtype=np.uint8)
+    if b.size < 8:
+        return None
+    zero_even = float((b[0::2] == 0).mean())
+    zero_odd = float((b[1::2] == 0).mean())
+    if zero_even >= 0.3 and zero_odd < 0.05:
+        return "utf-16be"
+    if zero_odd >= 0.3 and zero_even < 0.05:
+        return "utf-16le"
+    return None
 
 
 # Russian lowercase letter frequencies (public corpus statistics),
@@ -261,7 +321,7 @@ def _sbcs_score(probe: bytes, enc: str) -> tuple[float, float]:
             lut[ord(ch.upper())] = f
         _RU_FREQ_LUT = lut
     text = probe.decode(enc, errors="replace")
-    nb, _k, _c, _f, cyr = _char_classes(text)
+    nb, _k, _h, _c, _f, _hw, cyr = _char_classes(text)
     if nb == 0:
         return 0.0, 0.0
     o = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
@@ -284,28 +344,65 @@ def detect_charset(content: bytes) -> str | None:
         return "utf-16le"
     if probe.startswith(b"\xfe\xff"):
         return "utf-16be"
+    # BOM-less UCS-2: ASCII-compatible NULs would pass the ascii fast
+    # path below, so the lattice sampler runs first (gated on a NUL —
+    # real 8-bit/ASCII pages contain none)
+    if b"\x00" in probe:
+        u = _ucs2_sample(probe)
+        if u is not None:
+            return u
     try:
         probe.decode("ascii")
-        # 7-bit escape schemes live inside pure ASCII byte streams
+        # 7-bit escape/shift schemes live inside pure ASCII byte
+        # streams (nsISO2022[JP/KR/CN]Verifier, nsHZVerifier)
         if b"\x1b$B" in probe or b"\x1b$@" in probe or b"\x1b(J" in probe:
             return "iso-2022-jp"
+        if b"\x1b$)C" in probe:
+            return "iso-2022-kr"
+        if b"\x1b$)A" in probe or b"\x1b$)G" in probe or b"\x1b$*H" in probe:
+            return "iso-2022-cn"
+        if b"~{" in probe and b"~}" in probe:
+            return "hz-gb-2312"
         return None
     except UnicodeDecodeError:
         pass
     if _strict_ok(probe, "utf-8") is not None:
         return "utf-8"
 
-    # multi-byte CJK group: structural validity + distribution score
+    # multi-byte CJK group: structural validity + distribution score.
+    # euc-jp precedes euc_kr: JIS row A4 decoded as KS X 1001 is jamo,
+    # so kana text ties under both and the earlier candidate must win.
     best_enc, best_score = None, 0.0
-    for enc in ("shift_jis", "euc-jp", "gbk", "big5"):
+    for enc in ("shift_jis", "euc-jp", "euc_kr", "gbk", "big5"):
         text = _strict_ok(probe, enc)
         if text is None:
             continue
-        nb, kana, cjk, full, _cyr = _char_classes(text)
+        nb, kana, hangul, cjk, full, hw_kana, _cyr = _char_classes(text)
         if nb < 4:  # too little signal for a confident MBCS verdict
             continue
         if enc in ("shift_jis", "euc-jp"):
-            block = (2.0 * kana + cjk + 0.5 * full) / nb
+            # half-width kana are SINGLE bytes 0xA1-0xDF under SJIS, the
+            # exact range EUC-KR/TW/GB lead bytes alias into — weight
+            # them 0.25 (vs 0.5 for the rest of the FF00 block) so an
+            # all-halfwidth "decode" of a foreign byte stream stays
+            # under the 0.5 bar (nsSJISVerifier admits them
+            # structurally; the distribution analyser scores them low)
+            block = (2.0 * kana + cjk + 0.5 * (full - hw_kana) + 0.25 * hw_kana) / nb
+        elif enc == "euc_kr":
+            # GB/Big5 byte streams often survive the euc_kr state
+            # machine, decoding rows B0-C8 to hangul — so the KR prober
+            # only competes when the stream LOOKS Korean on both
+            # signals real Korean text maximizes (the typical-
+            # distribution-ratio idea of EUCKRDistributionAnalysis):
+            # hangul dominance among decoded CJK-ish chars (Korean
+            # ~0.95+, GB-as-euckr <=~0.6 — hanzi rows C9+ decode to
+            # hanja) and lead concentration in the modern-syllable
+            # rows B0-C8 (Korean ~0.98, GB ~0.4-0.6)
+            z = _freq_zone_ratio(probe, "euc_kr")
+            dom = hangul / (hangul + cjk) if (hangul + cjk) else 0.0
+            if dom < 0.8 or z < 0.7:
+                continue
+            block = (2.0 * hangul + cjk + 0.5 * full) / nb
         else:
             block = (cjk + full) / nb
         score = block + 0.5 * _freq_zone_ratio(probe, enc)
@@ -313,6 +410,13 @@ def detect_charset(content: bytes) -> str | None:
             best_enc, best_score = enc, score
     if best_enc is not None and best_score >= 0.5:
         return best_enc
+
+    # EUC-TW: no Python codec, so the structural verifier substitutes
+    # for strict decode; only consulted when every decodable MBCS
+    # candidate failed (its SS2 plane form is unique among the group)
+    tw_chars = _euctw_chars(probe)
+    if tw_chars >= 4:
+        return "euc-tw"
 
     # single-byte group: Cyrillic candidates vs the windows-1252 default
     # Cyrillic text is DENSE in 8-bit bytes (nearly every letter);

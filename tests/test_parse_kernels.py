@@ -238,3 +238,67 @@ def test_alias_table_size():
     from commoncrawl_ray.functions.charset import _load_alias_table
 
     assert len(_load_alias_table()) >= 700
+
+
+def test_detect_charset_east_asian_structural():
+    """VERDICT r3 #6: the structural verifiers the round-2/3 composite
+    lacked — EUC-KR, EUC-TW, ISO-2022-KR/CN, HZ, BOM-less UCS-2
+    samplers (nsEUCKRVerifier / nsEUCTWVerifier / nsISO2022KRVerifier /
+    nsISO2022CNVerifier / nsHZVerifier / nsUCS2BE-LEVerifier parity),
+    golden byte fixtures per encoding."""
+    ko = "한국어 위키백과에 오신 것을 환영합니다. 대한민국의 수도는 서울입니다."
+    zh = "中文测试文字样例"
+    cases = [
+        (ko.encode("euc_kr"), "euc_kr"),
+        (("<html><body>" + ko + "</body></html>").encode("euc_kr"), "euc_kr"),
+        (ko.encode("iso2022_kr"), "iso-2022-kr"),
+        (zh.encode("hz"), "hz-gb-2312"),
+        # ISO-2022-CN: no Python codec — hand-built GB designator + SO
+        (b"\x1b$)A\x0e;;<<==\x0f plain trailer", "iso-2022-cn"),
+        (b"\x1b$)G\x0e!!\x0f CNS plane 1", "iso-2022-cn"),
+        # BOM-less UCS-2, both endiannesses
+        ("Plain latin UCS2 text sample".encode("utf-16-be"), "utf-16be"),
+        ("Plain latin UCS2 text sample".encode("utf-16-le"), "utf-16le"),
+    ]
+    for raw, want in cases:
+        assert detect_charset(raw) == want, (want, raw[:40])
+
+    # EUC-TW has no Python codec: fixture composed of per-codec breaker
+    # pairs (structurally valid EUC-TW, each invalid under one decodable
+    # MBCS candidate) + plane-1 runs + unique SS2 plane-2 quads
+    breakers = [b"\xa1\xe0", b"\xa2\xaf", b"\xa2\xe8", b"\xa2\xab", b"\xa3\xc0"]
+    euctw = b"euc-tw page " + b"".join(breakers) + b"\xc4\xa1" * 5 + b"\x8e\xa2\xa1\xa1" * 2
+    assert detect_charset(euctw) == "euc-tw"
+
+    # structural violations must NOT claim euc-tw (bad SS2 plane byte)
+    from commoncrawl_ray.functions.charset import _euctw_chars
+
+    assert _euctw_chars(b"\x8e\xd5\xa1\xa1") == -1
+    assert _euctw_chars(b"\xc4\xa1" * 3) == 3
+    assert _euctw_chars(b"\xc4\x20") == -1  # low trail byte
+
+
+def test_detected_names_resolve_or_fall_through():
+    """Every name the detector can emit either resolves to a Python
+    codec via resolve_alias/_codec_or_none, or is a documented
+    no-codec detection (iso-2022-cn, euc-tw) that decode falls through
+    on — never a crash."""
+    import codecs
+
+    from commoncrawl_ray.functions.charset import resolve_alias
+
+    resolvable = [
+        "utf-8", "utf-16le", "utf-16be", "shift_jis", "euc-jp", "euc_kr",
+        "gbk", "big5", "iso-2022-jp", "iso-2022-kr", "hz-gb-2312",
+        "koi8-r", "windows-1251", "windows-1252",
+    ]
+    for name in resolvable:
+        codecs.lookup(resolve_alias(name))  # must not raise
+    for name in ("iso-2022-cn", "euc-tw"):
+        r = resolve_alias(name)
+        try:
+            codecs.lookup(r)
+            resolved = True
+        except LookupError:
+            resolved = False
+        assert not resolved  # documented fall-through
