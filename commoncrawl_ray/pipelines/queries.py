@@ -419,6 +419,69 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q_events_interval_join(sf_dir: str):
+    """Interval (range-band) join (custom operator, stages/joins.py):
+    every purchase event picks up ALL of the user's clicks in the 24
+    hours strictly before it (row expansion, inner semantics) — the
+    range-join sibling of the as-of join. Same ONE union+sort(user_id)
+    exchange; per-block the band match is two vectorized searchsorteds
+    plus a repeat/cumsum pair expansion."""
+    from ..stages.joins import interval_join
+
+    events = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, "ts_us", t.column("ts").cast(pa.int64()))
+
+    purchases = (
+        events.filter(expr="event_type == 'purchase'")
+        .drop_columns(["event_type"])
+        .map_batches(to_us, batch_format="pyarrow")
+    )
+    clicks = (
+        events.filter(expr="event_type == 'click'")
+        .drop_columns(["event_type", "event_id"])
+        .map_batches(to_us, batch_format="pyarrow")
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on="ts_us",
+        lo=-86_400_000_000,
+        hi=-1,
+        right_cols=["ts_us", "value"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts_us"),
+                "value": batch.column("value"),
+                "click_ts_us": batch.column("ts_us_r"),
+                "click_value": batch.column("value_r"),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us, p.value,
+       epoch_us(c.ts) AS click_ts_us,
+       c.value AS click_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts) - 1
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 SQL_EVENTS_SESSIONS = """
 WITH gaps AS (
   SELECT user_id, ts,
@@ -2805,6 +2868,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL_JOIN),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
