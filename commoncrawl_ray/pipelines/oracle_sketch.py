@@ -659,3 +659,56 @@ def oracle_hits_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+LM_SCORE_ORACLE_PATH = "/tmp/ccray_oracle_lm_score.parquet"
+
+
+def oracle_lm_score_table(sf_dir: str, path: str = LM_SCORE_ORACLE_PATH) -> str:
+    """Single-process CCNet-style char-trigram LM fit + score: train
+    counts accumulated sequentially doc-by-doc into one dense vector
+    (vs the distributed partial-bincount -> groupby(gram_id).sum
+    merge), then every document scored in file order. Shares the
+    alphabet/gram/log-prob KERNELS with stages/lm_score.py — the
+    parity being proven is the distributed aggregation and broadcast
+    plumbing, exactly the oracle_knn_ivf discipline. Integer counts
+    and a fixed float64 smoothing expression make the match exact at
+    the 6-decimal rounding both sides apply."""
+    from ..stages.lm_score import (
+        N_GRAMS,
+        encode_text,
+        gram_ids,
+        logprob_table,
+        score_nll,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|lm_score|en"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    doc_ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    texts = t.column("text").to_pylist()
+    counts = np.zeros(N_GRAMS, dtype=np.int64)
+    for lang, text in zip(langs, texts):
+        if lang == "en" and text:
+            g = gram_ids(encode_text(text))
+            if len(g):
+                counts += np.bincount(g, minlength=N_GRAMS)
+    nz = np.nonzero(counts)[0]
+    logp = logprob_table(nz.astype(np.int64), counts[nz])
+    n_grams = np.zeros(len(texts), dtype=np.int64)
+    nll = np.zeros(len(texts), dtype=np.float64)
+    for i, text in enumerate(texts):
+        n_grams[i], nll[i] = score_nll(text or "", logp)
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_grams": pa.array(n_grams),
+            "nll": pa.array(np.round(nll, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -21,6 +21,7 @@ text digests).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -1567,6 +1568,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_knn_ivfpq_table,
         oracle_hits_table,
         oracle_pagerank_table,
+        oracle_lm_score_table,
         oracle_minhash_pairs_table,
         oracle_multimodal_table,
         oracle_parse_extract_table,
@@ -1585,6 +1587,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_knn_ivfpq_table(sf_dir)
     oracle_pagerank_table(sf_dir)
     oracle_hits_table(sf_dir)
+    oracle_lm_score_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -2857,6 +2860,226 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 30
 """
 
 
+def q_events_hourly_outer(sf_dir: str):
+    """FULL OUTER sort-merge join (stages/joins.merge_join
+    how='outer'): high-value signup counts per hour joined with
+    high-value purchase counts per hour — hours present on only one
+    side survive with a null for the other (the reconciliation-report
+    shape: compare two event streams without losing either side's
+    rows). Two small pre-aggregations, then the ONE union+sort(h)
+    exchange; unmatched-right rows ride their own wire representation
+    (key + payload, null left columns)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    def hourly(event_type: str, out_name: str):
+        events = _pq(sf_dir, "events", ["ts", "event_type", "value"]).filter(
+            expr=f"event_type == '{event_type}' and value > 90"
+        )
+
+        def to_hour(t: pa.Table) -> pa.Table:
+            h = pc.divide(t.column("ts").cast(pa.int64()), 3_600_000_000)
+            return pa.table({"h": h})
+
+        counted = events.map_batches(to_hour, batch_format="pyarrow").groupby(
+            "h"
+        ).count()
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"h": t.column("h"), out_name: t.column("count()").cast(pa.int64())}
+            )
+
+        return counted.map_batches(rename, batch_format="pyarrow")
+
+    signups = hourly("signup", "signups")
+    purchases = hourly("purchase", "purchases")
+    return merge_join(
+        signups,
+        purchases,
+        left_on="h",
+        right_on="h",
+        right_cols=["purchases"],
+        how="outer",
+    )
+
+
+SQL_EVENTS_HOURLY_OUTER = """
+WITH s AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS signups
+  FROM events WHERE event_type = 'signup' AND value > 90 GROUP BY 1
+), p AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS purchases
+  FROM events WHERE event_type = 'purchase' AND value > 90 GROUP BY 1
+)
+SELECT COALESCE(s.h, p.h) AS h, s.signups, p.purchases
+FROM s FULL OUTER JOIN p ON s.h = p.h
+"""
+
+
+_BM25_TERMS = ["hash", "join", "merge", "sort", "stream"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 retrieval (Robertson/Spärck Jones probabilistic
+    ranking) for a fixed 5-term query — the IR scoring sibling of
+    tfidf_top_terms. Two streaming passes, zero all-to-all shuffles:
+
+    1. per-doc pass: tokenize in-batch, emit one row per document with
+       dl (token count) and tf per query term (term count is fixed, so
+       the row is constant-width regardless of corpus size);
+    2. corpus stats via ``ds.sum`` over dl + per-term match indicators
+       (exact integers -> avgdl and df are bit-deterministic), then a
+       stateless re-scan scores every doc with the idf/avgdl constants
+       captured in the closure (5 doubles — no broadcast needed) and
+       ``sort(score desc, doc_id).limit(20)`` keeps only K rows.
+
+    Scores are ROUNDED to 6 decimals BEFORE ranking (the
+    tfidf_top_terms discipline) so libm-vs-DuckDB ln() ulps can never
+    reorder the top-k; ties break on doc_id. The per-(doc,term) sum
+    runs in fixed term order on both sides so the float addition
+    chains match."""
+    import pyarrow.compute as pc
+
+    n_docs = float(
+        __import__("pyarrow.parquet", fromlist=["read_metadata"]).read_metadata(
+            f"{sf_dir}/documents.parquet"
+        ).num_rows
+    )
+
+    def tf_cols(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "dl": pa.array([], pa.int64())}
+                | {
+                    p + term: pa.array([], pa.int64())
+                    for term in _BM25_TERMS
+                    for p in ("tf_", "m_")
+                }
+            )
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        tok = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "dl": pa.array(np.add.reduceat((tok != "").astype(np.int64), starts)),
+        }
+        for term in _BM25_TERMS:
+            tf = np.add.reduceat((tok == term).astype(np.int64), starts)
+            cols["tf_" + term] = pa.array(tf)
+            cols["m_" + term] = pa.array((tf > 0).astype(np.int64))
+        return pa.table(cols)
+
+    per_doc = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4).map_batches(
+        tf_cols, batch_format="pyarrow"
+    )
+    stats = per_doc.sum(on=["dl"] + ["m_" + term for term in _BM25_TERMS])
+    avgdl = stats["sum(dl)"] / n_docs
+    idf = {
+        term: math.log(1.0 + (n_docs - stats["sum(m_" + term + ")"] + 0.5)
+                       / (stats["sum(m_" + term + ")"] + 0.5))
+        for term in _BM25_TERMS
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        s = np.zeros(len(t), dtype=np.float64)
+        for term in _BM25_TERMS:  # fixed order: float chain matches SQL
+            tf = t.column("tf_" + term).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            s = s + idf[term] * (tf * (_BM25_K1 + 1.0)) / (tf + norm)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dl": t.column("dl"),
+                "score": pa.array(np.round(s, 6)),
+            }
+        )
+
+    return (
+        per_doc.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE tok <> '') AS dl,
+         COUNT(*) FILTER (WHERE tok = 'hash')   AS tf_hash,
+         COUNT(*) FILTER (WHERE tok = 'join')   AS tf_join,
+         COUNT(*) FILTER (WHERE tok = 'merge')  AS tf_merge,
+         COUNT(*) FILTER (WHERE tok = 'sort')   AS tf_sort,
+         COUNT(*) FILTER (WHERE tok = 'stream') AS tf_stream
+  FROM toks GROUP BY doc_id
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         CAST(COUNT(*) FILTER (WHERE tf_hash > 0) AS DOUBLE)   AS df_hash,
+         CAST(COUNT(*) FILTER (WHERE tf_join > 0) AS DOUBLE)   AS df_join,
+         CAST(COUNT(*) FILTER (WHERE tf_merge > 0) AS DOUBLE)  AS df_merge,
+         CAST(COUNT(*) FILTER (WHERE tf_sort > 0) AS DOUBLE)   AS df_sort,
+         CAST(COUNT(*) FILTER (WHERE tf_stream > 0) AS DOUBLE) AS df_stream
+  FROM per_doc
+)
+SELECT doc_id, dl, score FROM (
+  SELECT p.doc_id, p.dl, ROUND(
+      LN(1.0 + (n.n - s.df_hash + 0.5) / (s.df_hash + 0.5))
+        * (p.tf_hash * 2.2) / (p.tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sum_dl / n.n)))
+    + LN(1.0 + (n.n - s.df_join + 0.5) / (s.df_join + 0.5))
+        * (p.tf_join * 2.2) / (p.tf_join + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sum_dl / n.n)))
+    + LN(1.0 + (n.n - s.df_merge + 0.5) / (s.df_merge + 0.5))
+        * (p.tf_merge * 2.2) / (p.tf_merge + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sum_dl / n.n)))
+    + LN(1.0 + (n.n - s.df_sort + 0.5) / (s.df_sort + 0.5))
+        * (p.tf_sort * 2.2) / (p.tf_sort + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sum_dl / n.n)))
+    + LN(1.0 + (n.n - s.df_stream + 0.5) / (s.df_stream + 0.5))
+        * (p.tf_stream * 2.2) / (p.tf_stream + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sum_dl / n.n)))
+    , 6) AS score
+  FROM per_doc p, stats s, n
+) ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): fit a
+    char-trigram LM on the English reference slice with ONE bounded
+    groupby(gram_id) exchange (per-batch partial bincounts cap the
+    shuffle at 39^3 rows/batch), broadcast the ~475 KB log-prob table
+    via ray.put, then score every document in a stateless actor-pool
+    map_batches pass. Hash-checked against a sequential fit+score
+    oracle (pipelines/oracle_sketch.oracle_lm_score_table) sharing
+    only the numeric kernels — the parity proven is the distributed
+    count merge + broadcast plumbing."""
+    from ..stages.lm_score import lm_score, train_char_lm
+    from .oracle_sketch import oracle_lm_score_table
+
+    oracle_lm_score_table(sf_dir)
+    train = (
+        _pq(sf_dir, "documents", ["lang", "text"], min_blocks=4)
+        .filter(expr="lang == 'en'")
+        .select_columns(["text"])
+    )
+    logp = train_char_lm(train)
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=4)
+    return lm_score(docs, logp)
+
+
+SQL_LM_PERPLEXITY = """
+SELECT doc_id, lang, n_grams, nll
+FROM read_parquet('/tmp/ccray_oracle_lm_score.parquet')
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -2935,6 +3158,9 @@ REGISTRY: dict[str, tuple] = {
     "docs_weighted_sample": (q_docs_weighted_sample, SQL_DOCS_WEIGHTED_SAMPLE),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -138,10 +138,13 @@ def merge_join(
     Attaches ``right_cols`` (renamed ``<c><suffix>``) of EVERY right
     row whose ``right_on`` equals a left row's ``left_on``. ``how`` is
     ``"inner"`` (drop unmatched left rows), ``"left"`` (keep them
-    with null payloads), ``"semi"`` (left rows with >= 1 match, once,
-    no payload — SQL EXISTS), or ``"anti"`` (left rows with no match —
-    SQL NOT EXISTS; the crawl frontier's seen-set subtraction is this
-    operator specialised to the URL-fingerprint key).
+    with null payloads), ``"outer"`` (FULL OUTER: additionally keep
+    unmatched RIGHT rows — their join key lands in ``left_on``, every
+    other left column is null, payload is carried), ``"semi"`` (left
+    rows with >= 1 match, once, no payload — SQL EXISTS), or
+    ``"anti"`` (left rows with no match — SQL NOT EXISTS; the crawl
+    frontier's seen-set subtraction is this operator specialised to
+    the URL-fingerprint key).
     Reference parity: the query layer's
     merge-sorted shard joins (``query/Query.java`` result assembly,
     ``hadoop/mergeutils/MergeSortSpillWriter.java:66``) re-expressed
@@ -159,9 +162,9 @@ def merge_join(
     (custkey, host_fp); a mega-key would need salting + a broadcast
     fix-up pass.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
-            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+            f"how must be 'inner', 'left', 'outer', 'semi' or 'anti', got {how!r}"
         )
     if how in ("semi", "anti") and right_cols:
         # existence joins carry no payload: the right side contributes
@@ -222,6 +225,14 @@ def merge_join(
             nr = int(np.searchsorted(side_s[s:e], 1))
             l_pos = order[s + nr : e]
             if len(l_pos) == 0:
+                if how == "outer" and nr > 0:
+                    # unmatched RIGHT rows: their wire representation —
+                    # key in left_on, other left cols null, payload
+                    # live — is already the desired output row, so take
+                    # BOTH column groups from the right row positions
+                    r_pos = order[s : s + nr]
+                    lt_parts.append(r_pos)
+                    rt_parts.append(r_pos)
                 continue
             if how == "semi":
                 if nr > 0:
@@ -232,7 +243,7 @@ def merge_join(
                     lt_parts.append(l_pos)
                 continue
             if nr == 0:
-                if how == "left":
+                if how in ("left", "outer"):
                     lt_parts.append(l_pos)
                     rt_parts.append(np.full(len(l_pos), -1, dtype=np.int64))
                 continue

@@ -645,3 +645,39 @@ def test_interval_join_empty_side_keeps_schema(ray_session):
     # at the Dataset level (blocks carry out_schema even when empty).
     assert out.count() == 0
     assert out.schema().names == ["k", "t", "x", "t_r", "v_r"]
+
+
+def test_merge_join_outer_semantics(ray_session):
+    """how='outer': inner matches expand, unmatched left keeps null
+    payload, unmatched right surfaces with its key in left_on and
+    null left columns."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.joins import merge_join
+
+    left = rd.from_items(
+        [
+            {"k": 1, "x": "a"},
+            {"k": 2, "x": "b"},   # no right match
+            {"k": 3, "x": "c"},
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"k": 1, "v": 10},
+            {"k": 1, "v": 11},    # k=1 expands to two rows
+            {"k": 3, "v": 30},
+            {"k": 9, "v": 90},    # right-only key
+        ]
+    )
+    out = (
+        merge_join(left, right, left_on="k", right_on="k", right_cols=["v"], how="outer")
+        .to_pandas()
+        .sort_values(["k", "v"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 1, 2, 3, 9]
+    assert out["x"].tolist()[:4] == ["a", "a", "b", "c"]
+    assert pd.isna(out["x"].iloc[4])          # right-only row: left col null
+    assert out["v"].dropna().tolist() == [10.0, 11.0, 30.0, 90.0]
+    assert pd.isna(out.loc[out["k"] == 2, "v"]).all()  # left-only: payload null
