@@ -712,3 +712,77 @@ def oracle_lm_score_table(sf_dir: str, path: str = LM_SCORE_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+SEMDEDUP_ORACLE_PATH = "/tmp/ccray_oracle_semdedup.parquet"
+
+
+def oracle_semdedup_table(
+    sf_dir: str,
+    path: str = SEMDEDUP_ORACLE_PATH,
+    k: int = 16,
+    iters: int = 4,
+    threshold: float = 0.45,
+) -> str:
+    """Sequential SemDeDup (fit + assign + prune) sharing only the
+    numeric kernels with stages/semdedup.py; the aggregation plumbing
+    — one flat numpy pass here vs the distributed partial-row reduce
+    tree there — is independent. Exactness argument: the centroid
+    state is integer-unit sums (order-free), assignments round cosine
+    to 6 dp before argmax, so both implementations walk bit-identical
+    centroid trajectories and produce identical (cluster, keep)."""
+    from ..functions.sketches import knuth32
+    from ..stages.semdedup import (
+        _QSCALE,
+        _norm_rows,
+        assign_rounded,
+        centroids_from_sums,
+        quantize,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|semdedup|{k}|{iters}|{threshold}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    from ..functions.vec import list_to_matrix
+
+    xn = _norm_rows(list_to_matrix(t.column("embedding")))
+    dim = xn.shape[1]
+    # init: the shared knuth32 hash-sample rule (select ~2k, id order, k)
+    if len(ids) > k:
+        thresh = np.uint64(min(1 << 32, int(np.ceil((1 << 32) * 2.0 * k / len(ids)))))
+        sel = np.sort(ids[knuth32(ids) < thresh])[:k]
+    else:
+        sel = np.sort(ids)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    centroids = xn[[pos[int(s)] for s in sel]].copy()
+    q = quantize(xn)
+    for _ in range(iters):
+        cl = assign_rounded(xn, centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(counts, cl, 1)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cl, q)
+        centroids = centroids_from_sums(sums, counts, centroids)
+    cl = assign_rounded(xn, centroids)
+    keep = np.ones(len(ids), dtype=bool)
+    for c in np.unique(cl):
+        members = np.nonzero(cl == c)[0]
+        if len(members) < 2:
+            continue
+        order = members[np.argsort(ids[members], kind="mergesort")]
+        xq = q[order].astype(np.float64) / _QSCALE
+        sims = np.round(xq @ xq.T, 6)
+        dup = (np.triu(sims >= threshold, 1)).any(axis=0)
+        keep[order[dup]] = False
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(cl),
+            "keep": pa.array(keep),
+        }
+    )
+    return _write_atomic(out, path, src_key)

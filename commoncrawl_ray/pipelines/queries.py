@@ -1572,6 +1572,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_minhash_pairs_table,
         oracle_multimodal_table,
         oracle_parse_extract_table,
+        oracle_semdedup_table,
         oracle_simhash_table,
     )
 
@@ -1588,6 +1589,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_pagerank_table(sf_dir)
     oracle_hits_table(sf_dir)
     oracle_lm_score_table(sf_dir)
+    oracle_semdedup_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -2860,6 +2862,29 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 30
 """
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    full-corpus distributed spherical k-means (integer-unit partial
+    sums -> exact under any reduction order; one bounded exchange per
+    iteration, <= k rows to the driver) then within-cluster cosine
+    prune keeping the lowest vec_id of each near-dup pair. Returns
+    (vec_id, cluster, keep) for every vector; hash-checked against a
+    sequential fit+assign+prune oracle sharing only the numeric
+    kernels (oracle_sketch.oracle_semdedup_table)."""
+    from ..stages.semdedup import semdedup
+    from .oracle_sketch import oracle_semdedup_table
+
+    oracle_semdedup_table(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], min_blocks=4)
+    return semdedup(ds, dim=64, k=16, iters=4, threshold=0.45)
+
+
+SQL_SEMDEDUP_EMBEDDINGS = """
+SELECT vec_id, cluster, keep
+FROM read_parquet('/tmp/ccray_oracle_semdedup.parquet')
+"""
+
+
 def q_events_hourly_outer(sf_dir: str):
     """FULL OUTER sort-merge join (stages/joins.merge_join
     how='outer'): high-value signup counts per hour joined with
@@ -3161,6 +3186,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
+    "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -1,0 +1,284 @@
+"""SemDeDup — semantic deduplication by cluster-then-prune
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): k-means over the embedding space,
+then within each cluster drop every vector that has a
+higher-priority near-duplicate (cosine >= threshold).
+
+Built as two Ray-Data-first pieces, both exact-deterministic so the
+whole pipeline value-hash-checks against a sequential oracle:
+
+**Distributed spherical k-means (full corpus, bounded exchanges).**
+Unlike ``stages/ann.kmeans_fit`` (driver-side Lloyd on a bounded
+sample, the IVF coarse-quantizer path), this fits on EVERY row the way
+PageRank iterates on every edge: per iteration ONE ``map_batches``
+pass assigns the batch to broadcast centroids and emits <= k partial
+rows (cluster, count, int64 quantized sum vector); a fan-in
+``map_batches`` reduce tree (the sketch-family reduce shape — NOT
+``repartition``) merges partials down to k rows on the driver. Two
+determinism disciplines make this oracle-checkable where naive k-means
+is not:
+
+- centroid accumulation uses INTEGER units — each normalized vector is
+  quantized to ``round(x * 2^24)`` int64 before summing, so partial
+  sums are exact and order-free under any reduction tree (the repo's
+  "integer units instead of distributed float SUM" rule). At ~2^37
+  rows per cluster the int64 headroom runs out — at that scale drop
+  the quantization to 2^16 or split hi/lo words.
+- assignment rounds the cosine scores to 6 decimals BEFORE argmax
+  (first-max tie-break = lowest cluster id), the knn_ivf discipline
+  that absorbs BLAS shape-dependent ulps.
+
+Initial centroids are the deterministic hash-sample rule shared with
+``knn_ivf(sample_mode="hash")``: knuth32-select ~2k ids, order by id,
+truncate to k — a pure function of the input, independent of block
+layout.
+
+**Within-cluster prune.** The final assignment is range-partitioned by
+``sort(cluster)`` (equal clusters never split across blocks), then one
+vectorized block pass computes the per-cluster cosine matrix and drops
+every vector with a LOWER-id neighbor at ``sim >= threshold`` (keep
+the canonical minimum — the exact-dedup "first per group" rule lifted
+to approximate similarity). Over-wide clusters are SKIPPED and counted
+via the shared skip-counter actor (the dedup-family ``max_bucket_docs``
+discipline — no silent quadratic blow-ups, no silent caps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.vec import list_to_matrix
+
+_QSCALE = float(1 << 24)
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    return np.where(n > 0, mat / np.where(n == 0, 1.0, n), 0.0)
+
+
+def quantize(mat: np.ndarray) -> np.ndarray:
+    """Normalized float64 rows -> int64 units (exact, order-free sums)."""
+    return np.rint(mat * _QSCALE).astype(np.int64)
+
+
+def assign_rounded(xn: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Cluster ids via cosine rounded to 6 dp before argmax; numpy
+    argmax takes the FIRST maximum, so ties break on lowest cluster."""
+    scores = np.round(xn @ centroids.T, 6)
+    return np.argmax(scores, axis=1).astype(np.int64)
+
+
+def centroids_from_sums(
+    qsums: np.ndarray, counts: np.ndarray, prev: np.ndarray
+) -> np.ndarray:
+    """Exact int64 (k, dim) sums + counts -> unit-normalized float64
+    centroids; empty clusters keep their previous centroid. Every
+    operation is a fixed float64 expression over exact integers, so
+    any implementation that feeds it the same sums is bit-identical."""
+    out = prev.copy()
+    nz = counts > 0
+    mean = qsums[nz].astype(np.float64) / (_QSCALE * counts[nz, None])
+    out[nz] = _norm_rows(mean)
+    return out
+
+
+def init_centroids_hash(ds, k: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic initial centroids: knuth32 hash-select ~2k ids,
+    order by id, truncate to k (the knn_ivf 'hash' sample rule)."""
+    from ..functions.sketches import knuth32
+
+    n_rows = ds.count()
+    if n_rows > k:
+        thresh = np.uint64(min(1 << 32, int(np.ceil((1 << 32) * 2.0 * k / n_rows))))
+
+        def hash_keep(t: pa.Table) -> pa.Table:
+            ids_ = t.column(id_col).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(knuth32(ids_) < thresh))
+
+        sample_ds = ds.map_batches(hash_keep, batch_format="pyarrow").sort(id_col).limit(k)
+    else:
+        sample_ds = ds.sort(id_col)
+    tbl = sample_ds.take_batch(k, batch_format="pyarrow")
+    return _norm_rows(list_to_matrix(tbl.column(vec_col)))
+
+
+def _partial_schema(dim: int) -> pa.Schema:
+    return pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("n", pa.int64()),
+            ("qsum", pa.list_(pa.int64(), dim)),
+        ]
+    )
+
+
+def _merge_partial_rows(t: pa.Table, k: int, dim: int) -> pa.Table:
+    """Sum partial rows by cluster — exact integers, any order."""
+    cl = t.column("cluster").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    qs = list_to_matrix(t.column("qsum"), dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    np.add.at(counts, cl, n)
+    sums = np.zeros((k, dim), dtype=np.int64)
+    np.add.at(sums, cl, qs)
+    nz = np.nonzero(counts)[0]
+    return pa.table(
+        {
+            "cluster": pa.array(nz, pa.int64()),
+            "n": pa.array(counts[nz]),
+            "qsum": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums[nz].reshape(-1), pa.int64()), dim
+            ),
+        },
+        schema=_partial_schema(dim),
+    )
+
+
+def kmeans_fit_distributed(
+    ds,
+    dim: int,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full-corpus spherical k-means. Per iteration: one streaming
+    assign+partial pass (<= k rows out per batch), one fan-in merge
+    pass, <= k rows to the driver. Returns (k, dim) float64 unit
+    centroids."""
+    import ray
+
+    centroids = init_centroids_hash(ds, k, id_col, vec_col)
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partials(t: pa.Table, _ref=ref) -> pa.Table:
+            cent = ray.get(_ref)
+            if len(t) == 0:
+                return _partial_schema(dim).empty_table()
+            xn = _norm_rows(list_to_matrix(t.column(vec_col)))
+            cl = assign_rounded(xn, cent)
+            q = quantize(xn)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(counts, cl, 1)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, cl, q)
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "cluster": pa.array(nz, pa.int64()),
+                    "n": pa.array(counts[nz]),
+                    "qsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums[nz].reshape(-1), pa.int64()), dim
+                    ),
+                },
+                schema=_partial_schema(dim),
+            )
+
+        merged = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .map_batches(
+                lambda t: _merge_partial_rows(t, k, dim),
+                batch_format="pyarrow",
+                batch_size=32 * k,
+            )
+            .map_batches(
+                lambda t: _merge_partial_rows(t, k, dim),
+                batch_format="pyarrow",
+                batch_size=32 * k,
+            )
+            .take_all()
+        )
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        for row in merged:
+            c = int(row["cluster"])
+            counts[c] += int(row["n"])
+            sums[c] += np.asarray(row["qsum"], dtype=np.int64)
+        centroids = centroids_from_sums(sums, counts, centroids)
+    return centroids
+
+
+def semdedup(
+    ds,
+    dim: int,
+    k: int = 16,
+    iters: int = 4,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_docs: int | None = 4096,
+):
+    """Full SemDeDup: fit, assign, within-cluster prune. Returns a
+    Dataset of (vec_id, cluster, keep) for every input row.
+
+    ``max_cluster_docs``: clusters wider than this are not pruned
+    (every member kept, skip counted) instead of materializing an
+    O(b^2) similarity matrix in one block — the dedup-family cap rule.
+    """
+    import ray
+
+    centroids = kmeans_fit_distributed(
+        ds, dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        xn = _norm_rows(list_to_matrix(t.column(vec_col)))
+        cl = assign_rounded(xn, cent)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(cl),
+                "qvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(quantize(xn).reshape(-1), pa.int64()), dim
+                ),
+            }
+        )
+
+    def prune_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("cluster", pa.int64()), ("keep", pa.bool_())]
+            ).empty_table()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        q = list_to_matrix(t.column("qvec"), dtype=np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        skipped = 0
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        ends = np.r_[starts[1:], len(cl)]
+        for s, e in zip(starts, ends):
+            b = e - s
+            if b < 2:
+                continue
+            if max_cluster_docs is not None and b > max_cluster_docs:
+                skipped += 1
+                continue
+            order = np.argsort(ids[s:e], kind="mergesort")
+            xn = q[s:e][order].astype(np.float64) / _QSCALE
+            sims = np.round(xn @ xn.T, 6)
+            # drop every vector with a LOWER-id near-duplicate: strict
+            # upper triangle (j > i in id order) marks the higher id
+            dup = (np.triu(sims >= threshold, 1)).any(axis=0)
+            keep[s + order[dup]] = False
+        if skipped:
+            from ..state.counters import count_skip
+
+            count_skip("semdedup", buckets=skipped)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(cl),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .sort("cluster")
+        .map_batches(prune_block, batch_format="pyarrow", batch_size=None)
+    )

@@ -1,0 +1,87 @@
+"""SemDeDup stage tests: kernel determinism plus end-to-end pruning
+on a constructed embedding set with planted near-duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from commoncrawl_ray.stages.semdedup import (
+    _QSCALE,
+    _norm_rows,
+    assign_rounded,
+    centroids_from_sums,
+    quantize,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    rs = np.random.RandomState(3)
+    xn = _norm_rows(rs.normal(size=(50, 16)))
+    back = quantize(xn).astype(np.float64) / _QSCALE
+    assert np.abs(back - xn).max() <= 0.5 / _QSCALE + 1e-12
+
+
+def test_centroids_from_sums_keeps_empty_clusters():
+    prev = _norm_rows(np.eye(3))
+    sums = np.zeros((3, 3), dtype=np.int64)
+    counts = np.zeros(3, dtype=np.int64)
+    sums[1] = quantize(_norm_rows(np.array([[0.0, 2.0, 0.0]])))[0] * 5
+    counts[1] = 5
+    out = centroids_from_sums(sums, counts, prev)
+    assert np.allclose(out[0], prev[0]) and np.allclose(out[2], prev[2])
+    assert np.allclose(out[1], [0.0, 1.0, 0.0])
+
+
+def test_assign_tie_breaks_lowest_cluster():
+    cent = _norm_rows(np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]))
+    cl = assign_rounded(_norm_rows(np.array([[2.0, 0.0]])), cent)
+    assert cl.tolist() == [0]
+
+
+def test_semdedup_end_to_end_prunes_planted_dups(ray_session):
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.semdedup import semdedup
+
+    rs = np.random.RandomState(11)
+    base = rs.normal(size=(40, 32))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # planted near-dups: 100~0 and 101~7 (tiny noise, cosine ~0.9999)
+    rows.append({"vec_id": 100, "embedding": (base[0] + rs.normal(scale=1e-3, size=32)).tolist()})
+    rows.append({"vec_id": 101, "embedding": (base[7] + rs.normal(scale=1e-3, size=32)).tolist()})
+    out = (
+        semdedup(rd.from_items(rows), dim=32, k=4, iters=3, threshold=0.95)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 42
+    # lower id of each pair survives, higher id is dropped
+    assert bool(out.loc[0, "keep"]) and not bool(out.loc[100, "keep"])
+    assert bool(out.loc[7, "keep"]) and not bool(out.loc[101, "keep"])
+    # pair members land in the same cluster (that's what makes the
+    # prune see them)
+    assert out.loc[0, "cluster"] == out.loc[100, "cluster"]
+    # untouched vectors all survive
+    dropped = set(out.index[~out["keep"]])
+    assert dropped == {100, 101}
+
+
+def test_semdedup_cluster_cap_skips_prune(ray_session):
+    """max_cluster_docs: an over-wide cluster is kept whole (no
+    quadratic pass) instead of pruned."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.semdedup import semdedup
+
+    rs = np.random.RandomState(5)
+    v = rs.normal(size=8)
+    rows = [
+        {"vec_id": i, "embedding": (v + rs.normal(scale=1e-4, size=8)).tolist()}
+        for i in range(20)
+    ]
+    out = semdedup(
+        rd.from_items(rows), dim=8, k=2, iters=2, threshold=0.9, max_cluster_docs=10
+    ).to_pandas()
+    # every vector is a near-dup of every other, but the cluster is
+    # wider than the cap -> nothing pruned, all kept
+    assert out["keep"].all()
