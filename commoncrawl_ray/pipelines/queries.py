@@ -2862,6 +2862,115 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 30
 """
 
 
+_DUP_N = 8  # word n-gram width for duplicate-passage detection
+
+
+def q_dup_passages(sf_dir: str):
+    """Substring-level duplicate-passage detection (the signal behind
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for every document, how many of its word 8-grams
+    also appear in ANOTHER document. Two exchanges total:
+
+    1. in-batch per-(doc, gram) occurrence counts (a document lives in
+       one row, so the count is complete without a shuffle — the
+       tfidf_top_terms discipline);
+    2. ONE sort(gram) co-partition, then a vectorized run-length block
+       pass marks grams whose run spans >= 2 documents (no df table,
+       no join — equal grams are adjacent after the sort);
+    3. ONE groupby(doc_id) two-sum aggregate -> (n_grams, n_dup_grams,
+       dup_frac).
+
+    At 100 TB the gram strings on the wire would be hashed to int64
+    first (fp64/minhash kernels exist); the string key keeps the DuckDB
+    oracle shared verbatim."""
+    import pyarrow.compute as pc
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_col, g_col, occ_col = [], [], []
+        for did, lst in zip(ids, toks.to_pylist()):
+            if len(lst) < _DUP_N:
+                continue
+            c = Counter(
+                " ".join(lst[i : i + _DUP_N]) for i in range(len(lst) - _DUP_N + 1)
+            )
+            doc_col.extend([did] * len(c))
+            g_col.extend(c.keys())
+            occ_col.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(doc_col, dtype=np.int64)),
+                "g": pa.array(g_col, pa.string()),
+                "occ": pa.array(np.asarray(occ_col, dtype=np.int64)),
+            }
+        )
+
+    def mark_dups(t: pa.Table) -> pa.Table:
+        # sorted by g: a gram's run length == its distinct-doc count
+        # (rows are unique per (doc_id, g))
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("occ", pa.int64()), ("dup_occ", pa.int64())]
+            ).empty_table()
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        occ = t.column("occ").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        runs = np.r_[starts[1:], len(g)] - starts
+        nd = np.repeat(runs, runs)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "occ": t.column("occ"),
+                "dup_occ": pa.array(np.where(nd >= 2, occ, 0)),
+            }
+        )
+
+    marked = (
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .sort("g")
+        .map_batches(mark_dups, batch_format="pyarrow", batch_size=None)
+    )
+    agg = marked.groupby("doc_id").aggregate(Sum("occ"), Sum("dup_occ"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("sum(occ)").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t.column("sum(dup_occ)").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("sum(occ)").cast(pa.int64()),
+                "n_dup_grams": t.column("sum(dup_occ)").cast(pa.int64()),
+                "dup_frac": pa.array(np.round(d / n, 6)),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_DUP_PASSAGES = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(arr) - 7)) t(i)
+), pg AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS occ FROM grams GROUP BY doc_id, g
+), df AS (
+  SELECT g, COUNT(*) AS nd FROM pg GROUP BY g
+)
+SELECT p.doc_id,
+       CAST(SUM(p.occ) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.nd >= 2 THEN p.occ ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       ROUND(SUM(CASE WHEN df.nd >= 2 THEN p.occ ELSE 0 END)
+             / CAST(SUM(p.occ) AS DOUBLE), 6) AS dup_frac
+FROM pg p JOIN df USING (g) GROUP BY p.doc_id
+"""
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) over the embeddings table:
     full-corpus distributed spherical k-means (integer-unit partial
@@ -3187,6 +3296,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
+    "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
