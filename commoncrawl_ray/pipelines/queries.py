@@ -2862,6 +2862,160 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 30
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.4):
+    documents bucketed by PER-LANGUAGE perplexity terciles of the
+    reference-corpus LM. Fully distributed: the char-trigram LM fit +
+    scoring of q_lm_perplexity, then per-lang tercile thresholds via
+    the exact percentile_disc block pass (sort('lang') co-partition —
+    5 langs, thresholds are 10 doubles to the driver), then a
+    stateless bucket map. The oracle recomputes the terciles in SQL
+    over the sequential-scoring parquet."""
+    from ..stages.lm_score import lm_score, train_char_lm
+    from .oracle_sketch import oracle_lm_score_table
+
+    oracle_lm_score_table(sf_dir)
+    train = (
+        _pq(sf_dir, "documents", ["lang", "text"], min_blocks=4)
+        .filter(expr="lang == 'en'")
+        .select_columns(["text"])
+    )
+    logp = train_char_lm(train)
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=4)
+    scored = lm_score(docs, logp)
+
+    def terciles_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=object),
+                    "t1": pd.Series([], dtype=np.float64),
+                    "t2": pd.Series([], dtype=np.float64),
+                }
+            )
+        df = df.sort_values(["lang", "nll"], kind="mergesort")
+        lg = df["lang"].to_numpy()
+        v = df["nll"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(lg[1:] != lg[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(lg)])
+        # percentile_disc(q): value at ceil(q*n)-1 in sorted order
+        t1_idx = starts + np.ceil((1 / 3) * counts).astype(np.int64) - 1
+        t2_idx = starts + np.ceil((2 / 3) * counts).astype(np.int64) - 1
+        return pd.DataFrame({"lang": lg[starts], "t1": v[t1_idx], "t2": v[t2_idx]})
+
+    th = (
+        scored.select_columns(["lang", "nll"])
+        .sort("lang")
+        .map_batches(terciles_block, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    t1 = dict(zip(th["lang"], th["t1"]))
+    t2 = dict(zip(th["lang"], th["t2"]))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        nll = t.column("nll").to_numpy(zero_copy_only=False)
+        a = np.array([t1[lg] for lg in langs])
+        b = np.array([t2[lg] for lg in langs])
+        bucket = np.where(nll <= a, "head", np.where(nll <= b, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "nll": t.column("nll"),
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return scored.map_batches(bucketize, batch_format="pyarrow")
+
+
+SQL_CCNET_BUCKETS = """
+WITH s AS (
+  SELECT doc_id, lang, nll
+  FROM read_parquet('/tmp/ccray_oracle_lm_score.parquet')
+), th AS (
+  SELECT lang,
+         percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY nll) AS t1,
+         percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY nll) AS t2
+  FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.nll,
+       CASE WHEN s.nll <= th.t1 THEN 'head'
+            WHEN s.nll <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN th USING (lang)
+"""
+
+
+def q_source_mixture_weights(sf_dir: str):
+    """Domain-mixture reweighting (the DoReMi/Pile-style knob): per
+    source, token mass and the sampling weight that would equalize
+    token share across sources. One in-batch token-count pass
+    (Arrow RE2 kernel, the token_counts discipline) + one tiny
+    groupby(source); the weight arithmetic is a fixed double chain
+    over exact integers."""
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        n_words = pc.count_substring_regex(t.column("text"), pattern=r"\S+")
+        df_ = pd.DataFrame(
+            {
+                "source": t.column("source").to_pylist(),
+                "n_words": n_words.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df_.groupby("source", sort=True).agg(
+            n_docs=("n_words", "size"), n_tokens=("n_words", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g.index.tolist(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        _pq(sf_dir, "documents", ["source", "text"], min_blocks=4)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs"), Sum("n_tokens"))
+        .to_pandas()
+    )
+    total = float(agg["sum(n_tokens)"].sum())
+    s_count = len(agg)
+    return pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_docs": agg["sum(n_docs)"].astype(np.int64),
+            "n_tokens": agg["sum(n_tokens)"].astype(np.int64),
+            "weight": np.round(
+                total / s_count / agg["sum(n_tokens)"].to_numpy(np.float64), 6
+            ),
+        }
+    )
+
+
+SQL_SOURCE_MIXTURE_WEIGHTS = r"""
+WITH pd AS (
+  SELECT source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_words
+  FROM documents
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_tokens
+  FROM pd GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST((SELECT SUM(n_tokens) FROM agg) AS DOUBLE)
+             / (SELECT COUNT(*) FROM agg) / n_tokens, 6) AS weight
+FROM agg
+"""
+
+
 _DUP_N = 8  # word n-gram width for duplicate-passage detection
 
 
@@ -3297,6 +3451,8 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
