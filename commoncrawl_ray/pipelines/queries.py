@@ -1665,6 +1665,70 @@ def q_arc_roundtrip(sf_dir: str):
     )
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC 1.0 format layer (sources/warc.py — the format modern
+    Common Crawl publishes; no reference counterpart, built from the
+    public ISO 28500 spec): write the same 160-page shard as
+    gzip-member-per-record .warc.gz, read it back through the Ray Data
+    WARC source, parse — and hash-check against the SAME no-format
+    oracle as arc_roundtrip (the expected rows are format-independent,
+    so one oracle proves both archive layers byte-lossless)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.synth import get_universe
+    from ..sources.warc import read_warc_pages, write_warc
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_arc_roundtrip_table
+
+    oracle_arc_roundtrip_table()
+    uni = get_universe(0.001, 42)
+    rows = []
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            rows.append((url, ts, rec))
+    tmp = tempfile.mkdtemp(prefix="cc_ray_warc_q_")
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    write_warc(rd.from_arrow(t), tmp).count()
+    paths = [
+        os.path.join(tmp, f) for f in sorted(os.listdir(tmp)) if f.endswith(".warc.gz")
+    ]
+
+    def digest(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "url_fp": b.column("url_fp"),
+                "http_status": b.column("http_status"),
+                "mime_norm": b.column("mime_norm"),
+                "digest_hex": pa.array(
+                    [
+                        hashlib.md5((t_ or "").encode()).hexdigest()
+                        for t_ in b.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        read_warc_pages(paths)
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(digest, batch_format="pyarrow")
+    )
+
+
+SQL_WARC_ROUNDTRIP = SQL_ARC_ROUNDTRIP
+
+
 def q_crawl_host_stats(sf_dir: str):
     """Crawl analytics (SURVEY A2 histogram + §3.3 report shape): per
     host_fp action counts + mean depth over a short crawl's fetch log,
@@ -3460,4 +3524,5 @@ REGISTRY: dict[str, tuple] = {
     "crawl_log": (q_crawl_log, SQL_CRAWL_LOG),
     "crawl_host_stats": (q_crawl_host_stats, SQL_CRAWL_HOST_STATS),
     "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
 }

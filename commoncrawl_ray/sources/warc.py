@@ -1,0 +1,273 @@
+"""WARC 1.0 (ISO 28500) writer, streaming reader, and Ray Data
+source/sink — the format modern Common Crawl publishes, added beside
+the reference's ARC layer (``sources/arc.py``) so a user can run the
+same parse pipeline over either archive generation.
+
+Built from the PUBLIC format spec only (ISO 28500 / the WARC 1.0
+specification; no reference counterpart exists — the reference
+predates WARC):
+
+- **Layout** — like Common Crawl's .warc.gz: each record is its own
+  gzip member, so a file streams record-at-a-time and files split at
+  member boundaries (the reader reuses ``arc.iter_gzip_members``,
+  which CRC/ISIZE-checks every member during inflate).
+- **Record grammar** — ``WARC/1.0 CRLF named-fields CRLF CRLF block
+  CRLF CRLF`` with ``Content-Length`` giving the exact block size.
+  The writer emits one ``warcinfo`` record (member 0) then one
+  ``response`` record per page whose block is the full HTTP response
+  message (status line + headers + CRLF CRLF + body) — exactly the
+  bytes the parse/extract kernel consumes.
+- **Determinism** — ``WARC-Record-ID`` is a urn:uuid derived from
+  md5(url, timestamp) and ``WARC-Date`` from the row's own
+  ``warc_ts`` (never the wall clock), so a write -> read -> parse
+  round trip is value-hash-reproducible (the ``warc_roundtrip``
+  registry row shares the ARC round-trip's no-format oracle).
+
+Ray Data mapping mirrors the ARC source: a .warc.gz is unsplittable
+(sequential member scan), so one file = one read task via
+``read_binary_files``; the sink writes one file per block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from .arc import iter_gzip_members, _gzip_member
+
+_CRLF = b"\r\n"
+WARC_VERSION = b"WARC/1.0"
+
+
+def _warc_date(ts_ms: int) -> str:
+    dt = datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(*parts) -> str:
+    h = hashlib.md5("|".join(str(p) for p in parts).encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def _record(fields: list[tuple[str, str]], block: bytes) -> bytes:
+    head = WARC_VERSION + _CRLF
+    head += b"".join(
+        f"{k}: {v}".encode("utf-8") + _CRLF for k, v in fields
+    )
+    head += f"Content-Length: {len(block)}".encode() + _CRLF + _CRLF
+    return head + block + _CRLF + _CRLF
+
+
+def warcinfo_record(filename: str, ts_ms: int) -> bytes:
+    block = (
+        b"software: commoncrawl-ray warc writer\r\n"
+        b"format: WARC File Format 1.0\r\n"
+    )
+    return _record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", _record_id("warcinfo", filename, ts_ms)),
+            ("WARC-Date", _warc_date(ts_ms)),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        block,
+    )
+
+
+def response_record(url: str, ts_ms: int, http_message: bytes) -> bytes:
+    return _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", _record_id("response", url, ts_ms)),
+            ("WARC-Date", _warc_date(ts_ms)),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http_message,
+    )
+
+
+def write_warc_file(f, filename: str, records) -> int:
+    """``records``: iterable of (url, ts_ms, http_message_bytes).
+    Returns the number of response records written."""
+    first_ts = None
+    n = 0
+    for url, ts_ms, msg in records:
+        if first_ts is None:
+            first_ts = ts_ms
+            f.write(_gzip_member(warcinfo_record(filename, ts_ms)))
+        f.write(_gzip_member(response_record(url, ts_ms, msg)))
+        n += 1
+    if first_ts is None:  # empty file still carries its warcinfo
+        f.write(_gzip_member(warcinfo_record(filename, 0)))
+    return n
+
+
+@dataclass
+class WarcRecord:
+    rec_type: str
+    url: str | None
+    ts_ms: int
+    content_type: str | None
+    block: bytes
+
+
+def parse_warc_member(data: bytes) -> WarcRecord:
+    """One inflated gzip member -> WarcRecord. Strict on the version
+    line and Content-Length (the framing WARC readers rely on);
+    lenient on unknown fields."""
+    end = data.find(_CRLF + _CRLF)
+    if end == -1 or not data.startswith(WARC_VERSION):
+        raise ValueError("not a WARC/1.0 record")
+    fields: dict[str, str] = {}
+    for line in data[len(WARC_VERSION) + 2 : end].split(_CRLF):
+        k, _, v = line.decode("utf-8", errors="replace").partition(":")
+        if _:
+            fields[k.strip().lower()] = v.strip()
+    length = int(fields["content-length"])
+    block = data[end + 4 : end + 4 + length]
+    if len(block) != length:
+        raise ValueError("truncated WARC block")
+    ts_ms = 0
+    date = fields.get("warc-date")
+    if date:
+        dt = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+        ts_ms = int(dt.timestamp() * 1000)
+    return WarcRecord(
+        rec_type=fields.get("warc-type", ""),
+        url=fields.get("warc-target-uri"),
+        ts_ms=ts_ms,
+        content_type=fields.get("content-type"),
+        block=block,
+    )
+
+
+def _http_mime(msg: bytes) -> str:
+    """Content-Type of the HTTP message inside a response block
+    (header section only), '' when absent."""
+    end = msg.find(_CRLF + _CRLF)
+    head = msg[: end if end != -1 else len(msg)]
+    for line in head.split(_CRLF):
+        if line.lower().startswith(b"content-type:"):
+            return (
+                line.split(b":", 1)[1].split(b";")[0].strip().decode(
+                    "utf-8", errors="replace"
+                )
+            )
+    return ""
+
+
+def iter_warc_records_uncompressed(data: bytes):
+    """Records of an UNCOMPRESSED (or transparently inflated) WARC
+    stream: ``header CRLF CRLF block CRLF CRLF`` back to back — what a
+    gunzip layer (e.g. Arrow's filename-inferred decompression)
+    produces from member-per-record .warc.gz."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        end = data.find(_CRLF + _CRLF, pos)
+        if end == -1:
+            raise ValueError("truncated WARC header")
+        rec_end = end + 4
+        # Content-Length bounds the block; reuse the strict parser on
+        # the exact record slice
+        head = data[pos:end].split(_CRLF)
+        length = None
+        for line in head:
+            if line.lower().startswith(b"content-length:"):
+                length = int(line.split(b":", 1)[1])
+                break
+        if length is None:
+            raise ValueError("WARC record without Content-Length")
+        yield parse_warc_member(data[pos : rec_end + length])
+        pos = rec_end + length
+
+
+def iter_warc_records(stream, chunk_size: int = 32 * 1024):
+    """Yield response-type WarcRecords. Accepts the gzip
+    member-per-record form (dispatched on the gzip magic) or an
+    uncompressed/already-inflated stream (the ARC reader's dual
+    dispatch — Arrow's read path may transparently gunzip .gz)."""
+    if isinstance(stream, (bytes, bytearray)) and bytes(stream[:2]) != b"\x1f\x8b":
+        members = iter_warc_records_uncompressed(bytes(stream))
+    else:
+        members = (
+            parse_warc_member(m) for m in iter_gzip_members(stream, chunk_size)
+        )
+    for rec in members:
+        if rec.rec_type == "response":
+            yield rec
+
+
+def read_warc_pages(paths, chunk_size: int = 32 * 1024):
+    """WARC files -> pages-shaped Dataset (url, warc_ts, html, mime);
+    ``html`` is the verbatim HTTP response message, exactly what the
+    parse stage consumes. One file = one read task (unsplittable gz)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, arrow_open_stream_args={"compression": None})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, blobs, mimes = [], [], [], []
+        for raw in batch.column("bytes").to_pylist():
+            for rec in iter_warc_records(raw, chunk_size):
+                urls.append(rec.url or "")
+                tss.append(rec.ts_ms)
+                blobs.append(rec.block)
+                mimes.append(_http_mime(rec.block))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.array(tss, dtype="int64"), pa.timestamp("ms")),
+                "html": pa.array(blobs, pa.binary()),
+                "mime": pa.array(mimes, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
+def write_warc(ds, out_dir: str, prefix: str = "part"):
+    """Sink a pages-shaped Dataset (url, warc_ts, html) as one
+    ``.warc.gz`` per block; rows pass through verbatim as response
+    blocks."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = f"{prefix}-{uuid.uuid4().hex}.warc.gz"
+
+        def gen():
+            for url, ts, rec in zip(
+                batch.column("url").to_pylist(),
+                batch.column("warc_ts").cast(pa.int64()).to_pylist(),
+                batch.column("html").to_pylist(),
+            ):
+                yield url, ts, rec
+
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            n = write_warc_file(f, name, gen())
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {"file": pa.array([name]), "records": pa.array([n], pa.int64())}
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,100 @@
+"""WARC 1.0 format layer (sources/warc.py): record grammar, byte-exact
+round trip, warcinfo handling, Ray source/sink."""
+
+import gzip
+import io
+
+import pyarrow as pa
+import pytest
+
+from commoncrawl_ray.sources.warc import (
+    iter_warc_records,
+    parse_warc_member,
+    response_record,
+    warcinfo_record,
+    write_warc_file,
+)
+
+MSG = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+    b"<html><body>hello warc</body></html>"
+)
+
+
+def test_response_record_grammar():
+    rec = response_record("http://a.com/x", 1_700_000_000_000, MSG)
+    assert rec.startswith(b"WARC/1.0\r\n")
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    assert f"Content-Length: {len(MSG)}".encode() in head
+    assert b"WARC-Type: response" in head
+    assert b"WARC-Target-URI: http://a.com/x" in head
+    assert b"WARC-Date: 2023-11-14T22:13:20Z" in head
+    assert rest == MSG + b"\r\n\r\n"
+
+
+def test_record_id_deterministic():
+    a = response_record("http://a.com/x", 5, MSG)
+    b = response_record("http://a.com/x", 5, MSG)
+    c = response_record("http://a.com/y", 5, MSG)
+    assert a == b
+    assert a != c
+
+
+def test_roundtrip_byte_exact():
+    rows = [
+        ("http://a.com/1", 1_000_000, MSG),
+        ("http://b.com/2", 2_000_000, b"HTTP/1.0 404 Not Found\r\n\r\n"),
+        ("http://c.com/3", 3_000_000, b""),  # empty block
+    ]
+    buf = io.BytesIO()
+    n = write_warc_file(buf, "t.warc.gz", iter(rows))
+    assert n == 3
+    got = list(iter_warc_records(io.BytesIO(buf.getvalue())))
+    assert [(r.url, r.ts_ms, r.block) for r in got] == rows
+
+
+def test_warcinfo_member_skipped_by_reader():
+    buf = io.BytesIO()
+    write_warc_file(buf, "empty.warc.gz", iter(()))
+    # the file holds exactly one warcinfo member and no responses
+    raw = gzip.decompress(buf.getvalue())
+    rec = parse_warc_member(raw)
+    assert rec.rec_type == "warcinfo"
+    assert list(iter_warc_records(io.BytesIO(buf.getvalue()))) == []
+
+
+def test_parse_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        parse_warc_member(b"HTTP/1.1 200 OK\r\n\r\nnope")
+    good = response_record("http://a.com", 1, MSG)
+    with pytest.raises(ValueError):
+        parse_warc_member(good[:-10])  # truncated block
+
+
+def test_ray_source_sink_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from commoncrawl_ray.sources.warc import read_warc_pages, write_warc
+
+    rows = [
+        {"url": f"http://h{i}.com/p", "warc_ts": (i + 1) * 1000, "html": MSG}
+        for i in range(10)
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("ms")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+        }
+    )
+    out = str(tmp_path / "warc")
+    res = write_warc(rd.from_arrow(t), out).to_pandas()
+    assert res["records"].sum() == 10
+    import os
+
+    paths = [os.path.join(out, f) for f in sorted(os.listdir(out)) if f.endswith(".warc.gz")]
+    back = read_warc_pages(paths).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == 10
+    assert back["url"].tolist() == sorted(r["url"] for r in rows)
+    assert all(b == MSG for b in back["html"])
+    assert (back["mime"] == "text/html").all()
