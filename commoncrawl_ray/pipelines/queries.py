@@ -3080,6 +3080,105 @@ FROM agg
 """
 
 
+_PACK_BUCKETS = 8
+_PACK_SEQ_TOKENS = 512
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style training-sequence packing (concat-and-chunk): docs are
+    hash-bucketed into 8 independent packing streams, concatenated in
+    doc_id order within each stream, and chunked into 512-token
+    sequences — each doc's (tok_start, seq_first, seq_last) span is
+    pure integer arithmetic over a per-bucket exclusive cumsum.
+
+    Shape: one in-batch token-count pass, ONE sort(bucket)
+    co-partition, one vectorized per-bucket cumsum block pass. The
+    bucket count is the parallelism unit and bounds per-block state —
+    at 100 TB you raise _PACK_BUCKETS so a bucket's doc list fits a
+    sort block (the documented group-fits-a-block assumption shared
+    with the window family)."""
+    import pyarrow.compute as pc
+
+    def tokens_and_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_words = pc.count_substring_regex(t.column("text"), pattern=r"\S+")
+        bucket = _knuth32_np(ids) % np.uint64(_PACK_BUCKETS)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "n_words": n_words.cast(pa.int64()),
+            }
+        )
+
+    def pack_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "bucket": pd.Series([], dtype=np.int64),
+                    "n_words": pd.Series([], dtype=np.int64),
+                    "tok_start": pd.Series([], dtype=np.int64),
+                    "seq_first": pd.Series([], dtype=np.int64),
+                    "seq_last": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["bucket", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = df["n_words"].to_numpy(np.int64)
+        b = df["bucket"].to_numpy(np.int64)
+        cum = np.cumsum(n) - n  # exclusive prefix within the block
+        starts = np.r_[0, np.flatnonzero(b[1:] != b[:-1]) + 1]
+        base = np.repeat(cum[starts], np.diff(np.r_[starts, len(b)]))
+        tok_start = cum - base
+        seq_first = tok_start // _PACK_SEQ_TOKENS
+        seq_last = np.where(
+            n == 0, seq_first, (tok_start + n - 1) // _PACK_SEQ_TOKENS
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "bucket": b,
+                "n_words": n,
+                "tok_start": tok_start,
+                "seq_first": seq_first,
+                "seq_last": seq_last,
+            }
+        )
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+        .map_batches(tokens_and_bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(pack_block, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(((doc_id * 2654435761) % 4294967296) % 8 AS BIGINT) AS bucket,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_words
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_words,
+         CAST(COALESCE(SUM(n_words) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM d
+)
+SELECT doc_id, bucket, n_words, tok_start,
+       tok_start // 512 AS seq_first,
+       CASE WHEN n_words = 0 THEN tok_start // 512
+            ELSE (tok_start + n_words - 1) // 512 END AS seq_last
+FROM c
+"""
+
+
 _DUP_N = 8  # word n-gram width for duplicate-passage detection
 
 
@@ -3517,6 +3616,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
