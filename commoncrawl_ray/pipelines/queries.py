@@ -3080,6 +3080,200 @@ FROM agg
 """
 
 
+def q_curate_corpus(sf_dir: str):
+    """The FULL LLM corpus-curation DAG in one distributed run — every
+    gate an engine operator, chained the way a production cleanroom
+    runs them (CCNet + the dedup literature):
+
+      quality gate (>= 20 words)
+      -> exact dedup (min doc_id per md5)
+      -> near-dup dedup (MinHash+LSH pairs -> connected components,
+         keep each component's min doc_id)
+      -> LM perplexity gate (drop the per-language tail tercile of the
+         char-trigram reference LM)
+
+    Survivors emerge as (doc_id, lang, n_words, nll). Text never rides
+    an exchange: gates join on doc_id / text_hash with slim payloads.
+    The oracle recomposes the same gates in SQL from the
+    already-verified pieces (llm_prep CTEs, the recursive-CTE
+    component closure over the minhash-pairs parquet, percentile_disc
+    terciles over the sequential-LM parquet)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ..stages.components import connected_components
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.joins import merge_join
+    from ..stages.lm_score import lm_score, train_char_lm
+    from .oracle_sketch import oracle_lm_score_table, oracle_minhash_pairs_table
+
+    oracle_minhash_pairs_table(sf_dir)
+    oracle_lm_score_table(sf_dir)
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=16)
+
+    # gates 1+2: quality + exact dedup (the llm_prep discipline)
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = pc.count_substring_regex(text, pattern=r"\S+")
+        batch = batch.append_column("n_words", n_words.cast(pa.int64()))
+        batch = batch.filter(pc.greater_equal(n_words, 20))
+        return batch.append_column(
+            "text_hash",
+            pa.array(
+                [
+                    hashlib.md5((t or "").encode()).hexdigest()
+                    for t in batch.column("text").to_pylist()
+                ],
+                pa.string(),
+            ),
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    keepers = scored.groupby("text_hash").aggregate(Min("doc_id", alias_name="keeper"))
+    exact = (
+        merge_join(
+            scored.select_columns(["doc_id", "lang", "n_words", "text_hash"]),
+            keepers,
+            left_on="text_hash",
+            right_on="text_hash",
+            right_cols=["keeper"],
+            how="inner",
+        )
+        .filter(expr="doc_id == keeper")
+        .select_columns(["doc_id", "lang", "n_words"])
+    )
+
+    # gate 3: near-dup components over the full corpus (pairs are
+    # corpus-defined, not survivor-defined, matching neardup_dedup_docs)
+    pairs = minhash_lsh_pairs(
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
+        id_col="doc_id",
+        text_col="text",
+    )
+    comps = connected_components(pairs)
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        comp = t.column("component_id")
+        mask = pc.or_kleene(pc.is_null(comp), pc.equal(comp, t.column("doc_id")))
+        return t.filter(pc.fill_null(mask, True)).drop_columns(["component_id"])
+
+    neardup_kept = merge_join(
+        exact,
+        comps,
+        left_on="doc_id",
+        right_on="doc_id",
+        right_cols=["component_id"],
+        how="left",
+    ).map_batches(keep_reps, batch_format="pyarrow")
+
+    # gate 4: per-lang LM perplexity tail cut (t2 tercile, CCNet rule)
+    train = (
+        _pq(sf_dir, "documents", ["lang", "text"], min_blocks=4)
+        .filter(expr="lang == 'en'")
+        .select_columns(["text"])
+    )
+    logp = train_char_lm(train)
+    lm = lm_score(
+        _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=4), logp
+    )
+
+    def terciles_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object), "t2": pd.Series([], dtype=np.float64)}
+            )
+        df = df.sort_values(["lang", "nll"], kind="mergesort")
+        lg = df["lang"].to_numpy()
+        v = df["nll"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(lg[1:] != lg[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(lg)])
+        t2_idx = starts + np.ceil((2 / 3) * counts).astype(np.int64) - 1
+        return pd.DataFrame({"lang": lg[starts], "t2": v[t2_idx]})
+
+    th = (
+        lm.select_columns(["lang", "nll"])
+        .sort("lang")
+        .map_batches(terciles_block, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    t2 = dict(zip(th["lang"], th["t2"]))
+
+    with_nll = merge_join(
+        neardup_kept,
+        lm.select_columns(["doc_id", "nll"]),
+        left_on="doc_id",
+        right_on="doc_id",
+        right_cols=["nll"],
+        how="inner",
+    )
+
+    def lm_gate(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        nll = t.column("nll").to_numpy(zero_copy_only=False)
+        thr = np.array([t2[lg] for lg in langs]) if langs else np.empty(0)
+        return t.filter(pa.array(nll <= thr))
+
+    return with_nll.map_batches(lm_gate, batch_format="pyarrow")
+
+
+from .oracle_sketch import (  # noqa: E402 — needed by the f-string below
+    LM_SCORE_ORACLE_PATH as _LM_ORACLE_PATH,
+    MINHASH_ORACLE_PATH as _MINHASH_ORACLE_PATH,
+)
+
+SQL_CURATE_CORPUS = f"""
+WITH RECURSIVE
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         md5(text) AS text_hash
+  FROM documents
+),
+gated AS (SELECT * FROM scored WHERE n_words >= 20),
+keepers AS (
+  SELECT text_hash, MIN(doc_id) AS keeper FROM gated GROUP BY text_hash
+),
+exact AS (
+  SELECT g.doc_id, g.lang, g.n_words
+  FROM gated g JOIN keepers k
+    ON g.text_hash = k.text_hash AND g.doc_id = k.keeper
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM read_parquet('{_MINHASH_ORACLE_PATH}')
+  UNION
+  SELECT id_b AS u, id_a AS v FROM read_parquet('{_MINHASH_ORACLE_PATH}')
+),
+walk(u, label) AS (
+    SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+    SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+),
+comp AS (
+  SELECT u AS doc_id, MIN(label) AS component_id FROM walk GROUP BY u
+),
+neardup_kept AS (
+  SELECT e.* FROM exact e LEFT JOIN comp c USING (doc_id)
+  WHERE c.component_id IS NULL OR c.component_id = e.doc_id
+),
+lm AS (
+  SELECT doc_id, lang, nll FROM read_parquet('{_LM_ORACLE_PATH}')
+),
+th AS (
+  SELECT lang,
+         percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY nll) AS t2
+  FROM lm GROUP BY lang
+)
+SELECT k.doc_id, k.lang, k.n_words, l.nll
+FROM neardup_kept k
+JOIN lm l ON l.doc_id = k.doc_id
+JOIN th ON th.lang = k.lang
+WHERE l.nll <= th.t2
+"""
+
+
 _PACK_BUCKETS = 8
 _PACK_SEQ_TOKENS = 512
 
@@ -3617,6 +3811,7 @@ REGISTRY: dict[str, tuple] = {
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
