@@ -1729,6 +1729,63 @@ def q_warc_roundtrip(sf_dir: str):
 SQL_WARC_ROUNDTRIP = SQL_ARC_ROUNDTRIP
 
 
+def q_wet_export(sf_dir: str):
+    """WET export round trip (the derived extracted-text format Common
+    Crawl publishes): parse the pages universe, sink (url, warc_ts,
+    text) as .wet.gz conversion records, read them back through the
+    Ray WET source, and digest — hash-checked against the parse
+    oracle's (url, digest_hex), which proves the WET write -> read
+    cycle preserves every extracted text byte."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..sources.warc import read_wet_pages, write_wet
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_parse_extract_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_parse_extract_table(sf_dir)
+
+    parsed = rd.read_parquet(path, columns=["url", "warc_ts", "html"]).map_batches(
+        parse_extract_batch, batch_format="pyarrow", batch_size=None
+    )
+    tmp = tempfile.mkdtemp(prefix="cc_ray_wet_q_")
+    write_wet(parsed.select_columns(["url", "warc_ts", "text"]), tmp).count()
+    paths = [
+        os.path.join(tmp, f) for f in sorted(os.listdir(tmp)) if f.endswith(".wet.gz")
+    ]
+
+    def digest(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "digest_hex": pa.array(
+                    [
+                        hashlib.md5((t_ or "").encode()).hexdigest()
+                        for t_ in b.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return read_wet_pages(paths).map_batches(digest, batch_format="pyarrow")
+
+
+SQL_WET_EXPORT = f"""
+-- WET has no null-text notion: a doc without extracted text is an
+-- empty conversion block, so the no-text oracle rows (NULL digest)
+-- map to md5('')
+SELECT url, COALESCE(digest_hex, md5('')) AS digest_hex
+FROM read_parquet('{PARSE_ORACLE_PATH}')
+"""
+
+
 def q_crawl_host_stats(sf_dir: str):
     """Crawl analytics (SURVEY A2 histogram + §3.3 report shape): per
     host_fp action counts + mean depth over a short crawl's fetch log,
@@ -3820,4 +3877,5 @@ REGISTRY: dict[str, tuple] = {
     "crawl_host_stats": (q_crawl_host_stats, SQL_CRAWL_HOST_STATS),
     "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "wet_export": (q_wet_export, SQL_WET_EXPORT),
 }

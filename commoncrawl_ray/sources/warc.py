@@ -194,11 +194,14 @@ def iter_warc_records_uncompressed(data: bytes):
         pos = rec_end + length
 
 
-def iter_warc_records(stream, chunk_size: int = 32 * 1024):
-    """Yield response-type WarcRecords. Accepts the gzip
-    member-per-record form (dispatched on the gzip magic) or an
-    uncompressed/already-inflated stream (the ARC reader's dual
-    dispatch — Arrow's read path may transparently gunzip .gz)."""
+def iter_warc_records(
+    stream, chunk_size: int = 32 * 1024, rec_type: str = "response"
+):
+    """Yield WarcRecords of ``rec_type`` ('response' for .warc,
+    'conversion' for .wet). Accepts the gzip member-per-record form
+    (dispatched on the gzip magic) or an uncompressed/already-inflated
+    stream (the ARC reader's dual dispatch — Arrow's read path may
+    transparently gunzip .gz)."""
     if isinstance(stream, (bytes, bytearray)) and bytes(stream[:2]) != b"\x1f\x8b":
         members = iter_warc_records_uncompressed(bytes(stream))
     else:
@@ -206,7 +209,7 @@ def iter_warc_records(stream, chunk_size: int = 32 * 1024):
             parse_warc_member(m) for m in iter_gzip_members(stream, chunk_size)
         )
     for rec in members:
-        if rec.rec_type == "response":
+        if rec.rec_type == rec_type:
             yield rec
 
 
@@ -238,6 +241,95 @@ def read_warc_pages(paths, chunk_size: int = 32 * 1024):
         )
 
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
+def conversion_record(url: str, ts_ms: int, text: bytes) -> bytes:
+    """WET-style extracted-text record (WARC-Type: conversion, block =
+    plain UTF-8 text) — the derived format Common Crawl publishes
+    alongside .warc."""
+    return _record(
+        [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", _record_id("conversion", url, ts_ms)),
+            ("WARC-Date", _warc_date(ts_ms)),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "text/plain"),
+        ],
+        text,
+    )
+
+
+def write_wet_file(f, filename: str, records) -> int:
+    """``records``: iterable of (url, ts_ms, text_bytes)."""
+    first_ts = None
+    n = 0
+    for url, ts_ms, text in records:
+        if first_ts is None:
+            first_ts = ts_ms
+            f.write(_gzip_member(warcinfo_record(filename, ts_ms)))
+        f.write(_gzip_member(conversion_record(url, ts_ms, text)))
+        n += 1
+    if first_ts is None:
+        f.write(_gzip_member(warcinfo_record(filename, 0)))
+    return n
+
+
+def read_wet_pages(paths, chunk_size: int = 32 * 1024):
+    """WET files -> Dataset of (url, warc_ts, text)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, arrow_open_stream_args={"compression": None})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, texts = [], [], []
+        for raw in batch.column("bytes").to_pylist():
+            for rec in iter_warc_records(raw, chunk_size, rec_type="conversion"):
+                urls.append(rec.url or "")
+                tss.append(rec.ts_ms)
+                texts.append(rec.block.decode("utf-8", errors="replace"))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.array(tss, dtype="int64"), pa.timestamp("ms")),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
+def write_wet(ds, out_dir: str, prefix: str = "part"):
+    """Sink a (url, warc_ts, text) Dataset as one ``.wet.gz`` per
+    block (conversion records; null text becomes an empty block)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = f"{prefix}-{uuid.uuid4().hex}.wet.gz"
+
+        def gen():
+            for url, ts, text in zip(
+                batch.column("url").to_pylist(),
+                batch.column("warc_ts").cast(pa.int64()).to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                yield url, ts, (text or "").encode("utf-8")
+
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            n = write_wet_file(f, name, gen())
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {"file": pa.array([name]), "records": pa.array([n], pa.int64())}
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
 
 
 def write_warc(ds, out_dir: str, prefix: str = "part"):

@@ -98,3 +98,45 @@ def test_ray_source_sink_roundtrip(ray_session, tmp_path):
     assert back["url"].tolist() == sorted(r["url"] for r in rows)
     assert all(b == MSG for b in back["html"])
     assert (back["mime"] == "text/html").all()
+
+
+def test_wet_roundtrip_byte_exact():
+    import io
+
+    from commoncrawl_ray.sources.warc import iter_warc_records, write_wet_file
+
+    rows = [
+        ("http://a.com/1", 1_000_000, "hello world".encode()),
+        ("http://b.com/2", 2_000_000, "".encode()),
+        ("http://c.com/3", 3_000_000, "héllo ünïcode 中文".encode()),
+    ]
+    buf = io.BytesIO()
+    assert write_wet_file(buf, "t.wet.gz", iter(rows)) == 3
+    got = list(iter_warc_records(io.BytesIO(buf.getvalue()), rec_type="conversion"))
+    assert [(r.url, r.ts_ms, r.block) for r in got] == rows
+    # response-type iteration sees nothing in a WET file
+    assert list(iter_warc_records(io.BytesIO(buf.getvalue()))) == []
+
+
+def test_wet_ray_source_sink(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from commoncrawl_ray.sources.warc import read_wet_pages, write_wet
+
+    t = pa.table(
+        {
+            "url": pa.array([f"http://h{i}.com/p" for i in range(7)], pa.string()),
+            "warc_ts": pa.array([(i + 1) * 1000 for i in range(7)], pa.timestamp("ms")),
+            "text": pa.array([f"text {i} ünï" for i in range(6)] + [None], pa.string()),
+        }
+    )
+    out = str(tmp_path / "wet")
+    res = write_wet(rd.from_arrow(t), out).to_pandas()
+    assert res["records"].sum() == 7
+    paths = [os.path.join(out, f) for f in sorted(os.listdir(out)) if f.endswith(".wet.gz")]
+    back = read_wet_pages(paths).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == 7
+    assert back.loc[back["url"] == "http://h6.com/p", "text"].iloc[0] == ""  # null -> empty
+    assert back.loc[back["url"] == "http://h0.com/p", "text"].iloc[0] == "text 0 ünï"
