@@ -52,6 +52,14 @@ class CrawlConfig:
     priority_kind: str = "depth"
     pr_damping: float = 0.85
     pr_iters: int = 4
+    # fetched-page archiving: None (off) or "warc" — every epoch
+    # side-writes its 200-status fetches as gzip-member-per-record
+    # .warc.gz under <ckpt>/archive_<epoch>/ (sources/warc.py), one
+    # file per fetch batch, content-hash named so a retried task
+    # rewrites the identical file (the _side_write idempotency rule).
+    # WARC-Date is the deterministic epoch clock (epoch seconds), never
+    # the wall clock — resume/retry parity demands it.
+    archive_format: str | None = None
 
     def priority_for_depth(self, depth: int) -> float:
         return 1.0 / (depth + 1)

@@ -191,6 +191,37 @@ def _frontier_table(df: pd.DataFrame) -> pa.Table:
     )
 
 
+def _archive_warc(
+    archive_dir: str, epoch: int, urls: list, recs: list
+) -> None:
+    """Idempotent WARC side-archive of one fetch batch's 200-status
+    records (the production 'keep what you crawled' sink): the file
+    name is a content hash of (epoch, fetched urls), so a RETRIED task
+    rewrites the identical file (the _side_write rule). WARC-Date uses
+    the deterministic epoch clock — epoch seconds since epoch 0 —
+    never the wall clock, so resumed and fresh runs produce identical
+    archives."""
+    import hashlib
+
+    from ..sources.warc import write_warc_file
+
+    fetched = [(u, r) for u, r in zip(urls, recs) if r is not None]
+    if not fetched:
+        return
+    os.makedirs(archive_dir, exist_ok=True)
+    h = hashlib.blake2b(digest_size=12)
+    h.update(str(epoch).encode())
+    for u, _ in fetched:
+        h.update(u.encode())
+    name = f"a{h.hexdigest()}.warc.gz"
+    tmp = os.path.join(archive_dir, f".{name}.tmp{os.getpid()}")
+    with open(tmp, "wb") as f:
+        write_warc_file(
+            f, name, ((u, epoch * 1000, r) for u, r in fetched)
+        )
+    os.replace(tmp, os.path.join(archive_dir, name))
+
+
 def _side_write(table: pa.Table, directory: str, prefix: str) -> None:
     """Idempotent side-output write from inside a map task: the file
     name is a content hash of the rows, so a RETRIED task rewrites the
@@ -297,6 +328,7 @@ def make_fetch_discover_fn(
     fetch_kind: str = "sim",
     http_opts: dict | None = None,
     edges_dir: str | None = None,
+    archive_dir: str | None = None,
 ):
     """Fused fetch + parse + link-explosion over REBALANCED blocks of
     selected rows: fetch (simulated synthetic web, or real sockets via
@@ -328,25 +360,29 @@ def make_fetch_discover_fn(
         urls = batch.column("canon_url").to_pylist()
         status = np.zeros(n, dtype=np.int16)
         links_col: list[list[str]] = []
+        recs: list[bytes | None] = []
         if fetch_kind == "http":
             from ..stages.fetch_http import get_fetcher
 
             results = get_fetcher(http_opts).fetch_many(urls)
             for i, (u, (st, rec)) in enumerate(zip(urls, results)):
                 status[i] = st
-                links_col.append(
-                    discover_links(u, rec) if st == 200 and rec else []
-                )
+                ok = st == 200 and rec
+                recs.append(rec if ok else None)
+                links_col.append(discover_links(u, rec) if ok else [])
         else:
             uni = get_universe(sf, seed)
             for i, u in enumerate(urls):
                 rec = uni.synth_page(u)
+                recs.append(rec)
                 if rec is None:
                     status[i] = 404
                     links_col.append([])
                 else:
                     status[i] = 200
                     links_col.append(discover_links(u, rec))
+        if archive_dir is not None:
+            _archive_warc(archive_dir, epoch, urls, recs)
         df = batch.to_pandas()
         _side_write(
             _log_table(epoch, df, np.ones(n, dtype=bool), "fetched", status),
@@ -634,6 +670,20 @@ class CrawlRunResult:
     seen_total: int = 0
     frontier_left: int = 0
 
+    def archive_paths(self) -> list:
+        """All .warc.gz files the run archived (archive_format='warc'),
+        sorted — feed them to sources/warc.read_warc_pages."""
+        out = []
+        for d in sorted(os.listdir(self.ckpt_dir)):
+            if d.startswith("archive_"):
+                full = os.path.join(self.ckpt_dir, d)
+                out.extend(
+                    os.path.join(full, f)
+                    for f in sorted(os.listdir(full))
+                    if f.endswith(".warc.gz")
+                )
+        return out
+
     def log_table(self) -> pa.Table:
         """Global crawl log in (epoch, seq) order. Log files are
         written pre-sorted by the per-epoch distributed sort, and
@@ -907,7 +957,14 @@ def crawl(
         next_dir = os.path.join(ckpt_dir, f"frontier_{epoch + 1}")
         seen_dir = os.path.join(ckpt_dir, f"url_seen_{epoch}")
         edges_dir = os.path.join(ckpt_dir, f"host_edges_{epoch}")
-        for d in (raw_log_dir, log_dir, next_dir, seen_dir, edges_dir):
+        archive_dir = (
+            os.path.join(ckpt_dir, f"archive_{epoch}")
+            if cfg.archive_format == "warc"
+            else None
+        )
+        for d in (raw_log_dir, log_dir, next_dir, seen_dir, edges_dir) + (
+            (archive_dir,) if archive_dir else ()
+        ):
             _shutil.rmtree(d, ignore_errors=True)
 
         stage_t: dict[str, float] = {}
@@ -1023,6 +1080,7 @@ def crawl(
                         edges_dir=(
                             edges_dir if cfg.priority_kind == "pagerank" else None
                         ),
+                        archive_dir=archive_dir,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,

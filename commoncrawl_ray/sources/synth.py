@@ -262,7 +262,11 @@ class Universe:
         headers.append(f"Server: synthd/{1 + (k % 3)}.0")
         gzip_body = rng.random() < 0.10 and mime.startswith("text")
         if gzip_body:
-            raw = _gzip.compress(body, compresslevel=6)
+            # mtime=0: gzip's header embeds the wall clock by default,
+            # which made the raw record bytes time-dependent (content
+            # was unaffected — it only surfaced when the WARC archive
+            # sink compared raw bytes across processes)
+            raw = _gzip.compress(body, compresslevel=6, mtime=0)
             if rng.random() < 0.05:
                 raw = raw[: max(20, len(raw) * 2 // 3)]  # truncated member
             body = raw
