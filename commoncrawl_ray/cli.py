@@ -13,6 +13,8 @@ Commands:
   query   — run a registry query (see ``queries --list``) to parquet/stdout
   compact — coalesce a directory of small parquet files to ~target size
   synth   — generate a synthetic pages universe parquet table
+  export-warc — pages parquet -> gzip-member-per-record .warc.gz
+  export-wet  — pages parquet -> parse -> .wet.gz extracted text
 """
 
 from __future__ import annotations
@@ -117,6 +119,46 @@ def _cmd_parse(args) -> int:
         if f.endswith(".parquet")
     )
     print(json.dumps({"rows": rows, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def _cmd_export_warc(args) -> int:
+    """pages parquet -> gzip-member-per-record .warc.gz files."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources.warc import write_warc
+
+    ds = rd.read_parquet(args.input, columns=["url", "warc_ts", "html"])
+    res = write_warc(ds, args.output).to_pandas()
+    print(
+        json.dumps(
+            {"files": len(res), "records": int(res["records"].sum()), "output": args.output}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def _cmd_export_wet(args) -> int:
+    """pages parquet -> parse/extract -> .wet.gz extracted-text files."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources.warc import write_wet
+    from .stages.parse_extract import parse_extract_batch
+
+    ds = rd.read_parquet(args.input, columns=["url", "warc_ts", "html"])
+    parsed = ds.map_batches(
+        parse_extract_batch, batch_format="pyarrow", batch_size=None
+    ).select_columns(["url", "warc_ts", "text"])
+    res = write_wet(parsed, args.output).to_pandas()
+    print(
+        json.dumps(
+            {"files": len(res), "records": int(res["records"].sum()), "output": args.output}
+        )
+    )
     ray.shutdown()
     return 0
 
@@ -252,6 +294,18 @@ def main(argv=None) -> int:
     cp.add_argument("--output", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=_cmd_compact)
+
+    ew = sub.add_parser("export-warc", help="pages parquet -> .warc.gz archive")
+    ew.add_argument("--input", required=True)
+    ew.add_argument("--output", required=True)
+    ew.set_defaults(fn=_cmd_export_warc)
+
+    et = sub.add_parser(
+        "export-wet", help="pages parquet -> parse -> .wet.gz extracted text"
+    )
+    et.add_argument("--input", required=True)
+    et.add_argument("--output", required=True)
+    et.set_defaults(fn=_cmd_export_wet)
 
     s = sub.add_parser("synth", help="generate a synthetic pages universe")
     s.add_argument("--output", required=True)

@@ -786,3 +786,51 @@ def oracle_semdedup_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+WAT_ORACLE_PATH = "/tmp/ccray_oracle_wat.parquet"
+
+
+def oracle_wat_table(sf_dir: str, path: str = WAT_ORACLE_PATH) -> str:
+    """Oracle for the WAT metadata round trip WITHOUT the WAT layer:
+    the same pages cache parsed sequentially, projected to the fields
+    the WAT JSON envelope carries (status, normalized mime, link
+    count, md5 of the title). A value-hash match proves the JSON
+    build -> .wat.gz write -> read -> JSON parse cycle preserves every
+    field."""
+    import hashlib
+    import json as _json
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.parse_extract import parse_extract_batch
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"wat|{sf}|42"
+    if _is_fresh(path, src_key):
+        return path
+    d = pages_cache_dir(sf)
+    if not os.path.isdir(d) or not os.listdir(d):
+        write_pages_parquet_ray(d, sf)
+    paths = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    src = pq.read_table(paths, columns=["url", "warc_ts", "html"])
+    urls, status, mimes, n_links, title_hex = [], [], [], [], []
+    for off in range(0, len(src), 1024):
+        p = parse_extract_batch(src.slice(off, 1024))
+        urls.extend(p.column("url").to_pylist())
+        status.extend(p.column("http_status").to_pylist())
+        mimes.extend(p.column("mime_norm").to_pylist())
+        n_links.extend(p.column("n_links").to_pylist())
+        title_hex.extend(
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in p.column("title").to_pylist()
+        )
+    out = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "http_status": pa.array(np.asarray(status, dtype=np.int16)),
+            "mime_norm": pa.array(mimes, pa.string()),
+            "n_links": pa.array(np.asarray(n_links, dtype=np.int32)),
+            "title_hex": pa.array(title_hex, pa.string()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

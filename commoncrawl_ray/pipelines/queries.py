@@ -1574,6 +1574,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_parse_extract_table,
         oracle_semdedup_table,
         oracle_simhash_table,
+        oracle_wat_table,
     )
 
     ensure_crawl_oracle_table()
@@ -1590,6 +1591,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_hits_table(sf_dir)
     oracle_lm_score_table(sf_dir)
     oracle_semdedup_table(sf_dir)
+    oracle_wat_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -1783,6 +1785,94 @@ SQL_WET_EXPORT = f"""
 -- map to md5('')
 SELECT url, COALESCE(digest_hex, md5('')) AS digest_hex
 FROM read_parquet('{PARSE_ORACLE_PATH}')
+"""
+
+
+def q_wat_export(sf_dir: str):
+    """WAT metadata export round trip: parse the pages universe, build
+    the per-page JSON envelope (status, mime, link count, title),
+    sink .wat.gz metadata records, read them back, re-project from the
+    JSON — hash-checked against a sequential no-WAT oracle
+    (oracle_sketch.oracle_wat_table), proving the JSON build -> write
+    -> read -> parse cycle preserves every field."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..sources.warc import read_wat_pages, write_wat
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_wat_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_wat_table(sf_dir)
+
+    def envelope(b: pa.Table) -> pa.Table:
+        metas = [
+            _json.dumps(
+                {"status": int(s), "mime": m, "n_links": int(n), "title": t},
+                sort_keys=True,
+            )
+            for s, m, n, t in zip(
+                b.column("http_status").to_pylist(),
+                b.column("mime_norm").to_pylist(),
+                b.column("n_links").to_pylist(),
+                b.column("title").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "warc_ts": b.column("warc_ts"),
+                "meta_json": pa.array(metas, pa.string()),
+            }
+        )
+
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(envelope, batch_format="pyarrow")
+    )
+    tmp = tempfile.mkdtemp(prefix="cc_ray_wat_q_")
+    write_wat(parsed, tmp).count()
+    paths = [
+        os.path.join(tmp, f) for f in sorted(os.listdir(tmp)) if f.endswith(".wat.gz")
+    ]
+
+    def reproject(b: pa.Table) -> pa.Table:
+        metas = [_json.loads(m) for m in b.column("meta_json").to_pylist()]
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "http_status": pa.array(
+                    np.asarray([m["status"] for m in metas], dtype=np.int16)
+                ),
+                "mime_norm": pa.array([m["mime"] for m in metas], pa.string()),
+                "n_links": pa.array(
+                    np.asarray([m["n_links"] for m in metas], dtype=np.int32)
+                ),
+                "title_hex": pa.array(
+                    [
+                        hashlib.md5((m["title"] or "").encode()).hexdigest()
+                        for m in metas
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return read_wat_pages(paths).map_batches(reproject, batch_format="pyarrow")
+
+
+from .oracle_sketch import WAT_ORACLE_PATH as _WAT_ORACLE_PATH  # noqa: E402
+
+SQL_WAT_EXPORT = f"""
+SELECT url, http_status, mime_norm, n_links, title_hex
+FROM read_parquet('{_WAT_ORACLE_PATH}')
 """
 
 
@@ -3878,4 +3968,5 @@ REGISTRY: dict[str, tuple] = {
     "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
+    "wat_export": (q_wat_export, SQL_WAT_EXPORT),
 }

@@ -332,6 +332,94 @@ def write_wet(ds, out_dir: str, prefix: str = "part"):
     return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
 
 
+def metadata_record(url: str, ts_ms: int, payload: bytes) -> bytes:
+    """WAT-style metadata record (WARC-Type: metadata, JSON block) —
+    the derived per-page metadata format Common Crawl publishes."""
+    return _record(
+        [
+            ("WARC-Type", "metadata"),
+            ("WARC-Record-ID", _record_id("metadata", url, ts_ms)),
+            ("WARC-Date", _warc_date(ts_ms)),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/json"),
+        ],
+        payload,
+    )
+
+
+def write_wat_file(f, filename: str, records) -> int:
+    """``records``: iterable of (url, ts_ms, json_bytes)."""
+    first_ts = None
+    n = 0
+    for url, ts_ms, payload in records:
+        if first_ts is None:
+            first_ts = ts_ms
+            f.write(_gzip_member(warcinfo_record(filename, ts_ms)))
+        f.write(_gzip_member(metadata_record(url, ts_ms, payload)))
+        n += 1
+    if first_ts is None:
+        f.write(_gzip_member(warcinfo_record(filename, 0)))
+    return n
+
+
+def read_wat_pages(paths, chunk_size: int = 32 * 1024):
+    """WAT files -> Dataset of (url, warc_ts, meta_json)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, arrow_open_stream_args={"compression": None})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, metas = [], [], []
+        for raw in batch.column("bytes").to_pylist():
+            for rec in iter_warc_records(raw, chunk_size, rec_type="metadata"):
+                urls.append(rec.url or "")
+                tss.append(rec.ts_ms)
+                metas.append(rec.block.decode("utf-8", errors="replace"))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.array(tss, dtype="int64"), pa.timestamp("ms")),
+                "meta_json": pa.array(metas, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
+def write_wat(ds, out_dir: str, prefix: str = "part"):
+    """Sink a (url, warc_ts, meta_json) Dataset as one ``.wat.gz`` per
+    block (metadata records; the JSON column is written verbatim)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = f"{prefix}-{uuid.uuid4().hex}.wat.gz"
+
+        def gen():
+            for url, ts, meta in zip(
+                batch.column("url").to_pylist(),
+                batch.column("warc_ts").cast(pa.int64()).to_pylist(),
+                batch.column("meta_json").to_pylist(),
+            ):
+                yield url, ts, (meta or "{}").encode("utf-8")
+
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            n = write_wat_file(f, name, gen())
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {"file": pa.array([name]), "records": pa.array([n], pa.int64())}
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+
+
 def write_warc(ds, out_dir: str, prefix: str = "part"):
     """Sink a pages-shaped Dataset (url, warc_ts, html) as one
     ``.warc.gz`` per block; rows pass through verbatim as response

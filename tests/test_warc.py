@@ -172,3 +172,48 @@ def test_crawl_warc_archive(ray_session, tmp_path):
     names1 = [p.split("/")[-1] for p in res.archive_paths()]
     names2 = [p.split("/")[-1] for p in res2.archive_paths()]
     assert sorted(names1) == sorted(names2)
+
+
+def test_cli_export_warc_wet(ray_session, tmp_path):
+    """export-warc / export-wet CLI commands over a small pages
+    parquet (in-process main(); the session-owning _init_ray no-ops
+    inside the pytest fixture's session)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from commoncrawl_ray.cli import main
+    from commoncrawl_ray.sources.synth import get_universe
+
+    uni = get_universe(0.001, 42)
+    rows = []
+    for host in uni.hosts[:3]:
+        for k in range(min(5, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            rows.append((url, ts, rec))
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        ),
+        os.path.join(src, "part-0.parquet"),
+    )
+    out_warc = str(tmp_path / "warc")
+    out_wet = str(tmp_path / "wet")
+    assert main(["export-warc", "--input", src, "--output", out_warc]) == 0
+    assert main(["export-wet", "--input", src, "--output", out_wet]) == 0
+    assert any(f.endswith(".warc.gz") for f in os.listdir(out_warc))
+    assert any(f.endswith(".wet.gz") for f in os.listdir(out_wet))
+
+    from commoncrawl_ray.sources.warc import read_warc_pages, read_wet_pages
+
+    wpaths = [os.path.join(out_warc, f) for f in os.listdir(out_warc)]
+    assert read_warc_pages(wpaths).count() == len(rows)
+    tpaths = [os.path.join(out_wet, f) for f in os.listdir(out_wet)]
+    assert read_wet_pages(tpaths).count() == len(rows)
