@@ -834,3 +834,27 @@ def oracle_wat_table(sf_dir: str, path: str = WAT_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+HOST_EDGES_ORACLE_PATH = "/tmp/ccray_oracle_host_edges.parquet"
+
+
+def oracle_host_edges_table(sf_dir: str, path: str = HOST_EDGES_ORACLE_PATH) -> str:
+    """The sequential host edge set (directed, distinct — the shared
+    _sequential_host_edges build) as a parquet DuckDB can self-join:
+    the triangle-count oracle is then PLAIN SQL over it, fully
+    independent of the distributed wedge machinery."""
+    from ..sources.synth import sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|host_edges|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    out = pa.table(
+        {
+            "src": pa.array([nodes[i] for i in src_i], pa.string()),
+            "dst": pa.array([nodes[i] for i in dst_i], pa.string()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1563,6 +1563,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from .oracle_sketch import (
         oracle_arc_roundtrip_table,
         oracle_hll_by_type_table,
+        oracle_host_edges_table,
         oracle_hll_table,
         oracle_knn_ivf_table,
         oracle_knn_ivfpq_table,
@@ -1592,6 +1593,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_lm_score_table(sf_dir)
     oracle_semdedup_table(sf_dir)
     oracle_wat_table(sf_dir)
+    oracle_host_edges_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -1785,6 +1787,47 @@ SQL_WET_EXPORT = f"""
 -- map to md5('')
 SELECT url, COALESCE(digest_hex, md5('')) AS digest_hex
 FROM read_parquet('{PARSE_ORACLE_PATH}')
+"""
+
+
+def q_host_triangles(sf_dir: str):
+    """Triangle count of the crawl's host link graph (the graph-family
+    closure beside PageRank/HITS/components): distributed node-order
+    wedge-check (stages/pagerank.triangle_count) over the same
+    streaming parse -> host-edge extraction. The oracle is PLAIN SQL —
+    a three-way self-join over the sequential edge parquet — so the
+    check is fully independent of the wedge machinery."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_host_edges_batch, triangle_count
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_edges_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_edges_table(sf_dir)
+    edges = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+    return triangle_count(edges)
+
+
+from .oracle_sketch import HOST_EDGES_ORACLE_PATH as _EDGES_ORACLE_PATH  # noqa: E402
+
+SQL_HOST_TRIANGLES = f"""
+WITH e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM read_parquet('{_EDGES_ORACLE_PATH}') WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
@@ -3969,4 +4012,5 @@ REGISTRY: dict[str, tuple] = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
+    "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }

@@ -109,3 +109,37 @@ def test_distinct_sorted_pairs(ray_session):
     out = _distinct_sorted(rd.from_arrow(t), ["src", "dst"])
     pairs = sorted(zip(*[out.to_pandas()[c] for c in ("src", "dst")]))
     assert pairs == [("a", "x"), ("a", "z"), ("b", "y")]
+
+
+def test_triangle_count_known_graph(ray_session):
+    """stages/pagerank.triangle_count on a hand-built graph: K4 has 4
+    triangles, plus a disjoint path (0 triangles), duplicate and
+    reversed edges and self-loops must not change the count."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.pagerank import triangle_count
+
+    k4 = ["a", "b", "c", "d"]
+    edges = [(u, v) for i, u in enumerate(k4) for v in k4[i + 1 :]]
+    edges += [(v, u) for u, v in edges]      # reversed duplicates
+    edges += [("x", "y"), ("y", "z")]         # open path
+    edges += [("a", "a"), ("b", "b")]         # self loops
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = triangle_count(ds).to_pandas()
+    assert out["n_triangles"].tolist() == [4]
+
+
+def test_triangle_count_degree_cap(ray_session):
+    """A star hub wider than max_degree is skipped (its wedges are
+    never enumerated), so the capped count drops to zero."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.pagerank import triangle_count
+
+    hub = [("h", f"n{i}") for i in range(12)]
+    ring = [(f"n{i}", f"n{i+1}") for i in range(11)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in hub + ring])
+    full = triangle_count(ds).to_pandas()["n_triangles"][0]
+    assert full == 11  # h-n_i-n_{i+1} triangles
+    capped = triangle_count(ds, max_degree=5).to_pandas()["n_triangles"][0]
+    assert capped == 0
