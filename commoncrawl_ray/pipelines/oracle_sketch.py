@@ -858,3 +858,47 @@ def oracle_host_edges_table(sf_dir: str, path: str = HOST_EDGES_ORACLE_PATH) -> 
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+DUP_STRIP_ORACLE_PATH = "/tmp/ccray_oracle_dup_strip.parquet"
+
+
+def oracle_dup_strip_table(sf_dir: str, path: str = DUP_STRIP_ORACLE_PATH) -> str:
+    """Sequential duplicate-passage strip: one dict pass counts each
+    word 8-gram's distinct documents, a second pass cuts every token
+    covered by a cross-document gram and digests the remainder —
+    plain Python against the distributed three-exchange pipeline."""
+    import hashlib
+    import re as _re
+
+    src_key = f"{os.path.abspath(sf_dir)}|dup_strip|8"
+    if _is_fresh(path, src_key):
+        return path
+    N = 8
+    ids, texts = _read_docs(sf_dir)
+    tok_lists = [_re.split(r"\s+", t or "") for t in texts]
+    docs_of: dict[str, set[int]] = {}
+    for did, lst in zip(ids, tok_lists):
+        for i in range(len(lst) - N + 1):
+            docs_of.setdefault(" ".join(lst[i : i + N]), set()).add(did)
+    out_n, out_kept, out_digest = [], [], []
+    for did, lst in zip(ids, tok_lists):
+        n = len(lst)
+        cover = [False] * n
+        for i in range(n - N + 1):
+            if len(docs_of[" ".join(lst[i : i + N])]) >= 2:
+                for j in range(i, min(i + N, n)):
+                    cover[j] = True
+        kept = [w for w, c in zip(lst, cover) if not c]
+        out_n.append(n)
+        out_kept.append(len(kept))
+        out_digest.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "n_kept": pa.array(np.asarray(out_kept, dtype=np.int64)),
+            "clean_digest": pa.array(out_digest, pa.string()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

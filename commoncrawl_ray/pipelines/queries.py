@@ -1562,6 +1562,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     sf_dir."""
     from .oracle_sketch import (
         oracle_arc_roundtrip_table,
+        oracle_dup_strip_table,
         oracle_hll_by_type_table,
         oracle_host_edges_table,
         oracle_hll_table,
@@ -1594,6 +1595,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_semdedup_table(sf_dir)
     oracle_wat_table(sf_dir)
     oracle_host_edges_table(sf_dir)
+    oracle_dup_strip_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -3566,6 +3568,148 @@ FROM c
 _DUP_N = 8  # word n-gram width for duplicate-passage detection
 
 
+def q_dup_passage_strip(sf_dir: str):
+    """Duplicate-passage REMOVAL (Lee et al. 2022's actual transform,
+    not just the detection signal): every token covered by a word
+    8-gram that also appears in another document is cut; the cleaned
+    text is digest-checked. Three exchanges, text moves exactly once:
+
+    1. occurrence-level gram rows (doc_id, gram, pos) built in-batch;
+    2. ONE sort(gram) co-partition: a vectorized (gram, doc) run pass
+       computes each gram's DISTINCT-doc count and keeps only
+       cross-document occurrences -> (doc_id, pos);
+    3. ONE sort(doc_id) pass folds positions into one list row per
+       doc, then the single union+sort(doc_id) merge_join attaches the
+       list to the text (text rides this one exchange), and the strip
+       map drops tokens covered by any [pos, pos+8) window.
+
+    Output (doc_id, n_tokens, n_kept, clean_digest); oracle =
+    sequential same-kernel fold (oracle_sketch.oracle_dup_strip_table).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_dup_strip_table
+
+    oracle_dup_strip_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+
+    def gram_occurrences(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_col, g_col, pos_col = [], [], []
+        for did, lst in zip(ids, toks.to_pylist()):
+            for i in range(len(lst) - _DUP_N + 1):
+                doc_col.append(did)
+                g_col.append(" ".join(lst[i : i + _DUP_N]))
+                pos_col.append(i)
+        return pa.table(
+            {
+                "g": pa.array(g_col, pa.string()),
+                "doc_id": pa.array(np.asarray(doc_col, dtype=np.int64)),
+                "pos": pa.array(np.asarray(pos_col, dtype=np.int32)),
+            }
+        )
+
+    def mark_cross_doc(t: pa.Table) -> pa.Table:
+        # sorted by g: distinct-doc count per gram via (g, doc) runs
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("pos", pa.int32())]
+            ).empty_table()
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        new_g = np.r_[True, g[1:] != g[:-1]]
+        new_doc = new_g | np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(new_g)
+        nd = np.add.reduceat(new_doc.astype(np.int64), starts)
+        runs = np.r_[starts[1:], len(g)] - starts
+        keep = np.repeat(nd >= 2, runs)
+        sel = pa.array(order[keep])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks().take(sel),
+                "pos": t.column("pos").combine_chunks().take(sel),
+            }
+        )
+
+    def fold_positions(t: pa.Table) -> pa.Table:
+        # sorted by doc_id: one (doc_id, positions) list row per doc
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("positions", pa.list_(pa.int32()))]
+            ).empty_table()
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        offsets = np.r_[starts, len(d)].astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "positions": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(p, pa.int32())
+                ),
+            }
+        )
+
+    dup_pos = (
+        docs.map_batches(gram_occurrences, batch_format="pyarrow")
+        .sort("g")
+        .map_batches(mark_cross_doc, batch_format="pyarrow", batch_size=None)
+        .sort("doc_id")
+        .map_batches(fold_positions, batch_format="pyarrow", batch_size=None)
+    )
+
+    joined = merge_join(
+        docs,
+        dup_pos,
+        left_on="doc_id",
+        right_on="doc_id",
+        right_cols=["positions"],
+        how="left",
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        toks = pc_.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        out_n, out_kept, out_digest = [], [], []
+        for lst, pos in zip(toks.to_pylist(), t.column("positions").to_pylist()):
+            n = len(lst)
+            cover = np.zeros(n, dtype=bool)
+            if pos:
+                for i in pos:
+                    cover[i : i + _DUP_N] = True
+            kept = [w for w, c in zip(lst, cover) if not c]
+            out_n.append(n)
+            out_kept.append(len(kept))
+            out_digest.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "n_kept": pa.array(np.asarray(out_kept, dtype=np.int64)),
+                "clean_digest": pa.array(out_digest, pa.string()),
+            }
+        )
+
+    return joined.map_batches(strip, batch_format="pyarrow")
+
+
+from .oracle_sketch import DUP_STRIP_ORACLE_PATH as _DUP_STRIP_PATH  # noqa: E402
+
+SQL_DUP_PASSAGE_STRIP = f"""
+SELECT doc_id, n_tokens, n_kept, clean_digest
+FROM read_parquet('{_DUP_STRIP_PATH}')
+"""
+
+
 def q_dup_passages(sf_dir: str):
     """Substring-level duplicate-passage detection (the signal behind
     Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -3998,6 +4142,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
+    "dup_passage_strip": (q_dup_passage_strip, SQL_DUP_PASSAGE_STRIP),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
