@@ -177,19 +177,18 @@ def _parse_projection(batch: pa.Table) -> pa.Table:
     )
 
 
-def oracle_parse_extract_table(sf_dir: str, path: str = PARSE_ORACLE_PATH) -> str:
-    """Single-process parse/extract over the SAME pages-cache parquet
-    the registered query reads: plain pyarrow batches through
-    ``parse_extract_batch`` in one thread. A value-hash match proves
-    the distributed map_batches plan neither drops, duplicates, nor
-    perturbs a row (~12 s once per scale; sidecar-cached)."""
-    from ..sources.synth import pages_cache_dir, sf_from_dir
+_SEQ_PARSE_CACHE: dict[str, pa.Table] = {}
 
-    sf = min(sf_from_dir(sf_dir), 0.01)
-    pages_dir = pages_cache_dir(sf)
-    src_key = f"{os.path.abspath(sf_dir)}|{sf}"
-    if _is_fresh(path, src_key):
-        return path
+
+def _sequential_parse(pages_dir: str, sf: float) -> pa.Table:
+    """ONE single-threaded parse of the pages cache, memoized per
+    directory and shared by every oracle that needs parsed fields
+    (parse_extract, WAT, host edges) — a cold ensure_oracle_tables()
+    would otherwise re-parse the full corpus sequentially three times
+    (the ADVICE r3 duplicated-driver-work finding, generalized)."""
+    cached = _SEQ_PARSE_CACHE.get(pages_dir)
+    if cached is not None:
+        return cached
     if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
         # cache generation is Ray-parallel (the query path builds it the
         # same way); a session is live in every caller context
@@ -199,11 +198,30 @@ def oracle_parse_extract_table(sf_dir: str, path: str = PARSE_ORACLE_PATH) -> st
     from ..stages.parse_extract import parse_extract_batch
 
     src = pq.read_table(pages_dir, columns=["url", "warc_ts", "html"])
-    parts = [
-        _parse_projection(parse_extract_batch(src.slice(off, 1024)))
+    out = pa.concat_tables(
+        parse_extract_batch(src.slice(off, 1024))
         for off in range(0, len(src), 1024)
-    ]
-    return _write_atomic(pa.concat_tables(parts), path, src_key)
+    )
+    _SEQ_PARSE_CACHE.clear()  # hold at most one scale's parse in memory
+    _SEQ_PARSE_CACHE[pages_dir] = out
+    return out
+
+
+def oracle_parse_extract_table(sf_dir: str, path: str = PARSE_ORACLE_PATH) -> str:
+    """Single-process parse/extract over the SAME pages-cache parquet
+    the registered query reads: plain pyarrow batches through
+    ``parse_extract_batch`` in one thread. A value-hash match proves
+    the distributed map_batches plan neither drops, duplicates, nor
+    perturbs a row (~12 s once per scale; sidecar- and memo-cached)."""
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    pages_dir = pages_cache_dir(sf)
+    src_key = f"{os.path.abspath(sf_dir)}|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    parsed = _sequential_parse(pages_dir, sf)
+    return _write_atomic(_parse_projection(parsed), path, src_key)
 
 
 def oracle_arc_roundtrip_table(path: str = ARC_ORACLE_PATH) -> str:
@@ -544,23 +562,17 @@ def _sequential_host_edges(sf_dir: str):
     pages corpus would be re-parsed single-threaded twice."""
     from ..sources.synth import pages_cache_dir, sf_from_dir
     from ..stages.pagerank import extract_host_edges_batch
-    from ..stages.parse_extract import parse_extract_batch
 
     sf = min(sf_from_dir(sf_dir), 0.01)
     pages_dir = pages_cache_dir(sf)
     cached = _HOST_EDGES_CACHE.get(pages_dir)
     if cached is not None:
         return cached
-    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
-        from ..sources.synth import write_pages_parquet_ray
-
-        write_pages_parquet_ray(pages_dir, sf)
-    pages = pq.read_table(pages_dir, columns=["url", "warc_ts", "html"])
+    parsed_all = _sequential_parse(pages_dir, sf)
     edge_set: set[tuple[str, str]] = set()
     B = 256
-    for off in range(0, pages.num_rows, B):
-        parsed = parse_extract_batch(pages.slice(off, B))
-        et = extract_host_edges_batch(parsed)
+    for off in range(0, parsed_all.num_rows, B):
+        et = extract_host_edges_batch(parsed_all.slice(off, B))
         edge_set.update(
             zip(et.column("src").to_pylist(), et.column("dst").to_pylist())
         )
@@ -799,31 +811,22 @@ def oracle_wat_table(sf_dir: str, path: str = WAT_ORACLE_PATH) -> str:
     build -> .wat.gz write -> read -> JSON parse cycle preserves every
     field."""
     import hashlib
-    import json as _json
 
-    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
-    from ..stages.parse_extract import parse_extract_batch
+    from ..sources.synth import pages_cache_dir, sf_from_dir
 
     sf = min(sf_from_dir(sf_dir), 0.01)
     src_key = f"wat|{sf}|42"
     if _is_fresh(path, src_key):
         return path
-    d = pages_cache_dir(sf)
-    if not os.path.isdir(d) or not os.listdir(d):
-        write_pages_parquet_ray(d, sf)
-    paths = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    src = pq.read_table(paths, columns=["url", "warc_ts", "html"])
-    urls, status, mimes, n_links, title_hex = [], [], [], [], []
-    for off in range(0, len(src), 1024):
-        p = parse_extract_batch(src.slice(off, 1024))
-        urls.extend(p.column("url").to_pylist())
-        status.extend(p.column("http_status").to_pylist())
-        mimes.extend(p.column("mime_norm").to_pylist())
-        n_links.extend(p.column("n_links").to_pylist())
-        title_hex.extend(
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in p.column("title").to_pylist()
-        )
+    p = _sequential_parse(pages_cache_dir(sf), sf)
+    urls = p.column("url").to_pylist()
+    status = p.column("http_status").to_pylist()
+    mimes = p.column("mime_norm").to_pylist()
+    n_links = p.column("n_links").to_pylist()
+    title_hex = [
+        hashlib.md5((t or "").encode()).hexdigest()
+        for t in p.column("title").to_pylist()
+    ]
     out = pa.table(
         {
             "url": pa.array(urls, pa.string()),
