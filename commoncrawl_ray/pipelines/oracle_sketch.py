@@ -905,3 +905,39 @@ def oracle_dup_strip_table(sf_dir: str, path: str = DUP_STRIP_ORACLE_PATH) -> st
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+MULTIMODAL_RESIZE_ORACLE_PATH = "/tmp/ccray_oracle_multimodal_resize.parquet"
+
+
+def oracle_multimodal_resize_table(
+    path: str = MULTIMODAL_RESIZE_ORACLE_PATH,
+) -> str:
+    """Single-process resize summary: the same deterministic fake
+    block-mean kernel (ResizeImageStage called directly), digests of
+    the resized payloads — vs the distributed actor-pool run."""
+    import hashlib
+
+    from ..stages.multimodal import ResizeImageStage, synth_media_table
+
+    src_key = "synth-resize|n=96|seed=42|16x16"
+    if _is_fresh(path, src_key):
+        return path
+    media = synth_media_table(n=96, seed=42)
+    res = ResizeImageStage(width=16, height=16, fake=True)(media)
+    out = pa.table(
+        {
+            "media_id": res.column("media_id"),
+            "kind": res.column("kind"),
+            "width": res.column("width"),
+            "height": res.column("height"),
+            "payload_hex": pa.array(
+                [
+                    hashlib.md5(p).hexdigest()
+                    for p in res.column("payload").to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)

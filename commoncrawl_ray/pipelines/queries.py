@@ -878,6 +878,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Multimodal resize plumbing (the remaining op of the brief's
+    decode/feature/resize/frame-sample list), deterministic fake
+    kernel: synthetic media -> actor-pool block-mean resize to 16x16 ->
+    (media_id, kind, width, height, payload digest). Hash-checked vs
+    the single-process application of the same kernel
+    (oracle_sketch.oracle_multimodal_resize_table)."""
+    import hashlib
+
+    from ..stages.multimodal import resize_images, synth_media_table
+    from .oracle_sketch import oracle_multimodal_resize_table
+
+    oracle_multimodal_resize_table()
+    media = rd.from_arrow(synth_media_table(n=96, seed=42))
+    resized = resize_images(media, width=16, height=16, fake=True)
+
+    def digest(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "kind": b.column("kind"),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "payload_hex": pa.array(
+                    [
+                        hashlib.md5(p).hexdigest()
+                        for p in b.column("payload").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return resized.map_batches(digest, batch_format="pyarrow")
+
+
+from .oracle_sketch import (  # noqa: E402
+    MULTIMODAL_RESIZE_ORACLE_PATH as _MM_RESIZE_PATH,
+)
+
+SQL_MULTIMODAL_RESIZE = f"""
+SELECT media_id, kind, width, height, payload_hex
+FROM read_parquet('{_MM_RESIZE_PATH}')
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal plumbing end-to-end (decode is the documented
     environment-gated stub run in deterministic fake mode): synthetic
@@ -1572,6 +1618,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_pagerank_table,
         oracle_lm_score_table,
         oracle_minhash_pairs_table,
+        oracle_multimodal_resize_table,
         oracle_multimodal_table,
         oracle_parse_extract_table,
         oracle_semdedup_table,
@@ -1596,6 +1643,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_wat_table(sf_dir)
     oracle_host_edges_table(sf_dir)
     oracle_dup_strip_table(sf_dir)
+    oracle_multimodal_resize_table()
 
 
 def q_crawl_log(sf_dir: str):
@@ -4073,6 +4121,7 @@ REGISTRY: dict[str, tuple] = {
     "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL_JOIN),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "orders_customer_join": (q_orders_customer_join, SQL_ORDERS_CUSTOMER_JOIN),
     "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),

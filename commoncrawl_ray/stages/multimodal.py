@@ -295,3 +295,98 @@ def audio_features(ds, fake: bool = True, concurrency=(1, 2), batch_size: int = 
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class ResizeImageStage:
+    """Actor-pool resize stage (the remaining op of the brief's
+    decode / feature-extract / resize / frame-sample list).
+
+    - ``fake=True`` (sandbox default): the payload bytes are tiled into
+      the metadata-declared (height, width) grid and block-mean
+      downsampled to the target size — one ``np.add.reduceat`` per
+      axis, deterministic, no imaging lib.
+    - ``fake=False``: real Pillow resize (grayscale), raising
+      NotImplementedError only when Pillow is genuinely absent.
+
+    Output rows keep the media schema shape: (media_id, kind,
+    payload = resized uint8 bytes, width, height) — a resized corpus
+    can feed the same downstream stages.
+    """
+
+    def __init__(self, width: int = 16, height: int = 16, fake: bool = False):
+        self.tw, self.th = int(width), int(height)
+        self.fake = fake
+        self._pil = None
+        if not fake:
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                self._pil = Image
+            except ImportError:
+                raise NotImplementedError(
+                    "image resize requires Pillow, which is not present in "
+                    "this container; construct with fake=True for the "
+                    "deterministic stub"
+                ) from None
+
+    def _block_mean(self, grid: np.ndarray) -> np.ndarray:
+        h, w = grid.shape
+        re = (np.arange(self.th, dtype=np.int64) * h) // self.th
+        ce = (np.arange(self.tw, dtype=np.int64) * w) // self.tw
+        rows = np.add.reduceat(grid, re, axis=0)
+        both = np.add.reduceat(rows, ce, axis=1)
+        # upsampling duplicates source cells (diff 0 -> reduceat already
+        # yields the single cell); clamp the divisor to 1 for that case
+        rc = np.maximum(np.diff(np.r_[re, h]), 1).astype(np.float64)
+        cc = np.maximum(np.diff(np.r_[ce, w]), 1).astype(np.float64)
+        return both / (rc[:, None] * cc[None, :])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        out_payload, out_w, out_h = [], [], []
+        for p, m, kind in zip(payloads, metas, kinds):
+            if kind != "image":
+                out_payload.append(p)  # non-images pass through
+                out_w.append(int(m["width"]))
+                out_h.append(int(m["height"]))
+                continue
+            if self._pil is not None:
+                import io
+
+                img = self._pil.open(io.BytesIO(p)).convert("L")
+                small = np.asarray(
+                    img.resize((self.tw, self.th)), dtype=np.uint8
+                )
+            else:
+                h, w = int(m["height"]), int(m["width"])
+                grid = np.resize(
+                    np.frombuffer(p, dtype=np.uint8), h * w
+                ).reshape(h, w).astype(np.float64)
+                small = np.round(self._block_mean(grid)).astype(np.uint8)
+            out_payload.append(small.tobytes())
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, width: int = 16, height: int = 16, fake: bool = True,
+                  concurrency=(1, 2), batch_size: int = 16):
+    """Resize pipeline — same actor-pool / small-batch discipline as
+    decode_features (payload bytes, not rows, bound batch memory)."""
+    return ds.map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -681,3 +681,39 @@ def test_merge_join_outer_semantics(ray_session):
     assert pd.isna(out["x"].iloc[4])          # right-only row: left col null
     assert out["v"].dropna().tolist() == [10.0, 11.0, 30.0, 90.0]
     assert pd.isna(out.loc[out["k"] == 2, "v"]).all()  # left-only: payload null
+
+
+def test_resize_block_mean_kernel():
+    """ResizeImageStage fake kernel: exact block means on a known
+    grid; upsample edge clamps instead of dividing by zero."""
+    from commoncrawl_ray.stages.multimodal import ResizeImageStage
+
+    st = ResizeImageStage(width=2, height=2, fake=True)
+    grid = np.arange(16, dtype=np.float64).reshape(4, 4)
+    out = st._block_mean(grid)
+    assert out.shape == (2, 2)
+    assert np.allclose(out, [[2.5, 4.5], [10.5, 12.5]])
+    up = ResizeImageStage(width=8, height=8, fake=True)._block_mean(grid)
+    assert up.shape == (8, 8)
+    assert np.isfinite(up).all()
+
+
+def test_resize_stage_end_to_end(ray_session):
+    from commoncrawl_ray.stages.multimodal import (
+        ResizeImageStage,
+        resize_images,
+        synth_media_table,
+    )
+    import ray.data as rd
+
+    t = synth_media_table(24)
+    out = resize_images(rd.from_arrow(t), width=16, height=16, fake=True).to_pandas()
+    assert len(out) == 24
+    imgs = out[out["kind"] == "image"]
+    assert (imgs["width"] == 16).all() and (imgs["height"] == 16).all()
+    assert all(len(p) == 256 for p in imgs["payload"])
+    # distributed == direct kernel application
+    direct = ResizeImageStage(width=16, height=16, fake=True)(t).to_pandas()
+    merged = out.sort_values("media_id").reset_index(drop=True)
+    d2 = direct.sort_values("media_id").reset_index(drop=True)
+    assert all(a == b for a, b in zip(merged["payload"], d2["payload"]))
