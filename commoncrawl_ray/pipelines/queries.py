@@ -2213,6 +2213,111 @@ GROUP BY n.n_name
 """
 
 
+def q_unshipped_orders_revenue(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top-10): BUILDING-segment
+    orders placed before the cutoff whose lineitems ship after it,
+    ranked by outstanding revenue. Three stages, every exchange on a
+    single key: (1) semi merge_join filters orders by the
+    customer-segment key set (key-only wire); (2) inner merge_join
+    attaches (o_orderdate, o_orderpriority) to the date-filtered,
+    integer-revenue lineitems on orderkey; (3) groupby(orderkey) sum of
+    exact e4 units -> sort desc -> limit 10. Integer revenue units =
+    the repo's float-free distributed SUM discipline."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1998, 6, 1)
+
+    bld = (
+        _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    def placed_before(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff)))
+
+    orders = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(placed_before, batch_format="pyarrow")
+    orders_bld = merge_join(
+        orders,
+        bld,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        right_cols=[],
+        how="semi",
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        e4 = np.round(price * (1 - disc) * 10000).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_e4": pa.array(e4),
+            }
+        )
+
+    items = _pq(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(rev, batch_format="pyarrow")
+    joined = merge_join(
+        items,
+        orders_bld.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["o_orderdate", "o_orderpriority"],
+        how="inner",
+    )
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ).sum("rev_e4")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "o_orderdate_us": t.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": t.column("sum(rev_e4)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(
+            ["revenue_e4", "o_orderdate_us", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(10)
+    )
+
+
+SQL_UNSHIPPED_ORDERS_REVENUE = """
+SELECT l.l_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderdate_us, l.l_orderkey
+LIMIT 10
+"""
+
+
 def q_top_docs_per_lang(sf_dir: str):
     """Grouped top-k window rank (stages/rank.grouped_topk): the 3
     longest documents per language, rank 1-based, doc_id tiebreak."""
@@ -4162,6 +4267,10 @@ REGISTRY: dict[str, tuple] = {
     ),
     "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
+    "unshipped_orders_revenue": (
+        q_unshipped_orders_revenue,
+        SQL_UNSHIPPED_ORDERS_REVENUE,
+    ),
     "orders_of_rich_customers_bloom": (
         q_orders_of_rich_customers_bloom,
         SQL_ORDERS_OF_RICH_CUSTOMERS_BLOOM,
