@@ -3863,6 +3863,103 @@ FROM read_parquet('{_DUP_STRIP_PATH}')
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the eval-set hygiene step of every
+    LLM data pipeline): flag the word 8-grams each corpus document
+    shares with a held-out evaluation slice (here: the deterministic
+    2% doc_id hash sample standing in for a benchmark suite).
+
+    The BROADCAST-side counterpart of q_dup_passages' shuffle
+    approach — an eval suite is tiny, so its gram set is collected
+    once, ``ray.put`` once, and the corpus pass is a single stateless
+    map with zero exchanges (the small-side-broadcast rule)."""
+    import pyarrow.compute as pc
+
+    def gram_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_col, g_col, occ_col = [], [], []
+        for did, lst in zip(ids, toks.to_pylist()):
+            if len(lst) < _DUP_N:
+                continue
+            c = Counter(
+                " ".join(lst[i : i + _DUP_N]) for i in range(len(lst) - _DUP_N + 1)
+            )
+            doc_col.append(did)
+            g_col.append(list(c.keys()))
+            occ_col.append(list(c.values()))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(doc_col, dtype=np.int64)),
+                "grams": pa.array(g_col, pa.list_(pa.string())),
+                "occs": pa.array(occ_col, pa.list_(pa.int64())),
+            }
+        )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+    per_doc = docs.map_batches(gram_counts, batch_format="pyarrow")
+
+    # eval slice: 2% hash sample; its gram set is benchmark-suite-sized
+    def eval_grams_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (_knuth32_np(ids) % np.uint64(1000)) < np.uint64(20)
+        t = t.filter(pa.array(keep))
+        import pyarrow.compute as pc_
+
+        return pa.table({"g": pc_.list_flatten(t.column("grams")).unique()})
+
+    eval_set = frozenset(
+        g
+        for batch in per_doc.map_batches(
+            eval_grams_batch, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        for g in batch.column("g").to_pylist()
+    )
+    ref = ray.put(eval_set)
+
+    def score(t: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        n_grams = np.zeros(len(t), dtype=np.int64)
+        n_cont = np.zeros(len(t), dtype=np.int64)
+        for i, (gs, os_) in enumerate(
+            zip(t.column("grams").to_pylist(), t.column("occs").to_pylist())
+        ):
+            n_grams[i] = sum(os_)
+            n_cont[i] = sum(o for g, o in zip(gs, os_) if g in ev)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(n_grams),
+                "n_contaminated": pa.array(n_cont),
+            }
+        )
+
+    return per_doc.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(arr) - 7)) t(i)
+), pg AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS occ FROM grams GROUP BY doc_id, g
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams
+  WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < 20
+)
+SELECT p.doc_id,
+       CAST(SUM(p.occ) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN p.occ ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM pg p LEFT JOIN eval_grams e USING (g)
+GROUP BY p.doc_id
+"""
+
+
 def q_dup_passages(sf_dir: str):
     """Substring-level duplicate-passage detection (the signal behind
     Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -4301,6 +4398,7 @@ REGISTRY: dict[str, tuple] = {
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "dup_passage_strip": (q_dup_passage_strip, SQL_DUP_PASSAGE_STRIP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
