@@ -941,3 +941,52 @@ def oracle_multimodal_resize_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+LANG_ID_ORACLE_PATH = "/tmp/ccray_oracle_lang_id.parquet"
+
+
+def oracle_lang_id_table(sf_dir: str, path: str = LANG_ID_ORACLE_PATH) -> str:
+    """Sequential per-language LM fit + classification: one dense
+    count matrix accumulated doc-by-doc (vs the distributed per-batch
+    partials -> groupby((lang, gram)).sum merge), then every document
+    classified with the SHARED score_langs kernel — integer counts and
+    one fixed float64 path make the argmax identical."""
+    from ..stages.lm_score import (
+        N_GRAMS,
+        encode_text,
+        gram_ids,
+        logprob_table,
+        score_langs,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|lang_id"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    langs_col = t.column("lang").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = sorted(set(langs_col))
+    counts = {lang: np.zeros(N_GRAMS, dtype=np.int64) for lang in langs}
+    grams_cache = []
+    for lang, text in zip(langs_col, texts):
+        g = gram_ids(encode_text(text or ""))
+        grams_cache.append(g)
+        if len(g):
+            counts[lang] += np.bincount(g, minlength=N_GRAMS)
+    mat = np.empty((len(langs), N_GRAMS), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        nz = np.nonzero(counts[lang])[0]
+        mat[i] = logprob_table(nz.astype(np.int64), counts[lang][nz])
+    preds = [langs[int(np.argmax(score_langs(g, mat)))] for g in grams_cache]
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs_col, pa.string()),
+            "lang_pred": pa.array(preds, pa.string()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1611,6 +1611,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_dup_strip_table,
         oracle_hll_by_type_table,
         oracle_host_edges_table,
+        oracle_lang_id_table,
         oracle_hll_table,
         oracle_knn_ivf_table,
         oracle_knn_ivfpq_table,
@@ -1644,6 +1645,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_host_edges_table(sf_dir)
     oracle_dup_strip_table(sf_dir)
     oracle_multimodal_resize_table()
+    oracle_lang_id_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -3863,6 +3865,32 @@ FROM read_parquet('{_DUP_STRIP_PATH}')
 """
 
 
+def q_lang_id_lm(sf_dir: str):
+    """Language-ID by per-language trigram LMs (the statistical
+    langid the brief lists, upgraded from heuristic to model-based):
+    ONE streaming pass fits every language's LM (per-batch per-lang
+    partial bincounts -> one bounded groupby((lang, gram_id)).sum),
+    the (L, 39^3) log-prob matrix is ray.put-broadcast, and a
+    stateless actor-pool pass classifies each document with the
+    shared score_langs kernel (round-6 argmax, alphabetical
+    tie-break). Output (doc_id, lang, lang_pred) hash-checked vs a
+    sequential fit+classify oracle sharing only the numeric kernels."""
+    from ..stages.lm_score import lang_id_lm, train_char_lm_by_lang
+    from .oracle_sketch import oracle_lang_id_table
+
+    oracle_lang_id_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=4)
+    langs, mat = train_char_lm_by_lang(docs.select_columns(["lang", "text"]))
+    return lang_id_lm(docs, langs, mat)
+
+
+from .oracle_sketch import LANG_ID_ORACLE_PATH as _LANG_ID_PATH  # noqa: E402
+
+SQL_LANG_ID_LM = f"""
+SELECT doc_id, lang, lang_pred FROM read_parquet('{_LANG_ID_PATH}')
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (the eval-set hygiene step of every
     LLM data pipeline): flag the word 8-grams each corpus document
@@ -4399,6 +4427,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "dup_passage_strip": (q_dup_passage_strip, SQL_DUP_PASSAGE_STRIP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "lang_id_lm": (q_lang_id_lm, SQL_LANG_ID_LM),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

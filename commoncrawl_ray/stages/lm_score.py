@@ -174,3 +174,110 @@ def lm_score(score_ds, logp: np.ndarray, concurrency=(1, 8), batch_size: int = 2
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+def score_langs(g: np.ndarray, logp_matrix: np.ndarray) -> np.ndarray:
+    """Per-language mean log-likelihood of one document's gram ids,
+    rounded to 6 dp — THE shared classification kernel (both the
+    distributed classifier and the sequential oracle call exactly
+    this, so the float chains are identical and argmax cannot
+    diverge). Returns (L,) rounded scores; empty docs score 0."""
+    if len(g) == 0:
+        return np.zeros(logp_matrix.shape[0])
+    return np.round(logp_matrix[:, g].sum(axis=1) / len(g), 6)
+
+
+def batch_gram_counts_by_lang(
+    langs: list, texts: list
+) -> tuple[list, np.ndarray, np.ndarray]:
+    """Partial combiner: per-(lang) sparse gram counts for one batch —
+    (lang_col, gram_col, count_col), bounded by n_langs * N_GRAMS rows
+    per batch regardless of document count."""
+    per_lang: dict[str, list] = {}
+    for lang, t in zip(langs, texts):
+        if t:
+            per_lang.setdefault(lang, []).append(gram_ids(encode_text(t)))
+    l_col: list[str] = []
+    g_parts, c_parts = [], []
+    for lang in sorted(per_lang):
+        parts = [p for p in per_lang[lang] if len(p)]
+        if not parts:
+            continue
+        counts = np.bincount(np.concatenate(parts), minlength=N_GRAMS)
+        nz = np.nonzero(counts)[0]
+        l_col.extend([lang] * len(nz))
+        g_parts.append(nz.astype(np.int64))
+        c_parts.append(counts[nz].astype(np.int64))
+    if not g_parts:
+        return [], np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return l_col, np.concatenate(g_parts), np.concatenate(c_parts)
+
+
+def train_char_lm_by_lang(ds) -> tuple[list, np.ndarray]:
+    """One streaming pass fits EVERY language's trigram LM: per-batch
+    per-lang partial bincounts -> ONE groupby((lang, gram_id)).sum ->
+    (sorted lang list, (L, N_GRAMS) float64 log-prob matrix). The
+    merged table is bounded by n_langs * N_GRAMS rows."""
+    def partials(t: pa.Table) -> pa.Table:
+        l, g, c = batch_gram_counts_by_lang(
+            t.column("lang").to_pylist(), t.column("text").to_pylist()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(l, pa.string()),
+                "gram_id": pa.array(g),
+                "n": pa.array(c),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "gram_id"])
+        .sum("n")
+        .to_pandas()
+    )
+    langs = sorted(merged["lang"].unique())
+    mat = np.empty((len(langs), N_GRAMS), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        sub = merged[merged["lang"] == lang]
+        mat[i] = logprob_table(
+            sub["gram_id"].to_numpy(np.int64), sub["sum(n)"].to_numpy(np.int64)
+        )
+    return langs, mat
+
+
+class LangIdStage:
+    """Actor-pool language classifier: broadcast (langs, logp matrix)
+    fetched once per actor; per doc the shared score_langs kernel picks
+    argmax (first max = alphabetically-lowest lang on rounded ties)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self._langs, self._mat = (
+            ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            s = score_langs(gram_ids(encode_text(t or "")), self._mat)
+            preds.append(self._langs[int(np.argmax(s))])
+        out = batch.drop_columns(["text"])
+        return out.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def lang_id_lm(ds, langs: list, mat: np.ndarray, concurrency=(1, 8), batch_size: int = 256):
+    """Classify ``ds`` (needs text; keeps other columns) against the
+    fitted per-language LMs (ray.put broadcast)."""
+    import ray
+
+    ref = ray.put((langs, mat))
+    return ds.map_batches(
+        LangIdStage,
+        fn_constructor_kwargs={"model_ref": ref},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
