@@ -3874,7 +3874,14 @@ def q_lang_id_lm(sf_dir: str):
     stateless actor-pool pass classifies each document with the
     shared score_langs kernel (round-6 argmax, alphabetical
     tie-break). Output (doc_id, lang, lang_pred) hash-checked vs a
-    sequential fit+classify oracle sharing only the numeric kernels."""
+    sequential fit+classify oracle sharing only the numeric kernels.
+
+    Honesty note: the synthetic corpus's languages share one
+    vocabulary (avg per-lang nll spread < 1%), so predictions collapse
+    to the dominant class here — the check proves the distributed
+    fit/broadcast/classify plumbing, not linguistic skill; on real
+    multilingual text the same trigram statistics separate scripts and
+    languages sharply (Cavnar & Trenkle 1994)."""
     from ..stages.lm_score import lang_id_lm, train_char_lm_by_lang
     from .oracle_sketch import oracle_lang_id_table
 
