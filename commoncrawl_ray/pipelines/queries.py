@@ -3865,6 +3865,58 @@ FROM read_parquet('{_DUP_STRIP_PATH}')
 """
 
 
+_CHUNK_TOKENS, _CHUNK_STRIDE = 128, 96  # 32-token overlap
+
+
+def q_chunk_documents(sf_dir: str):
+    """RAG/training-prep chunking: every document split into
+    overlapping 128-token windows on a 96-token stride (row expansion
+    — the flat_map shape). Pure in-batch transform, zero exchanges;
+    chunk identity is (doc_id, 1-based start) and content is digest-
+    checked, so the SQL oracle (LATERAL generate_series + array slice)
+    verifies both the windowing arithmetic and the chunk text."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def chunks(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d_col, s_col, n_col, h_col = [], [], [], []
+        for did, lst in zip(ids, toks.to_pylist()):
+            n = len(lst)
+            for start in range(1, n + 1, _CHUNK_STRIDE):
+                piece = lst[start - 1 : start - 1 + _CHUNK_TOKENS]
+                d_col.append(did)
+                s_col.append(start)
+                n_col.append(len(piece))
+                h_col.append(hashlib.md5(" ".join(piece).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(d_col, dtype=np.int64)),
+                "start": pa.array(np.asarray(s_col, dtype=np.int64)),
+                "n_chunk_tokens": pa.array(np.asarray(n_col, dtype=np.int64)),
+                "chunk_digest": pa.array(h_col, pa.string()),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS start,
+       CAST(len(arr[i:i+127]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(arr[i:i+127], ' ')) AS chunk_digest
+FROM toks, LATERAL UNNEST(generate_series(1, len(arr), 96)) t(i)
+"""
+
+
 def q_lang_id_lm(sf_dir: str):
     """Language-ID by per-language trigram LMs (the statistical
     langid the brief lists, upgraded from heuristic to model-based):
@@ -4435,6 +4487,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_passage_strip": (q_dup_passage_strip, SQL_DUP_PASSAGE_STRIP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "lang_id_lm": (q_lang_id_lm, SQL_LANG_ID_LM),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
