@@ -990,3 +990,27 @@ def oracle_lang_id_table(sf_dir: str, path: str = LANG_ID_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+DOC_FP_ORACLE_PATH = "/tmp/ccray_oracle_doc_fp.parquet"
+
+
+def oracle_doc_fp_table(sf_dir: str, path: str = DOC_FP_ORACLE_PATH) -> str:
+    """Sequential per-doc Rabin fp64 + length — the rolling-hash
+    document fingerprint applied doc-by-doc in one process (shared
+    kernel; the parity proven is the distributed map plumbing, and the
+    kernel itself is bit-parity-locked by tests/test_fingerprint.py)."""
+    from ..functions.fingerprint import fp64
+
+    src_key = f"{os.path.abspath(sf_dir)}|doc_fp"
+    if _is_fresh(path, src_key):
+        return path
+    ids, texts = _read_docs(sf_dir)
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text_fp": pa.array([fp64(t or "") for t in texts], pa.int64()),
+            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1608,6 +1608,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     sf_dir."""
     from .oracle_sketch import (
         oracle_arc_roundtrip_table,
+        oracle_doc_fp_table,
         oracle_dup_strip_table,
         oracle_hll_by_type_table,
         oracle_host_edges_table,
@@ -1646,6 +1647,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_dup_strip_table(sf_dir)
     oracle_multimodal_resize_table()
     oracle_lang_id_table(sf_dir)
+    oracle_doc_fp_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -3865,6 +3867,48 @@ FROM read_parquet('{_DUP_STRIP_PATH}')
 """
 
 
+def q_doc_fingerprints(sf_dir: str):
+    """Document fingerprinting by the Rabin rolling hash (the brief's
+    'document fingerprinting (rolling hash)' op as a first-class
+    registry row): per document, the reference's 64-bit polynomial
+    fingerprint of the text's UTF-16 code units
+    (functions/fingerprint.fp64, bit-parity-tested against
+    FPGenerator.java vectors) plus the text length. Stateless one-pass
+    map; hash-checked against the sequential application of the same
+    kernel (oracle_sketch.oracle_doc_fp_table)."""
+    import pyarrow.compute as pc
+
+    from ..functions.fingerprint import fp64
+    from .oracle_sketch import oracle_doc_fp_table
+
+    oracle_doc_fp_table(sf_dir)
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        fps = np.fromiter(
+            (fp64(x or "") for x in t.column("text").to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_fp": pa.array(fps),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4).map_batches(
+        fp_batch, batch_format="pyarrow"
+    )
+
+
+from .oracle_sketch import DOC_FP_ORACLE_PATH as _DOC_FP_PATH  # noqa: E402
+
+SQL_DOC_FINGERPRINTS = f"""
+SELECT doc_id, text_fp, n_chars FROM read_parquet('{_DOC_FP_PATH}')
+"""
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 128, 96  # 32-token overlap
 
 
@@ -4488,6 +4532,7 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "lang_id_lm": (q_lang_id_lm, SQL_LANG_ID_LM),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
