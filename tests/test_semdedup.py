@@ -79,9 +79,15 @@ def test_semdedup_cluster_cap_skips_prune(ray_session):
         {"vec_id": i, "embedding": (v + rs.normal(scale=1e-4, size=8)).tolist()}
         for i in range(20)
     ]
+    from commoncrawl_ray.state import counters as ctr
+
+    ctr.reset()
     out = semdedup(
         rd.from_items(rows), dim=8, k=2, iters=2, threshold=0.9, max_cluster_docs=10
     ).to_pandas()
     # every vector is a near-dup of every other, but the cluster is
     # wider than the cap -> nothing pruned, all kept
     assert out["keep"].all()
+    # no silent caps: the skip is visible in the cluster counter actor
+    snap = ctr.snapshot()
+    assert snap.get("semdedup.skipped_buckets", 0) >= 1
