@@ -3742,6 +3742,9 @@ def q_dup_passage_strip(sf_dir: str):
 
     Output (doc_id, n_tokens, n_kept, clean_digest); oracle =
     sequential same-kernel fold (oracle_sketch.oracle_dup_strip_table).
+    At 100 TB the gram strings in stage 2's wire rows would be hashed
+    to int64 first (fp64 kernel; collision fix-up pass optional) — the
+    string key keeps the oracle shared verbatim at test scale.
     """
     import hashlib
 

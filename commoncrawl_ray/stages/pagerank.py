@@ -407,6 +407,11 @@ def triangle_count(edge_ds, max_degree: int | None = 4096):
        distinct rows, so the survivor COUNT is the triangle count).
 
     Returns a 1-row Dataset (n_triangles int64).
+
+    Scale note: wedge keys are built as Python strings (bounded by
+    max_degree² per apex); a 100 TB host graph would fuse the two
+    host fingerprints into one int64/128 key instead — the string key
+    keeps the plain-SQL oracle shared verbatim.
     """
     import pyarrow.compute as pc
     import ray.data as rd
