@@ -3725,7 +3725,7 @@ FROM c
 _DUP_N = 8  # word n-gram width for duplicate-passage detection
 
 
-def q_dup_passage_strip(sf_dir: str):
+def q_dup_passage_strip(sf_dir: str, gram_key: str = "hash"):
     """Duplicate-passage REMOVAL (Lee et al. 2022's actual transform,
     not just the detection signal): every token covered by a word
     8-gram that also appears in another document is cut; the cleaned
@@ -3740,23 +3740,42 @@ def q_dup_passage_strip(sf_dir: str):
        list to the text (text rides this one exchange), and the strip
        map drops tokens covered by any [pos, pos+8) window.
 
+    ``gram_key`` (VERDICT r4 #1): the DEFAULT wire key is ``"hash"`` —
+    each gram rides the sort(g) exchange as ONE int64 (vectorized FNV
+    token hashes + position-weighted polynomial window combine,
+    functions/minhash.gram_fp_rows; no per-position Python join), so
+    the exchange carries ~8 bytes/gram instead of ~8x the document
+    text. ``gram_key="str"`` keeps the materialized ``" ".join`` gram
+    strings for collision-free verbatim comparison; a test asserts
+    both modes produce identical output at test scale.
+
     Output (doc_id, n_tokens, n_kept, clean_digest); oracle =
     sequential same-kernel fold (oracle_sketch.oracle_dup_strip_table).
-    At 100 TB the gram strings in stage 2's wire rows would be hashed
-    to int64 first (fp64 kernel; collision fix-up pass optional) — the
-    string key keeps the oracle shared verbatim at test scale.
     """
     import hashlib
 
     import pyarrow.compute as pc
 
+    from ..functions.minhash import gram_fp_rows
     from ..stages.joins import merge_join
     from .oracle_sketch import oracle_dup_strip_table
 
     oracle_dup_strip_table(sf_dir)
     docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
 
-    def gram_occurrences(t: pa.Table) -> pa.Table:
+    def gram_occurrences_hash(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d_idx, pos, gfp = gram_fp_rows(toks, _DUP_N)
+        return pa.table(
+            {
+                "g": pa.array(gfp),
+                "doc_id": pa.array(ids[d_idx]),
+                "pos": pa.array(pos, pa.int32()),
+            }
+        )
+
+    def gram_occurrences_str(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         doc_col, g_col, pos_col = [], [], []
@@ -3772,6 +3791,10 @@ def q_dup_passage_strip(sf_dir: str):
                 "pos": pa.array(np.asarray(pos_col, dtype=np.int32)),
             }
         )
+
+    gram_occurrences = (
+        gram_occurrences_hash if gram_key == "hash" else gram_occurrences_str
+    )
 
     def mark_cross_doc(t: pa.Table) -> pa.Table:
         # sorted by g: distinct-doc count per gram via (g, doc) runs
@@ -4094,7 +4117,7 @@ GROUP BY p.doc_id
 """
 
 
-def q_dup_passages(sf_dir: str):
+def q_dup_passages(sf_dir: str, gram_key: str = "hash"):
     """Substring-level duplicate-passage detection (the signal behind
     Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better"): for every document, how many of its word 8-grams
@@ -4109,12 +4132,43 @@ def q_dup_passages(sf_dir: str):
     3. ONE groupby(doc_id) two-sum aggregate -> (n_grams, n_dup_grams,
        dup_frac).
 
-    At 100 TB the gram strings on the wire would be hashed to int64
-    first (fp64/minhash kernels exist); the string key keeps the DuckDB
-    oracle shared verbatim."""
+    ``gram_key`` (VERDICT r4 #1): DEFAULT ``"hash"`` puts ONE int64 per
+    gram on the sort(g) wire (functions/minhash.gram_fp_rows — FNV
+    token hashes + polynomial window combine, zero per-position Python
+    work) instead of the ~8x-text-sized gram strings; ``"str"`` keeps
+    the literal strings so the DuckDB oracle's key space is shared
+    verbatim, and a test asserts both modes agree at test scale."""
     import pyarrow.compute as pc
 
-    def gram_rows(t: pa.Table) -> pa.Table:
+    from ..functions.minhash import gram_fp_rows
+
+    def gram_rows_hash(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d_idx, _pos, gfp = gram_fp_rows(toks, _DUP_N)
+        if len(d_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        # per-(doc, gram) occurrence counts via one lexsort + run scan
+        order = np.lexsort((gfp, d_idx))
+        d2, g2 = d_idx[order], gfp[order]
+        new = np.r_[True, (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])]
+        starts = np.flatnonzero(new)
+        occ = (np.r_[starts[1:], len(d2)] - starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d2[starts]]),
+                "g": pa.array(g2[starts]),
+                "occ": pa.array(occ),
+            }
+        )
+
+    def gram_rows_str(t: pa.Table) -> pa.Table:
         from collections import Counter
 
         toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
@@ -4136,6 +4190,8 @@ def q_dup_passages(sf_dir: str):
                 "occ": pa.array(np.asarray(occ_col, dtype=np.int64)),
             }
         )
+
+    gram_rows = gram_rows_hash if gram_key == "hash" else gram_rows_str
 
     def mark_dups(t: pa.Table) -> pa.Table:
         # sorted by g: a gram's run length == its distinct-doc count

@@ -109,3 +109,15 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(res)
     assert len(df) > 0
     assert {"url", "canon_url", "url_fp", "http_status"} <= set(df.columns)
+
+
+def test_dup_passage_gram_key_modes_agree(ray_session):
+    """VERDICT r4 #1: the int64 hash gram wire (default) must produce
+    byte-identical output to the materialized-string gram wire — for
+    both the detection and the strip pipelines (sf0.01)."""
+    from commoncrawl_ray.pipelines.queries import q_dup_passage_strip, q_dup_passages
+
+    for fn in (q_dup_passages, q_dup_passage_strip):
+        got_hash = _normalize(_to_pandas(fn(SF_DIR)))
+        got_str = _normalize(_to_pandas(fn(SF_DIR, gram_key="str")))
+        pd.testing.assert_frame_equal(got_hash, got_str)
