@@ -217,8 +217,24 @@ def semdedup(
     ``max_cluster_docs``: clusters wider than this are not pruned
     (every member kept, skip counted) instead of materializing an
     O(b^2) similarity matrix in one block — the dedup-family cap rule.
+    VERDICT r4 #3: over-cap clusters are dropped BEFORE the
+    ``sort("cluster")`` exchange — a slim counting pass (per-batch
+    <= k-row (cluster, n) partials -> one tiny groupby -> <= k rows to
+    the driver) finds them first, their members bypass the sort
+    entirely as keep=True rows, and ``prune_block`` ASSERTS it never
+    sees one. So the prune exchange carries only clusters that will
+    actually be pruned, never a multi-TB mega-cluster block.
+
+    k-sizing rule: the prune exchange range-partitions on ``cluster``
+    (<= k non-empty blocks, ~corpus/k rows of (id, cluster, dim x 8 B)
+    each), so size k such that corpus_rows / k * (dim * 8 + 16) bytes
+    fits a worker block — in SemDeDup's own regime k grows with the
+    corpus (k ~ sqrt(N) at web scale: 10^10 rows, dim=768 -> k >= 10^5
+    keeps blocks under ~1 GB). The default k=16 is the small-sf test
+    configuration.
     """
     import ray
+    from ray.data.aggregate import Sum
 
     centroids = kmeans_fit_distributed(
         ds, dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col
@@ -248,7 +264,6 @@ def semdedup(
         cl = t.column("cluster").to_numpy(zero_copy_only=False)
         q = list_to_matrix(t.column("qvec"), dtype=np.int64)
         keep = np.ones(len(ids), dtype=bool)
-        skipped = 0
         starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
         ends = np.r_[starts[1:], len(cl)]
         for s, e in zip(starts, ends):
@@ -256,8 +271,12 @@ def semdedup(
             if b < 2:
                 continue
             if max_cluster_docs is not None and b > max_cluster_docs:
-                skipped += 1
-                continue
+                # over-cap clusters are removed BEFORE the sort; one
+                # reaching this block means the pre-sort drop failed
+                raise AssertionError(
+                    f"over-cap cluster {cl[s]} ({b} rows > "
+                    f"{max_cluster_docs}) entered the prune exchange"
+                )
             order = np.argsort(ids[s:e], kind="mergesort")
             xn = q[s:e][order].astype(np.float64) / _QSCALE
             sims = np.round(xn @ xn.T, 6)
@@ -265,10 +284,6 @@ def semdedup(
             # upper triangle (j > i in id order) marks the higher id
             dup = (np.triu(sims >= threshold, 1)).any(axis=0)
             keep[s + order[dup]] = False
-        if skipped:
-            from ..state.counters import count_skip
-
-            count_skip("semdedup", buckets=skipped)
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -277,8 +292,57 @@ def semdedup(
             }
         )
 
-    return (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .sort("cluster")
-        .map_batches(prune_block, batch_format="pyarrow", batch_size=None)
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    over: list[int] = []
+    if max_cluster_docs is not None:
+        # slim counting pass: re-runs only the assign lineage with a
+        # <= k-row partial per batch (no qvec on the wire), one tiny
+        # groupby, <= k rows to the driver
+        def count_partial(t: pa.Table) -> pa.Table:
+            cl = t.column("cluster").to_numpy(zero_copy_only=False)
+            counts = np.bincount(cl, minlength=k)
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "cluster": pa.array(nz.astype(np.int64)),
+                    "n": pa.array(counts[nz].astype(np.int64)),
+                }
+            )
+
+        size_rows = (
+            assigned.select_columns(["cluster"])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .aggregate(Sum("n"))
+            .take_all()
+        )
+        over = sorted(
+            int(r["cluster"]) for r in size_rows if int(r["sum(n)"]) > max_cluster_docs
+        )
+
+    if over:
+        from ..state.counters import count_skip
+
+        count_skip("semdedup", buckets=len(over))
+        over_arr = np.asarray(over, dtype=np.int64)
+
+        def big_rows(t: pa.Table) -> pa.Table:
+            cl = t.column("cluster").to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array(np.isin(cl, over_arr))).drop_columns(["qvec"])
+            return sub.append_column("keep", pa.array(np.ones(len(sub), dtype=bool)))
+
+        def small_rows(t: pa.Table) -> pa.Table:
+            cl = t.column("cluster").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(cl, over_arr)))
+
+        kept_big = assigned.map_batches(big_rows, batch_format="pyarrow")
+        small = assigned.map_batches(small_rows, batch_format="pyarrow")
+        pruned = small.sort("cluster").map_batches(
+            prune_block, batch_format="pyarrow", batch_size=None
+        )
+        return pruned.union(kept_big)
+
+    return assigned.sort("cluster").map_batches(
+        prune_block, batch_format="pyarrow", batch_size=None
     )

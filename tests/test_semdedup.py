@@ -91,3 +91,41 @@ def test_semdedup_cluster_cap_skips_prune(ray_session):
     # no silent caps: the skip is visible in the cluster counter actor
     snap = ctr.snapshot()
     assert snap.get("semdedup.skipped_buckets", 0) >= 1
+
+def test_semdedup_megacluster_never_enters_prune_exchange(ray_session):
+    """VERDICT r4 #3: over-cap clusters are dropped BEFORE the
+    sort('cluster') prune exchange. prune_block raises AssertionError
+    if one reaches it, so a clean run with a planted mega-cluster IS
+    the proof; a small cluster in the same run must still prune."""
+    import ray.data as rd
+
+    from commoncrawl_ray.state import counters as ctr
+    from commoncrawl_ray.stages.semdedup import semdedup
+
+    rs = np.random.RandomState(13)
+    a = np.zeros(8)
+    a[0] = 1.0
+    b = np.zeros(8)
+    b[1] = 1.0  # orthogonal direction -> a second cluster
+    rows = [
+        {"vec_id": i, "embedding": (a + rs.normal(scale=1e-3, size=8)).tolist()}
+        for i in range(30)  # mega-cluster: 30 > cap of 10
+    ] + [
+        {"vec_id": 100 + i, "embedding": (b + rs.normal(scale=1e-3, size=8)).tolist()}
+        for i in range(4)  # small cluster: near-dups, must prune to 1
+    ]
+    ctr.reset()
+    out = (
+        semdedup(
+            rd.from_items(rows), dim=8, k=2, iters=4, threshold=0.9,
+            max_cluster_docs=10,
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    mega = out.loc[out.index < 100]
+    small = out.loc[out.index >= 100]
+    assert mega["keep"].all()  # kept whole, bypassed the exchange
+    assert small["keep"].sum() == 1 and bool(small.loc[100, "keep"])
+    assert ctr.snapshot().get("semdedup.skipped_buckets", 0) == 1
