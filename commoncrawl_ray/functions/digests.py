@@ -149,3 +149,27 @@ def hex_string_to_bytes(hex_string: str) -> bytes:
         (int(hex_string[i], 16) << 4) | int(hex_string[i + 1], 16)
         for i in range(0, len(hex_string) - 1, 2)
     )
+
+
+def md5_hex_column(col) -> list[str]:
+    """MD5 hex digests of an Arrow string column, read straight off its
+    UTF-8 data buffer via memoryview slices — no per-row Python string
+    materialization or re-encode (VERDICT r4 #10). Null rows digest as
+    the empty string, matching ``md5((t or "").encode())``. Byte input
+    equals each row's UTF-8 buffer slice, so results are identical to
+    the per-string loop it replaces.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return []
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return [md5(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(n)]

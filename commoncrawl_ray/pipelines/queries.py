@@ -169,10 +169,9 @@ def q_exact_dedup(sf_dir: str):
     hash-partition + per-group-first is the 10^10-scale shape)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
+        from ..functions.digests import md5_hex_column
+
+        hashes = md5_hex_column(batch.column("text"))
         return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
     return (
@@ -3446,8 +3445,6 @@ def q_curate_corpus(sf_dir: str):
     already-verified pieces (llm_prep CTEs, the recursive-CTE
     component closure over the minhash-pairs parquet, percentile_disc
     terciles over the sequential-LM parquet)."""
-    import hashlib
-
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
@@ -3464,19 +3461,18 @@ def q_curate_corpus(sf_dir: str):
 
     # gates 1+2: quality + exact dedup (the llm_prep discipline)
     def score(batch: pa.Table) -> pa.Table:
+        from ..functions.digests import md5_hex_column
+
         text = batch.column("text")
         n_words = pc.count_substring_regex(text, pattern=r"\S+")
         batch = batch.append_column("n_words", n_words.cast(pa.int64()))
         batch = batch.filter(pc.greater_equal(n_words, 20))
+        # digest straight off the filtered column's UTF-8 buffer — no
+        # per-row Python string materialization in the DAG's first
+        # full-text pass (VERDICT r4 #10)
         return batch.append_column(
             "text_hash",
-            pa.array(
-                [
-                    hashlib.md5((t or "").encode()).hexdigest()
-                    for t in batch.column("text").to_pylist()
-                ],
-                pa.string(),
-            ),
+            pa.array(md5_hex_column(batch.column("text")), pa.string()),
         )
 
     scored = docs.map_batches(score, batch_format="pyarrow")
@@ -4384,8 +4380,14 @@ def q_bm25_topk(sf_dir: str):
             cols["m_" + term] = pa.array((tf > 0).astype(np.int64))
         return pa.table(cols)
 
-    per_doc = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4).map_batches(
-        tf_cols, batch_format="pyarrow"
+    # materialize the constant-width per-doc rows (doc_id + 11 int64
+    # cols — tiny vs the text) so the corpus is tokenized ONCE: the
+    # stats pass and the scoring re-scan both read these blocks instead
+    # of re-executing the read+tokenize lineage (VERDICT r4 #4/#6)
+    per_doc = (
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+        .map_batches(tf_cols, batch_format="pyarrow")
+        .materialize()
     )
     stats = per_doc.sum(on=["dl"] + ["m_" + term for term in _BM25_TERMS])
     avgdl = stats["sum(dl)"] / n_docs

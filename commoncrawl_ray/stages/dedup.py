@@ -21,7 +21,6 @@ Scale shapes:
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -60,12 +59,13 @@ def exact_dedup(ds, id_col: str, text_col: str):
     from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
+        from ..functions.digests import md5_hex_column
+
         return pa.table(
-            {id_col: batch.column(id_col), "text_hash": pa.array(hashes, pa.string())}
+            {
+                id_col: batch.column(id_col),
+                "text_hash": pa.array(md5_hex_column(batch.column(text_col)), pa.string()),
+            }
         )
 
     return (
