@@ -41,6 +41,12 @@ class CrawlConfig:
     # AsyncHttpFetcher kwargs (timeouts, dns_override, max_in_flight).
     fetch_kind: str = "sim"
     http_opts: dict | None = None
+    # robots backend: "sim" (rules are a pure function of the host
+    # fingerprint — the deterministic sandbox model) or "http" (fetch
+    # /robots.txt per host through the same AsyncHttpFetcher and parse
+    # it per RFC 9309 — state/robots.parse_robots_txt). The cache/TTL/
+    # host_fp-partitioned actor pool is shared by both.
+    robots_kind: str = "sim"
     # frontier priority: "depth" (priority = 1/(depth+1)) or "pagerank"
     # (priority = 1/(depth+1) + PR(host), where PR is PageRank over the
     # host edges accumulated from all PRIOR epochs' fetches, rounded to

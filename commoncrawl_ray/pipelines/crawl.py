@@ -108,8 +108,10 @@ def make_robots_fn(robots_actors, epoch: int):
         hosts_with_rules: dict[str, tuple] = {}
         for sel, rules_list in zip(groups, ray.get(refs)):
             for h, rules in zip(sel, rules_list):
-                if rules:
-                    hosts_with_rules[h] = tuple(rules)
+                if rules:  # sim: non-empty prefix tuple; http: RobotsRules.__bool__
+                    hosts_with_rules[h] = (
+                        tuple(rules) if isinstance(rules, (list, tuple)) else rules
+                    )
         blocked = np.zeros(n, dtype=bool)
         if hosts_with_rules:
             urls = batch.column("canon_url").to_pylist()
@@ -862,7 +864,11 @@ def crawl(
     seen_pool = UrlSeenPool(
         cfg.num_seen_partitions, filter_kind=getattr(cfg, "seen_filter_kind", "bloom")
     )
-    robots_pool = RobotsCachePool(num_actors=max(2, cfg.num_seen_partitions // 4))
+    robots_pool = RobotsCachePool(
+        num_actors=max(2, cfg.num_seen_partitions // 4),
+        kind=getattr(cfg, "robots_kind", "sim"),
+        http_opts=cfg.http_opts,
+    )
 
     start_epoch = 0
     if resume:
