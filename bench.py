@@ -177,6 +177,36 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
         wall, _n = _best_of(q_phase(qname), num_cpus)
         timings[qname] = wall
 
+    # --- full LLM curation DAG (r4 ask #7: the centerpiece needs a
+    # standing wall-time record) — quality gate -> exact dedup ->
+    # MinHash components -> per-lang LM tail cut in one distributed
+    # run. The sequential oracle parquets the query's hash-check reads
+    # are built in setup (untimed: they are verification fixtures, not
+    # engine work).
+    def curate_setup():
+        from commoncrawl_ray.pipelines.oracle_sketch import (
+            oracle_lm_score_table,
+            oracle_minhash_pairs_table,
+        )
+
+        oracle_minhash_pairs_table(sf_dir)
+        oracle_lm_score_table(sf_dir)
+        return None
+
+    def run_curate(_ctx):
+        from commoncrawl_ray.pipelines import queries as Q
+
+        return Q.q_curate_corpus(sf_dir).count()
+
+    wall, n_kept = _best_of(
+        run_curate, num_cpus, setup=curate_setup, teardown=lambda _c: None
+    )
+    timings["curate_corpus"] = wall
+    import pyarrow.parquet as _pqm
+
+    n_docs = _pqm.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    extras["curated_docs_per_sec"] = round(n_docs / wall, 1)
+
     ray.shutdown()
     return {"timings": timings, "extras": extras, "sf": sf, "n_pages": n_pages}
 
