@@ -200,6 +200,8 @@ def parse_url(url: str) -> UrlParts:
     if host is None:
         return UrlParts(False)
     if port:
+        if int(port) > 65535:  # out of range => invalid URL (url_canon port rule)
+            return UrlParts(False)
         port = str(int(port))  # strip leading zeros
         if port == _STANDARD_SCHEMES[scheme]:
             port = ""
