@@ -60,7 +60,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # Empty-aggregate edge case: a Ray global aggregate over 0
+            # rows yields Python None (object dtype) where DuckDB
+            # yields float64 NaN — canonicalize numeric-or-null object
+            # columns to float64 so both sides hash identically.
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith("datetime"):
