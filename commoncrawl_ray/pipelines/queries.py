@@ -4493,6 +4493,289 @@ FROM read_parquet('/tmp/ccray_oracle_lm_score.parquet')
 """
 
 
+# --------------------------------------------------------------------
+# C4-style corpus-level line dedup (fixed-width segment analog)
+# --------------------------------------------------------------------
+
+_SEG_W = 16  # words per segment ("line" stand-in: the synthetic docs
+# are single-line, so C4's three-sentence/line unit maps to fixed
+# non-overlapping 16-word windows; the ragged tail (<16 words) is
+# always kept and excluded from dedup, which keeps both engine and SQL
+# over full windows only)
+
+
+def q_c4_line_dedup(sf_dir: str):
+    """C4-style corpus-level line dedup (Raffel et al. 2020, §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once in the data set"): every non-overlapping 16-word
+    segment is kept iff its (doc_id, seg_idx) is the globally minimal
+    instance of that segment text; all later occurrences anywhere in
+    the corpus are dropped.
+
+    Scale shape (the dup_passages discipline): the sort("g") wire
+    carries ONE int64 fingerprint per segment (functions/minhash.
+    gram_fp_rows — never the segment strings, so text is never
+    amplified through the exchange) plus a packed (doc_id, seg_idx)
+    int64; a vectorized run-scan block pass picks each fingerprint's
+    minimum instance (equal keys are adjacent after the sort), and one
+    tiny groupby(doc_id) aggregate folds per-doc keep counts. Packing
+    assumes seg_idx < 2**20 (a 16 M-word document) and doc_id <
+    2**43 — documented, asserted."""
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import gram_fp_rows
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.int64()),
+                "packed": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "seglen": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d_idx, pos, gfp = gram_fp_rows(toks, _SEG_W)
+        if len(d_idx) == 0:
+            return empty
+        m = (pos % _SEG_W) == 0  # non-overlapping full windows only
+        d_idx, pos, gfp = d_idx[m], pos[m], gfp[m]
+        # segment char length = sum(token lens) + (W-1) joining spaces
+        tl = pc.utf8_length(toks.flatten()).to_numpy(zero_copy_only=False)
+        cum = np.r_[0, np.cumsum(tl.astype(np.int64))]
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        start = offsets[d_idx] + pos
+        seglen = cum[start + _SEG_W] - cum[start] + (_SEG_W - 1)
+        doc = ids[d_idx]
+        seg_idx = (pos // _SEG_W).astype(np.int64)
+        assert doc.max(initial=0) < (1 << 43) and seg_idx.max(initial=0) < (1 << 20)
+        packed = (doc << 20) | seg_idx
+        return pa.table(
+            {
+                "g": pa.array(gfp),
+                "packed": pa.array(packed),
+                "doc_id": pa.array(doc),
+                "seglen": pa.array(seglen),
+            }
+        )
+
+    def keep_block(t: pa.Table) -> pa.Table:
+        # sorted by g: each fingerprint's instances are adjacent; the
+        # run's min packed (doc_id, seg_idx) is the kept occurrence
+        if len(t) == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("kept", pa.int64()),
+                    ("kept_chars", pa.int64()),
+                ]
+            ).empty_table()
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        p = t.column("packed").to_numpy(zero_copy_only=False)
+        seglen = t.column("seglen").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        runs = np.r_[starts[1:], len(g)] - starts
+        minp = np.repeat(np.minimum.reduceat(p, starts), runs)
+        kept = (p == minp).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "kept": pa.array(kept),
+                "kept_chars": pa.array(kept * seglen),
+            }
+        )
+
+    agg = (
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+        .map_batches(seg_rows, batch_format="pyarrow")
+        .sort("g")
+        .map_batches(keep_block, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_segs"),
+            Sum("kept", alias_name="n_kept"),
+            Sum("kept_chars", alias_name="kept_chars"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_segs": t.column("n_segs").cast(pa.int64()),
+                "n_kept": t.column("n_kept").cast(pa.int64()),
+                "kept_chars": t.column("kept_chars").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_C4_LINE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents
+), segs AS (
+  SELECT doc_id, (i - 1) // 16 AS seg_idx, array_to_string(arr[i:i+15], ' ') AS seg
+  FROM toks, LATERAL UNNEST(generate_series(1, len(arr) - 15, 16)) t(i)
+), ranked AS (
+  SELECT doc_id, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN LENGTH(seg) ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM ranked GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# Gopher repetition filters (within-document quality signals)
+# --------------------------------------------------------------------
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition quality filters (Rae et al. 2021, table
+    A1): per document, the fraction of characters covered by the most
+    frequent word 2-gram (occurrences x gram chars / doc chars) and
+    the fraction of characters in duplicated word 5-grams (all
+    occurrences beyond the first). ``keep`` applies Gopher's
+    thresholds: top-2-gram fraction <= 0.20 AND dup-5-gram fraction
+    <= 0.15 (on the 6dp-rounded values, matching the SQL oracle's
+    ROUND).
+
+    Zero exchanges: a document lives in one row, so both signals are
+    complete per batch — per-(doc, gram) counts via one lexsort run
+    scan over the vectorized int64 gram fingerprints
+    (functions/minhash.gram_fp_rows; gram strings are never
+    materialized, in-doc 64-bit collisions are the only approximation
+    and are ~1e-13 at 10^3 grams/doc). Most-frequent tie-break is
+    (count DESC, count*gram_chars DESC) — cover value is identical
+    across remaining ties, so the output is deterministic."""
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import gram_fp_rows
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        total_chars = pc.utf8_length(t.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        n_words = np.diff(offsets)
+        tl = pc.utf8_length(toks.flatten()).to_numpy(zero_copy_only=False)
+        cum = np.r_[0, np.cumsum(tl.astype(np.int64))]
+
+        def gram_count_rows(width: int):
+            """(doc, gram) -> (count, gram_chars), vectorized."""
+            d_idx, pos, gfp = gram_fp_rows(toks, width)
+            if len(d_idx) == 0:
+                z = np.empty(0, np.int64)
+                return z, z, z
+            start = offsets[d_idx] + pos
+            glen = cum[start + width] - cum[start] + (width - 1)
+            order = np.lexsort((gfp, d_idx))
+            d2, g2, l2 = d_idx[order], gfp[order], glen[order]
+            new = np.r_[True, (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])]
+            starts = np.flatnonzero(new)
+            cnt = np.r_[starts[1:], len(d2)] - starts
+            return d2[starts], cnt.astype(np.int64), l2[starts]
+
+        # top 2-gram char coverage per doc: max by (cnt, cnt*glen)
+        d2, cnt2, glen2 = gram_count_rows(2)
+        cover2 = np.zeros(n, dtype=np.int64)
+        if len(d2):
+            cov = cnt2 * glen2
+            order = np.lexsort((cov, cnt2, d2))
+            ds, cs = d2[order], cov[order]
+            last = np.r_[ds[1:] != ds[:-1], True]  # last row per doc = max
+            cover2[ds[last]] = cs[last]
+
+        # duplicated 5-gram char mass per doc: sum (cnt-1)*glen, cnt>=2
+        d5, cnt5, glen5 = gram_count_rows(5)
+        dup5 = np.zeros(n, dtype=np.int64)
+        if len(d5):
+            mass = (cnt5 - 1) * glen5
+            mask = cnt5 >= 2
+            np.add.at(dup5, d5[mask], mass[mask])
+
+        # DuckDB ROUND = half away from zero (fractions are positive);
+        # the quotients hit exact binary halves (e.g. 9/128), where
+        # np.round's half-to-even would differ in the 6th decimal
+        top2_frac = np.floor(cover2 / total_chars * 1e6 + 0.5) / 1e6
+        dup5_frac = np.floor(dup5 / total_chars * 1e6 + 0.5) / 1e6
+        keep = ((top2_frac <= 0.20) & (dup5_frac <= 0.15)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_words": pa.array(n_words),
+                "top2_frac": pa.array(top2_frac),
+                "dup5_frac": pa.array(dup5_frac),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4).map_batches(
+        per_doc, batch_format="pyarrow"
+    )
+
+
+SQL_GOPHER_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr,
+         LENGTH(text) AS total_chars
+  FROM documents
+), g2 AS (
+  SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(arr) - 1)) t(i)
+), c2 AS (
+  SELECT doc_id, COUNT(*) AS cnt, LENGTH(g) AS glen FROM g2 GROUP BY doc_id, g
+), top2 AS (
+  SELECT doc_id, cnt * glen AS cover,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, cnt * glen DESC
+         ) AS rn
+  FROM c2
+), g5 AS (
+  SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(arr) - 4)) t(i)
+), c5 AS (
+  SELECT doc_id, COUNT(*) AS cnt, LENGTH(g) AS glen FROM g5 GROUP BY doc_id, g
+), dup5 AS (
+  SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN (cnt - 1) * glen ELSE 0 END)
+           AS dupchars
+  FROM c5 GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.arr) AS BIGINT) AS n_words,
+       ROUND(COALESCE(t2.cover, 0) / CAST(tk.total_chars AS DOUBLE), 6)
+         AS top2_frac,
+       ROUND(COALESCE(d5.dupchars, 0) / CAST(tk.total_chars AS DOUBLE), 6)
+         AS dup5_frac,
+       CAST(CASE WHEN
+         ROUND(COALESCE(t2.cover, 0) / CAST(tk.total_chars AS DOUBLE), 6) <= 0.20
+         AND
+         ROUND(COALESCE(d5.dupchars, 0) / CAST(tk.total_chars AS DOUBLE), 6) <= 0.15
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM toks tk
+LEFT JOIN (SELECT doc_id, cover FROM top2 WHERE rn = 1) t2 USING (doc_id)
+LEFT JOIN dup5 d5 USING (doc_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -4577,6 +4860,8 @@ REGISTRY: dict[str, tuple] = {
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "c4_line_dedup": (q_c4_line_dedup, SQL_C4_LINE_DEDUP),
+    "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
