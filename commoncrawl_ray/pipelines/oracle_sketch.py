@@ -1014,3 +1014,61 @@ def oracle_doc_fp_table(sf_dir: str, path: str = DOC_FP_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+DSIR_ORACLE_PATH = "/tmp/ccray_oracle_dsir.parquet"
+
+
+def oracle_dsir_table(sf_dir: str, target_source: str = "src0",
+                      path: str = DSIR_ORACLE_PATH) -> str:
+    """Single-process DSIR importance scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", with the
+    repo's deterministic char-trigram LM standing in for the paper's
+    hashed n-gram bag models): fit the target-domain LM on the
+    ``source == target_source`` slice and the raw LM on the whole
+    corpus, both by sequential dense bincount accumulation, then score
+    every document's per-gram log ratio in file order. Shares the
+    alphabet/gram/log-prob kernels with stages/lm_score.py — the
+    parity proven is the distributed two-model fit + two-table
+    broadcast plumbing (the oracle_lm_score_table discipline)."""
+    from ..stages.lm_score import N_GRAMS, encode_text, gram_ids, logprob_table
+
+    src_key = f"{os.path.abspath(sf_dir)}|dsir|{target_source}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    doc_ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    texts = t.column("text").to_pylist()
+    counts_t = np.zeros(N_GRAMS, dtype=np.int64)
+    counts_s = np.zeros(N_GRAMS, dtype=np.int64)
+    for src, text in zip(sources, texts):
+        if text:
+            g = gram_ids(encode_text(text))
+            if len(g):
+                b = np.bincount(g, minlength=N_GRAMS)
+                counts_s += b
+                if src == target_source:
+                    counts_t += b
+    nz_t = np.nonzero(counts_t)[0]
+    nz_s = np.nonzero(counts_s)[0]
+    logp_t = logprob_table(nz_t.astype(np.int64), counts_t[nz_t])
+    logp_s = logprob_table(nz_s.astype(np.int64), counts_s[nz_s])
+    n_grams = np.zeros(len(texts), dtype=np.int64)
+    ratio = np.zeros(len(texts), dtype=np.float64)
+    for i, text in enumerate(texts):
+        g = gram_ids(encode_text(text or ""))
+        if len(g):
+            n_grams[i] = len(g)
+            ratio[i] = (logp_t[g].sum() - logp_s[g].sum()) / len(g)
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_grams": pa.array(n_grams),
+            "logratio": pa.array(np.round(ratio, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

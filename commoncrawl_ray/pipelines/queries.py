@@ -4494,6 +4494,66 @@ FROM read_parquet('/tmp/ccray_oracle_lm_score.parquet')
 
 
 # --------------------------------------------------------------------
+# DSIR importance resampling (target-domain data selection)
+# --------------------------------------------------------------------
+
+
+def q_dsir_importance(sf_dir: str, target_source: str = "src0", frac: float = 0.25):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate per-document
+    importance log p_target(x) - log p_raw(x) with two LMs — the
+    target fit on the curated ``source == target_source`` slice, the
+    raw fit on the whole corpus (the repo's deterministic char-trigram
+    LM stands in for the paper's hashed n-gram bag models) — and keep
+    the top ``frac`` of documents (deterministic rank selection in
+    place of the paper's Gumbel sampling, so the result is
+    value-hash-checkable; ties break on doc_id).
+
+    Scale shape: both fits are the bounded train_char_lm exchange
+    (<= 39^3 partial-count rows per batch), both tables are ray.put
+    broadcast and read once per scoring actor, scoring is one
+    stateless pass, and the final top-k is a sort+limit over slim
+    (doc_id, n_grams, logratio) rows — text never rides an exchange.
+    Hash-checked against a sequential two-model fit+score oracle
+    (oracle_sketch.oracle_dsir_table) sharing only the numeric
+    kernels."""
+    import pyarrow.parquet as _pqmod
+
+    from ..stages.lm_score import lm_logratio, train_char_lm
+    from .oracle_sketch import oracle_dsir_table
+
+    oracle_dsir_table(sf_dir, target_source)
+    target = (
+        _pq(sf_dir, "documents", ["source", "text"], min_blocks=4)
+        .filter(expr=f"source == '{target_source}'")
+        .select_columns(["text"])
+    )
+    logp_t = train_char_lm(target)
+    raw = _pq(sf_dir, "documents", ["text"], min_blocks=4)
+    logp_s = train_char_lm(raw)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+    scored = lm_logratio(docs, logp_t, logp_s)
+    n_docs = _pqmod.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    k = int(math.ceil(n_docs * frac))
+    return scored.sort(["logratio", "doc_id"], descending=[True, False]).limit(k)
+
+
+SQL_DSIR_IMPORTANCE = """
+WITH s AS (
+  SELECT doc_id, n_grams, logratio
+  FROM read_parquet('/tmp/ccray_oracle_dsir.parquet')
+), r AS (
+  SELECT doc_id, n_grams, logratio,
+         ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM s
+)
+SELECT doc_id, n_grams, logratio
+FROM r WHERE rn <= CAST(CEIL(cnt * 0.25) AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------
 # C4-style corpus-level line dedup (fixed-width segment analog)
 # --------------------------------------------------------------------
 
@@ -4862,6 +4922,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "c4_line_dedup": (q_c4_line_dedup, SQL_C4_LINE_DEDUP),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),

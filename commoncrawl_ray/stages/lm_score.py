@@ -281,3 +281,47 @@ def lang_id_lm(ds, langs: list, mat: np.ndarray, concurrency=(1, 8), batch_size:
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+class LMRatioStage:
+    """Actor-pool DSIR scoring stage: TWO broadcast log-prob tables
+    (target-domain LM, raw-corpus LM) fetched once per actor; every
+    ``__call__`` scores a batch against both and emits the per-gram
+    log importance ratio log p_target(x) - log p_raw(x) =
+    nll_raw - nll_target (mean per gram, rounded 6 dp)."""
+
+    def __init__(self, logp_t_ref, logp_s_ref):
+        import ray
+
+        self._lt = ray.get(logp_t_ref) if not isinstance(logp_t_ref, np.ndarray) else logp_t_ref
+        self._ls = ray.get(logp_s_ref) if not isinstance(logp_s_ref, np.ndarray) else logp_s_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_grams = np.zeros(n, dtype=np.int64)
+        ratio = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            g = gram_ids(encode_text(t or ""))
+            if len(g):
+                n_grams[i] = len(g)
+                ratio[i] = (self._lt[g].sum() - self._ls[g].sum()) / len(g)
+        out = batch.drop_columns(["text"])
+        out = out.append_column("n_grams", pa.array(n_grams))
+        return out.append_column("logratio", pa.array(np.round(ratio, 6)))
+
+
+def lm_logratio(ds, logp_target: np.ndarray, logp_raw: np.ndarray,
+                concurrency=(1, 8), batch_size: int = 256):
+    """Score ``ds`` (needs text; keeps other columns) with both models
+    broadcast once via ray.put."""
+    import ray
+
+    ref_t, ref_s = ray.put(logp_target), ray.put(logp_raw)
+    return ds.map_batches(
+        LMRatioStage,
+        fn_constructor_kwargs={"logp_t_ref": ref_t, "logp_s_ref": ref_s},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

@@ -169,6 +169,13 @@ def main() -> int:
         print(f"[{flag}] {name}: {rec}", file=sys.stderr)
 
     path = os.path.join(REPO, f"CORRECTNESS_full_r{args.round}.json")
+    if only and os.path.exists(path):
+        # --only runs merge into the standing artifact instead of clobbering
+        # the full matrix.
+        with open(path) as f:
+            merged = json.load(f)
+        merged.update(out)
+        out = merged
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     n_ok = sum(

@@ -75,3 +75,34 @@ def test_smoothing_alpha_uniform_for_unseen_context():
     zz = 26 * K * K + 26 * K + 26
     assert np.isclose(logp[zz], np.log(1.0 / K))
     assert ALPHA > 0
+
+
+def test_lmratio_stage_kernel_matches_sequential():
+    """LMRatioStage (DSIR importance scoring) must equal the
+    sequential per-doc log p_target - log p_raw mean, and rank a
+    target-like document above an off-domain one."""
+    import pyarrow as pa
+
+    from commoncrawl_ray.stages.lm_score import LMRatioStage
+
+    target_corpus = ["the cat sat on the mat " * 10]
+    raw_corpus = target_corpus + ["zqxj vwkp qzzx jjjj " * 10]
+    logp_t = logprob_table(*batch_gram_counts(target_corpus))
+    logp_s = logprob_table(*batch_gram_counts(raw_corpus))
+
+    docs = ["the cat sat on a mat", "zqxj vwkp zzzz", "ab", ""]
+    stage = LMRatioStage(logp_t, logp_s)  # ndarray path: no ray.get
+    out = stage(pa.table({"doc_id": list(range(4)), "text": docs}))
+
+    ratios = out.column("logratio").to_pylist()
+    n_grams = out.column("n_grams").to_pylist()
+    for i, text in enumerate(docs):
+        g = gram_ids(encode_text(text))
+        if len(g):
+            want = (logp_t[g].sum() - logp_s[g].sum()) / len(g)
+            assert ratios[i] == round(want, 6)
+            assert n_grams[i] == len(g)
+        else:
+            assert (n_grams[i], ratios[i]) == (0, 0.0)
+    assert ratios[0] > ratios[1]  # in-domain text scores higher
+    assert "text" not in out.column_names
