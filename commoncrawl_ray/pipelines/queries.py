@@ -2535,6 +2535,120 @@ WHERE c.component_id IS NULL OR c.component_id = d.doc_id
 """
 
 
+def q_neardup_keep_best(sf_dir: str):
+    """Quality-aware near-dup dedup (the FineWeb-style "keep the best
+    copy, not the first"): MinHash+LSH pairs -> connected components
+    -> keep the HIGHEST-quality document per component (quality =
+    whitespace word count, ties broken by min doc_id) plus every
+    untouched document.
+
+    Scale shape: the corpus is projected to (doc_id, n_words) before
+    the ONE corpus-scale merge_join exchange (two int columns, never
+    text); component members are pair-scale, so the per-component
+    argmax is a tiny three-key sort + vectorized first-of-run scan —
+    no groupby over the full corpus, no driver-side membership set."""
+    import pyarrow.compute as pc
+
+    from ..stages.components import connected_components
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_minhash_pairs_table
+
+    oracle_minhash_pairs_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32)
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+    comps = connected_components(pairs)
+
+    slim = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(t.column("text"), pattern=r"\S+"),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = merge_join(
+        slim, comps, left_on="doc_id", right_on="doc_id",
+        right_cols=["component_id"], how="left",
+    )
+
+    def untouched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("component_id"))).drop_columns(
+            ["component_id"]
+        )
+
+    def members(t: pa.Table) -> pa.Table:
+        # pack the argmax key so "max n_words, tie min doc_id" is ONE
+        # Max aggregate: (n_words << 43) | (2**43 - 1 - doc_id).
+        # Bounds asserted: doc_id < 2**43, n_words < 2**20.
+        t = t.filter(pc.is_valid(t.column("component_id")))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nw = t.column("n_words").to_numpy(zero_copy_only=False)
+        assert ids.max(initial=0) < (1 << 43) and nw.max(initial=0) < (1 << 20)
+        key = (nw.astype(np.int64) << 43) | ((1 << 43) - 1 - ids.astype(np.int64))
+        return pa.table(
+            {"component_id": t.column("component_id"), "key": pa.array(key)}
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        key = t.column("best_key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(((1 << 43) - 1) - (key & ((1 << 43) - 1))),
+                "n_words": pa.array(key >> 43),
+            }
+        )
+
+    winners = (
+        joined.map_batches(members, batch_format="pyarrow")
+        .groupby("component_id")
+        .aggregate(Max("key", alias_name="best_key"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+    return joined.map_batches(untouched, batch_format="pyarrow").union(winners)
+
+
+SQL_NEARDUP_KEEP_BEST = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM read_parquet('{MINHASH_ORACLE_PATH}')
+  UNION
+  SELECT id_b AS u, id_a AS v FROM read_parquet('{MINHASH_ORACLE_PATH}')
+),
+walk(u, label) AS (
+    SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+    SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+),
+comp AS (
+  SELECT u AS doc_id, MIN(label) AS component_id FROM walk GROUP BY u
+),
+q AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_words
+  FROM documents
+),
+best AS (
+  SELECT doc_id, n_words FROM (
+    SELECT m.doc_id, m.n_words,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.component_id
+             ORDER BY m.n_words DESC, m.doc_id
+           ) AS rn
+    FROM q m JOIN comp c USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT q.doc_id, q.n_words
+FROM q LEFT JOIN comp c USING (doc_id) WHERE c.doc_id IS NULL
+UNION ALL
+SELECT doc_id, n_words FROM best
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-user cumulative sum (SQL running-total window:
     SUM OVER PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED
@@ -4871,6 +4985,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "neardup_dedup_docs": (q_neardup_dedup_docs, SQL_NEARDUP_DEDUP_DOCS),
+    "neardup_keep_best": (q_neardup_keep_best, SQL_NEARDUP_KEEP_BEST),
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "approx_distinct_users_by_type": (
         q_approx_distinct_users_by_type,
