@@ -214,3 +214,28 @@ def murmur32_long_batch(keys: np.ndarray, seeds) -> np.ndarray:
         h = h * _MM
         h = h ^ (h >> np.uint32(15))
     return h.view(np.int32) if not np.isscalar(h) else np.int32(h)
+
+
+def splitmix64(key: int, seed: int = 0) -> int:
+    """SplitMix64 finalizer (Steele et al. 2014, public domain; the
+    java.util.SplittableRandom mixer) over ``key ^ seed`` — the
+    deterministic shuffle key used by the training-data shuffle
+    export. Returns a signed int64."""
+    z = (int(key) ^ int(seed)) & 0xFFFFFFFFFFFFFFFF
+    z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z = z ^ (z >> 31)
+    return _to_signed(z)
+
+
+def splitmix64_batch(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 over an int64 array; bit-identical to the
+    scalar path (wrapping uint64 arithmetic)."""
+    z = keys.astype(np.int64).view(np.uint64) ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z.view(np.int64)

@@ -1072,3 +1072,33 @@ def oracle_dsir_table(sf_dir: str, target_source: str = "src0",
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+SHUFFLE_ORACLE_PATH = "/tmp/ccray_oracle_shuffle.parquet"
+
+
+def oracle_shuffle_table(sf_dir: str, seed: int = 42, num_shards: int = 8,
+                         path: str = SHUFFLE_ORACLE_PATH) -> str:
+    """Single-process deterministic shuffle-key assignment: scalar
+    splitmix64 per doc_id in file order (the SCALAR kernel — the
+    distributed path uses the vectorized batch kernel, and
+    tests/test_fingerprint.py pins batch == scalar), unsigned modulo
+    shard routing. The parity proven is the keyed map + hive
+    partitioned write + read-back plumbing."""
+    from ..functions.fingerprint import splitmix64
+
+    src_key = f"{os.path.abspath(sf_dir)}|shuffle|{seed}|{num_shards}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()
+    skeys = [splitmix64(i, seed) for i in ids]
+    shards = [(k & 0xFFFFFFFFFFFFFFFF) % num_shards for k in skeys]
+    out = pa.table(
+        {
+            "shard": pa.array(shards, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "skey": pa.array(skeys, pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

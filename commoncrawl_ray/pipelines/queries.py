@@ -3141,6 +3141,66 @@ FROM documents GROUP BY lang
 """
 
 
+def q_shuffle_export(sf_dir: str, seed: int = 42, num_shards: int = 8):
+    """Deterministic seeded global shuffle + sharded export — the
+    training-data publication step: every document gets a
+    splitmix64(doc_id, seed) shuffle key, is routed to shard
+    (key mod num_shards, unsigned), and the corpus is written
+    hive-partitioned by shard (one directory per shard: a failed
+    100 TB export resumes by skipping finished shard directories, and
+    the loader reads shards independently in skey order). Unlike
+    ds.random_shuffle this is reproducible across runs/cluster sizes
+    and needs NO all-to-all exchange here — routing is a stateless
+    map; the partitioned sink does the grouping. The returned
+    (shard, doc_id, skey) rows hash-check the whole key+write+read
+    path against a sequential scalar-kernel oracle."""
+    import shutil
+    import tempfile
+
+    from ..functions.fingerprint import splitmix64_batch
+    from .oracle_sketch import oracle_shuffle_table
+
+    oracle_shuffle_table(sf_dir, seed, num_shards)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sk = splitmix64_batch(ids.astype(np.int64), seed)
+        shard = (sk.view(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "skey": pa.array(sk),
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="ccray_shuffle_export_", dir="/tmp")
+    try:
+        _pq(sf_dir, "documents", ["doc_id"], min_blocks=8).map_batches(
+            keyed, batch_format="pyarrow"
+        ).write_parquet(out, partition_cols=["shard"])
+        back = rd.read_parquet(out)
+
+        def norm(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "shard": t.column("shard").cast(pa.int64()),
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "skey": t.column("skey").cast(pa.int64()),
+                }
+            )
+
+        return back.map_batches(norm, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_SHUFFLE_EXPORT = """
+SELECT shard, doc_id, skey
+FROM read_parquet('/tmp/ccray_oracle_shuffle.parquet')
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """TF-IDF top-3 terms per document — the IR/LLM feature pipeline:
     per-doc term frequencies computed IN-BATCH (a document lives in
@@ -5022,6 +5082,7 @@ REGISTRY: dict[str, tuple] = {
         q_docs_partitioned_write,
         SQL_DOCS_PARTITIONED_WRITE,
     ),
+    "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "doc_length_quantiles_by_lang": (
         q_doc_length_quantiles_by_lang,
         SQL_DOC_LENGTH_QUANTILES_BY_LANG,
