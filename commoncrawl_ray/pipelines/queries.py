@@ -3201,6 +3201,144 @@ FROM read_parquet('/tmp/ccray_oracle_shuffle.parquet')
 """
 
 
+def q_source_kl_divergence(sf_dir: str):
+    """Per-source token-distribution drift: KL(source || corpus) in
+    bits over whitespace-token unigrams — the corpus statistic behind
+    domain-mixture design (how far each source's language sits from
+    the pooled distribution; used to spot over/under-weighted slices
+    next to q_source_mixture_weights).
+
+    Scale shape: tokens are per-batch dictionary-encoded and
+    pre-aggregated to (token_fp64, source, cnt) rows — the wire
+    carries int64 fingerprints and counts, never token strings (fp64
+    collisions merging two tokens are ~V²/2⁶⁵, negligible corpus
+    statistics noise; documented, not eliminated). One slim
+    groupby(tfp, source), one groupby(tfp) for corpus totals, one
+    merge_join(tfp), then the per-source totals ride to the driver
+    (bounded by the number of sources) and broadcast into the term
+    pass; final fold is a tiny groupby(source). Exact integer token
+    counts per source are emitted alongside so the hash pins more
+    than the rounded float."""
+    import pyarrow.compute as pc
+
+    from ..functions.fingerprint import fp64_batch
+    from ..stages.joins import merge_join
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tfp": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        keep = pc.not_equal(pc.utf8_length(flat), 0)  # \S+ semantics
+        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        row_idx = row_idx[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        if len(flat) == 0:
+            return empty
+        tok_dic = flat.dictionary_encode()
+        src_dic = t.column("source").dictionary_encode()
+        if isinstance(src_dic, pa.ChunkedArray):
+            src_dic = src_dic.combine_chunks()
+        n_src = len(src_dic.dictionary)
+        tok_idx = tok_dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src_idx = src_dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        combined = tok_idx * n_src + src_idx[row_idx]
+        uniq, cnt = np.unique(combined, return_counts=True)
+        tfp_by_dic = fp64_batch(tok_dic.dictionary.to_pylist())
+        return pa.table(
+            {
+                "tfp": pa.array(tfp_by_dic[uniq // n_src]),
+                "source": src_dic.dictionary.take(pa.array(uniq % n_src)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    docs = _pq(sf_dir, "documents", ["source", "text"], min_blocks=8)
+    # materialized: cs feeds THREE consumers (corpus totals, per-source
+    # totals, the join) — without this the corpus is tokenized three
+    # times; the materialized table is vocabulary-scale (V x S slim
+    # int/str rows), not corpus-scale.
+    cs = (
+        docs.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby(["tfp", "source"])
+        .aggregate(Sum("cnt", alias_name="c"))
+        .materialize()
+    )
+    cc = cs.groupby("tfp").aggregate(Sum("c", alias_name="c_all"))
+    # per-source totals: bounded by the number of sources — driver-safe
+    ns = {
+        r["source"]: r["n_s"]
+        for r in cs.groupby("source")
+        .aggregate(Sum("c", alias_name="n_s"))
+        .take_all()
+    }
+    n_all = float(sum(ns.values()))
+
+    def terms(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pylist()
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_all = t.column("c_all").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_s = np.array([float(ns[s]) for s in src])
+        p_s = c / n_s
+        term = p_s * np.log2(p_s / (c_all / n_all))
+        return pa.table({"source": t.column("source"), "term": pa.array(term)})
+
+    out = (
+        merge_join(cs, cc, left_on="tfp", right_on="tfp", right_cols=["c_all"])
+        .map_batches(terms, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("term", alias_name="kl"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        src = t.column("source")
+        return pa.table(
+            {
+                "source": src,
+                "n_tokens": pa.array(
+                    [int(ns[s]) for s in src.to_pylist()], pa.int64()
+                ),
+                "kl_bits": pc.round(t.column("kl"), ndigits=6),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SOURCE_KL_DIVERGENCE = """
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+), cs AS (
+  SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), cc AS (
+  SELECT t, SUM(c) AS c_all FROM cs GROUP BY 1
+), ns AS (
+  SELECT source, SUM(c) AS n_s FROM cs GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_all FROM cs
+)
+SELECT cs.source,
+       CAST(ns.n_s AS BIGINT) AS n_tokens,
+       ROUND(SUM((cs.c / ns.n_s) * log2((cs.c / ns.n_s) / (cc.c_all / n.n_all))), 6)
+         AS kl_bits
+FROM cs
+JOIN cc USING (t)
+JOIN ns USING (source)
+CROSS JOIN n
+GROUP BY cs.source, ns.n_s
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """TF-IDF top-3 terms per document — the IR/LLM feature pipeline:
     per-doc term frequencies computed IN-BATCH (a document lives in
@@ -5083,6 +5221,7 @@ REGISTRY: dict[str, tuple] = {
         SQL_DOCS_PARTITIONED_WRITE,
     ),
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
+    "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "doc_length_quantiles_by_lang": (
         q_doc_length_quantiles_by_lang,
         SQL_DOC_LENGTH_QUANTILES_BY_LANG,
