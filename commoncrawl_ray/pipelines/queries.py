@@ -3201,6 +3201,123 @@ FROM read_parquet('/tmp/ccray_oracle_shuffle.parquet')
 """
 
 
+def q_source_contamination(sf_dir: str, n: int = 8):
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT word n-grams they share — the pairwise overlap scan
+    run before mixing corpora (a benchmark slice leaking into a crawl
+    slice shows up as an outlier cell; the all-pairs generalization of
+    q_decontaminate's one-eval-set check).
+
+    Scale shape: gram keys ride as int64 fingerprints
+    (functions/minhash.gram_fp_rows), never strings; (gram, source)
+    rows are deduplicated in-batch, made globally distinct by one
+    groupby, then OR-folded into a per-gram source BITMASK (sum of
+    distinct per-source bits == OR; sources bounded <= 62, asserted,
+    collected once from a tiny distributed distinct). Pair counts are
+    accumulated per batch over the mask column's unique values (at
+    most 2^S distinct masks, in practice a handful) and folded by a
+    final S^2-row groupby. Gram keys never appear in the output, so
+    the fp-keyed run is hash-comparable to the string-keyed SQL
+    oracle (fingerprint collisions ~V^2/2^64, negligible)."""
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import gram_fp_rows
+
+    src_names = sorted(
+        r["source"]
+        for r in _pq(sf_dir, "documents", ["source"], min_blocks=4)
+        .groupby("source")
+        .count()
+        .take_all()
+    )
+    assert len(src_names) <= 62, "bitmask packing needs <= 62 sources"
+    smap = {s: i for i, s in enumerate(src_names)}
+
+    def gram_src_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"g": pa.array([], pa.int64()), "bit": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        d_idx, _pos, gfp = gram_fp_rows(toks, n)
+        if len(d_idx) == 0:
+            return empty
+        src = np.array(
+            [smap[s] for s in t.column("source").to_pylist()], dtype=np.int64
+        )[d_idx]
+        order = np.lexsort((src, gfp))
+        g2, s2 = gfp[order], src[order]
+        keep = np.r_[True, (g2[1:] != g2[:-1]) | (s2[1:] != s2[:-1])]
+        return pa.table(
+            {
+                "g": pa.array(g2[keep]),
+                "bit": pa.array(np.int64(1) << s2[keep]),
+            }
+        )
+
+    masks = (
+        _pq(sf_dir, "documents", ["source", "text"], min_blocks=8)
+        .map_batches(gram_src_rows, batch_format="pyarrow")
+        .groupby(["g", "bit"])
+        .count()  # global distinct (gram, source)
+        .groupby("g")
+        .aggregate(Sum("bit", alias_name="mask"))  # sum of distinct bits == OR
+    )
+
+    S = len(src_names)
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        mat = np.zeros((S, S), dtype=np.int64)
+        m = t.column("mask").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(m, return_counts=True)
+        for mask, c in zip(uniq.tolist(), cnt.tolist()):
+            bits = [i for i in range(S) if mask >> i & 1]
+            for ai in range(len(bits)):
+                for bi in range(ai + 1, len(bits)):
+                    mat[bits[ai], bits[bi]] += c
+        a, b = np.nonzero(mat)
+        return pa.table(
+            {
+                "ai": pa.array(a.astype(np.int64)),
+                "bi": pa.array(b.astype(np.int64)),
+                "n": pa.array(mat[a, b]),
+            }
+        )
+
+    folded = (
+        masks.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["ai", "bi"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        names = pa.array(src_names)
+        return pa.table(
+            {
+                "source_a": names.take(t.column("ai")),
+                "source_b": names.take(t.column("bi")),
+                "n_shared": t.column("n_shared").cast(pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SOURCE_CONTAMINATION = """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(text, '\\s+') AS arr FROM documents
+), g AS (
+  SELECT DISTINCT source, array_to_string(arr[i:i+7], ' ') AS gram
+  FROM toks, LATERAL UNNEST(generate_series(1, len(arr) - 7, 1)) t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_source_kl_divergence(sf_dir: str):
     """Per-source token-distribution drift: KL(source || corpus) in
     bits over whitespace-token unigrams — the corpus statistic behind
@@ -5222,6 +5339,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
+    "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "doc_length_quantiles_by_lang": (
         q_doc_length_quantiles_by_lang,
         SQL_DOC_LENGTH_QUANTILES_BY_LANG,
