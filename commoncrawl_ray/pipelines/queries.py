@@ -3201,6 +3201,57 @@ FROM read_parquet('/tmp/ccray_oracle_shuffle.parquet')
 """
 
 
+def q_docs_reservoir_per_lang(sf_dir: str, k: int = 5, seed: int = 42):
+    """Deterministic per-group reservoir sample: the k docs per
+    language with the SMALLEST splitmix64(doc_id, seed) keys — a
+    uniform-without-replacement group sample that is reproducible
+    across runs and cluster sizes (the property driver-side
+    random.sample and ds.random_shuffle both lack), the standard
+    inspect-a-slice tool for per-language curation QA.
+
+    Scale shape: key assignment is a stateless map;
+    stages/rank.grouped_topk pre-combines a per-block top-k before
+    the ONE sort(lang) exchange, so the wire carries at most
+    k * langs * blocks slim rows, never the corpus. Hash-checked via
+    the shared splitmix64 oracle table (scalar kernel) + a window
+    rank in SQL."""
+    from ..functions.fingerprint import splitmix64_batch
+    from ..stages.rank import grouped_topk
+    from .oracle_sketch import oracle_shuffle_table
+
+    oracle_shuffle_table(sf_dir, seed)  # skey depends only on (doc_id, seed)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "doc_id": pa.array(ids),
+                "skey": pa.array(splitmix64_batch(ids, seed)),
+            }
+        )
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"], min_blocks=8).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    return grouped_topk(
+        ds, group_col="lang", order_col="skey", k=k,
+        tiebreak_col="doc_id", descending=False,
+    )
+
+
+SQL_DOCS_RESERVOIR_PER_LANG = """
+SELECT lang, doc_id, skey, rank FROM (
+  SELECT d.lang, d.doc_id, o.skey,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang ORDER BY o.skey, d.doc_id
+         ) AS rank
+  FROM documents d
+  JOIN read_parquet('/tmp/ccray_oracle_shuffle.parquet') o USING (doc_id)
+) WHERE rank <= 5
+"""
+
+
 def q_source_contamination(sf_dir: str, n: int = 8):
     """Cross-source contamination matrix: for every source pair, how
     many DISTINCT word n-grams they share — the pairwise overlap scan
@@ -5340,6 +5391,7 @@ REGISTRY: dict[str, tuple] = {
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
+    "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
     "doc_length_quantiles_by_lang": (
         q_doc_length_quantiles_by_lang,
         SQL_DOC_LENGTH_QUANTILES_BY_LANG,
