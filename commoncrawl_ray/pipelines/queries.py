@@ -5182,6 +5182,159 @@ FROM ranked GROUP BY doc_id
 # --------------------------------------------------------------------
 
 
+_GOPHER_STOP8 = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
+    non-repetition document filters): word-count bounds, mean word
+    length 3..10, symbol-to-word ratio for '#'/'...', >=80% words
+    containing an alphabetic char, >=2 of the 8 canonical stop words,
+    <=90% bullet-started and <=30% ellipsis-ended lines. Every rule
+    is evaluated in EXACT integer arithmetic (3*wc <= word_chars
+    instead of a float mean), so the pass flag and all sub-counts are
+    hash-comparable with no rounding discipline needed. Stop-word
+    matching is exact lowercase token equality (no punctuation strip
+    — documented divergence from the repo's wider stopword list in
+    text_quality). Zero exchanges: one stateless vectorized batch
+    pass, Arrow RE2 kernels + reduceat line folds."""
+    import pyarrow.compute as pc
+
+    def rules(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(t)
+        n_words = pc.count_substring_regex(text, pattern=r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ws = pc.count_substring_regex(text, pattern=r"\s").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        word_chars = n_chars - n_ws
+        n_hash = pc.count_substring(text, pattern="#").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_ell = pc.count_substring(text, pattern="...").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_alpha = pc.count_substring_regex(
+            text, pattern=r"\S*[A-Za-z]\S*"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # stop-word count: exact lowercase token equality over the
+        # canonical 8 (per-row fold via reduceat over the token list)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        is_stop = pc.is_in(flat, value_set=pa.array(_GOPHER_STOP8)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        n_stop8 = np.zeros(n, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            sums = np.add.reduceat(is_stop, starts[nz])
+            n_stop8[nz] = sums
+
+        # line rules
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        llens = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        lflat = lines.flatten()
+        bullet = pc.or_(
+            pc.or_(
+                pc.starts_with(lflat, pattern="-"),
+                pc.starts_with(lflat, pattern="*"),
+            ),
+            pc.starts_with(lflat, pattern="•"),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ell_end = pc.ends_with(lflat, pattern="...").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lstarts = np.r_[0, np.cumsum(llens)[:-1]]
+        n_lines = llens
+        n_bullet = np.add.reduceat(bullet, lstarts) if len(lflat) else np.zeros(n, np.int64)
+        n_ell_end = np.add.reduceat(ell_end, lstarts) if len(lflat) else np.zeros(n, np.int64)
+
+        ok = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (3 * n_words <= word_chars)
+            & (word_chars <= 10 * n_words)
+            & (10 * (n_hash + n_ell) <= n_words)
+            & (5 * n_alpha >= 4 * n_words)
+            & (n_stop8 >= 2)
+            & (10 * n_bullet <= 9 * n_lines)
+            & (10 * n_ell_end <= 3 * n_lines)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "word_chars": pa.array(word_chars),
+                "n_symbol": pa.array(n_hash + n_ell),
+                "n_alpha_words": pa.array(n_alpha),
+                "n_stop8": pa.array(n_stop8),
+                "n_lines": pa.array(n_lines),
+                "n_bullet": pa.array(n_bullet),
+                "n_ellipsis_end": pa.array(n_ell_end),
+                "passed": pa.array(ok.astype(np.int64)),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        rules, batch_format="pyarrow"
+    )
+
+
+SQL_GOPHER_QUALITY = """
+WITH base AS (
+  SELECT
+    doc_id,
+    len(regexp_extract_all(text, '\\S+')) AS n_words,
+    length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbol,
+    len(list_filter(regexp_extract_all(text, '\\S+'),
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                    w -> w IN ('the','be','to','of','and','that','have','with')))
+      AS n_stop8,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_filter(string_split(text, chr(10)),
+                    l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))
+      AS n_bullet,
+    len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...'))
+      AS n_ellipsis_end
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(n_symbol AS BIGINT) AS n_symbol,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_stop8 AS BIGINT) AS n_stop8,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bullet AS BIGINT) AS n_bullet,
+       CAST(n_ellipsis_end AS BIGINT) AS n_ellipsis_end,
+       CAST(
+         n_words >= 50 AND n_words <= 100000
+         AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+         AND 10 * n_symbol <= n_words
+         AND 5 * n_alpha_words >= 4 * n_words
+         AND n_stop8 >= 2
+         AND 10 * n_bullet <= 9 * n_lines
+         AND 10 * n_ellipsis_end <= 3 * n_lines
+       AS BIGINT) AS passed
+FROM base
+"""
+
+
 def q_gopher_repetition(sf_dir: str):
     """Gopher-style repetition quality filters (Rae et al. 2021, table
     A1): per document, the fraction of characters covered by the most
@@ -5407,6 +5560,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "c4_line_dedup": (q_c4_line_dedup, SQL_C4_LINE_DEDUP),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
