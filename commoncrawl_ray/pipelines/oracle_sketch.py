@@ -1102,3 +1102,43 @@ def oracle_shuffle_table(sf_dir: str, seed: int = 42, num_shards: int = 8,
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+LOGREG_ORACLE_PATH = "/tmp/ccray_oracle_logreg.parquet"
+
+
+def oracle_logreg_table(sf_dir: str, pos_lang: str = "en",
+                        path: str = LOGREG_ORACLE_PATH) -> str:
+    """Single-process logistic-regression fit + score in file order.
+    Shares the count_features / doc_features / quantized-gradient
+    kernels with stages/classifier.py — the int64 gradient
+    quantization makes the distributed fit bit-identical to this
+    sequential fold, so the parity proven is the per-iteration
+    streaming aggregate + weight broadcast plumbing."""
+    from ..stages.classifier import (
+        Q,
+        count_features,
+        doc_features,
+        fit_logreg_sequential,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|logreg|{pos_lang}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    n_words, word_chars, n_stop = count_features(t.column("text"))
+    x = doc_features(n_words, word_chars, n_stop)
+    y = (np.array(t.column("lang").to_pylist()) == pos_lang).astype(np.float64)
+    w = fit_logreg_sequential(x, y, lr=1.0, iters=10)
+    p = 1.0 / (1.0 + np.exp(-(x @ w)))
+    out = pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "label": pa.array(y.astype(np.int64)),
+            "score_q": pa.array(np.round(p * float(Q)).astype(np.int64)),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1611,7 +1611,10 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_dup_strip_table,
         oracle_hll_by_type_table,
         oracle_host_edges_table,
+        oracle_dsir_table,
         oracle_lang_id_table,
+        oracle_logreg_table,
+        oracle_shuffle_table,
         oracle_hll_table,
         oracle_knn_ivf_table,
         oracle_knn_ivfpq_table,
@@ -1647,6 +1650,9 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_multimodal_resize_table()
     oracle_lang_id_table(sf_dir)
     oracle_doc_fp_table(sf_dir)
+    oracle_dsir_table(sf_dir)
+    oracle_shuffle_table(sf_dir)
+    oracle_logreg_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -5182,6 +5188,93 @@ FROM ranked GROUP BY doc_id
 # --------------------------------------------------------------------
 
 
+def q_quality_classifier(sf_dir: str, pos_lang: str = "en"):
+    """Distributed quality/language classifier training — the
+    fastText-style scorer real curation stacks fit (CCNet §3.2,
+    FineWeb-edu) as an engine primitive: full-batch logistic
+    regression where EVERY iteration is one streaming pass over a
+    slim materialized feature table and the gradient aggregates as
+    EXACT int64 sums (per-document 2^-24 quantization — the semdedup
+    centroid discipline), so the distributed fit is bit-identical to
+    a sequential fold under any block order. Weights broadcast per
+    iteration in the task closure ((k+1) floats); the feature table
+    is ~40 B/row. Output is all-integer (label, 2^24-quantized
+    score), so the hash check needs no rounding discipline.
+    Hash-checked vs oracle_sketch.oracle_logreg_table (same kernels,
+    sequential fold).
+
+    Honesty note (the lang_id_lm discipline): the synthetic corpus
+    draws every language from a shared vocabulary generator, so the
+    surface features (stop-word ratio, mean word length) carry no
+    en-vs-rest signal and the fitted scores do not separate the
+    classes here (mean p ~0.44 both sides). What this op proves —
+    and what the hash pins — is the distributed training loop
+    itself: bit-exact streaming gradient aggregation, per-iteration
+    weight broadcast, and deterministic scoring. On a real corpus
+    the same loop fits the same model fastText-style scorers fit."""
+    from ..stages.classifier import (
+        Q,
+        count_features,
+        doc_features,
+        fit_logreg,
+    )
+    from .oracle_sketch import oracle_logreg_table
+
+    oracle_logreg_table(sf_dir, pos_lang)
+
+    def feats(t: pa.Table) -> pa.Table:
+        n_words, word_chars, n_stop = count_features(t.column("text"))
+        y = np.array(
+            [1 if v == pos_lang else 0 for v in t.column("lang").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "word_chars": pa.array(word_chars),
+                "n_stop": pa.array(n_stop),
+                "label": pa.array(y),
+            }
+        )
+
+    feat_ds = (
+        _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=8)
+        .map_batches(feats, batch_format="pyarrow")
+        .materialize()  # 10 GD iterations re-scan this slim table
+    )
+
+    def feature_fn(t: pa.Table):
+        x = doc_features(
+            t.column("n_words").to_numpy(zero_copy_only=False),
+            t.column("word_chars").to_numpy(zero_copy_only=False),
+            t.column("n_stop").to_numpy(zero_copy_only=False),
+        )
+        y = t.column("label").to_numpy(zero_copy_only=False).astype(np.float64)
+        return x, y
+
+    w = fit_logreg(feat_ds, feature_fn, n_features=3, lr=1.0, iters=10)
+
+    def score(t: pa.Table) -> pa.Table:
+        x, _ = feature_fn(t)
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "label": t.column("label"),
+                "score_q": pa.array(np.round(p * float(Q)).astype(np.int64)),
+            }
+        )
+
+    return feat_ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_QUALITY_CLASSIFIER = """
+SELECT doc_id, label, score_q
+FROM read_parquet('/tmp/ccray_oracle_logreg.parquet')
+"""
+
+
 _GOPHER_STOP8 = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -5561,6 +5654,7 @@ REGISTRY: dict[str, tuple] = {
     "c4_line_dedup": (q_c4_line_dedup, SQL_C4_LINE_DEDUP),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),

@@ -717,3 +717,28 @@ def test_resize_stage_end_to_end(ray_session):
     merged = out.sort_values("media_id").reset_index(drop=True)
     d2 = direct.sort_values("media_id").reset_index(drop=True)
     assert all(a == b for a, b in zip(merged["payload"], d2["payload"]))
+
+
+def test_logreg_quantized_gradient_grouping_invariant():
+    """The int64-quantized gradient must be exact under ANY batch
+    grouping — the property that makes the distributed fit
+    bit-identical to the sequential oracle."""
+    import numpy as np
+
+    from commoncrawl_ray.stages.classifier import (
+        fit_logreg_sequential,
+        grad_quantized,
+    )
+
+    rng = np.random.RandomState(7)
+    x = np.c_[np.ones(100), rng.rand(100, 2)]
+    y = (rng.rand(100) > 0.5).astype(np.float64)
+    w = np.array([0.1, -0.2, 0.3])
+    whole = grad_quantized(x, y, w)
+    split = sum(
+        grad_quantized(x[i:j], y[i:j], w)
+        for i, j in [(0, 13), (13, 50), (50, 99), (99, 100)]
+    )
+    assert np.array_equal(whole, split)
+    w_fit = fit_logreg_sequential(x, y, iters=5)
+    assert w_fit.shape == (3,) and np.isfinite(w_fit).all()
