@@ -3961,11 +3961,19 @@ def q_curate_corpus(sf_dir: str):
             pa.array(md5_hex_column(batch.column("text")), pa.string()),
         )
 
-    scored = docs.map_batches(score, batch_format="pyarrow")
+    # materialized: the md5 full-text pass feeds TWO consumers (the
+    # keeper groupby and the join's left side) — without this the
+    # corpus text is read and digested twice. The materialized table
+    # is slim (doc_id, lang, n_words, text_hash ~50 B/row), never text.
+    scored = (
+        docs.map_batches(score, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "n_words", "text_hash"])
+        .materialize()
+    )
     keepers = scored.groupby("text_hash").aggregate(Min("doc_id", alias_name="keeper"))
     exact = (
         merge_join(
-            scored.select_columns(["doc_id", "lang", "n_words", "text_hash"]),
+            scored,
             keepers,
             left_on="text_hash",
             right_on="text_hash",
@@ -4006,9 +4014,12 @@ def q_curate_corpus(sf_dir: str):
         .select_columns(["text"])
     )
     logp = train_char_lm(train)
+    # materialized: the LM scoring full-text pass feeds TWO consumers
+    # (the per-lang tercile sketch and the survivor join) — without
+    # this the corpus is scored twice. Slim (doc_id, lang, nll) rows.
     lm = lm_score(
         _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=4), logp
-    )
+    ).select_columns(["doc_id", "lang", "nll"]).materialize()
 
     # per-lang t2 tercile via the KLL per-group sketch (VERDICT r4 #2:
     # sketch rows on the wire, never a whole language's nll column in
