@@ -3147,6 +3147,50 @@ FROM documents GROUP BY lang
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round-trip — the interchange format modern
+    LLM data stacks actually exchange (one JSON object per line,
+    sharded): write the documents table as JSONL shards with Ray's
+    native json sink, read the shard tree back with the native
+    source, and emit per-document md5 digests of the text. The hash
+    check proves BYTE fidelity through JSON string escaping both ways
+    — a mangled escape, lost row, or re-encoded character changes a
+    digest. Scale: the sink/source stream shard-per-block; nothing
+    materializes beyond the returned slim digest rows."""
+    import shutil
+    import tempfile
+
+    from ..functions.digests import md5_hex_column
+
+    out = tempfile.mkdtemp(prefix="ccray_jsonl_", dir="/tmp")
+    try:
+        _pq(sf_dir, "documents", ["doc_id", "lang", "source", "text"],
+            min_blocks=8).write_json(out)
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                    "text_md5": pa.array(
+                        md5_hex_column(t.column("text")), pa.string()
+                    ),
+                }
+            )
+
+        return rd.read_json(out).map_batches(
+            digest, batch_format="pyarrow"
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+"""
+
+
 def q_shuffle_export(sf_dir: str, seed: int = 42, num_shards: int = 8):
     """Deterministic seeded global shuffle + sharded export — the
     training-data publication step: every document gets a
@@ -5646,6 +5690,7 @@ REGISTRY: dict[str, tuple] = {
         SQL_DOCS_PARTITIONED_WRITE,
     ),
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
