@@ -3147,6 +3147,102 @@ FROM documents GROUP BY lang
 """
 
 
+def q_incremental_dedup(sf_dir: str, cutoff: str = "src5"):
+    """Incremental snapshot dedup — the production pattern when a new
+    crawl lands next to an already-curated corpus: keep only NEW-slice
+    documents (source >= cutoff) whose content fingerprint does not
+    appear anywhere in the OLD slice (source < cutoff). Content
+    identity is the 64-bit Rabin fp of the text (the crawl URL-seen
+    convention: a fp collision counts as a dup — documented, ~n/2^64).
+
+    Scale shape — the full asymmetric-dedup discipline in one op:
+    (1) the fp table is computed ONCE and materialized slim
+    (doc_id, source, text_fp ~30 B/row);
+    (2) a corpus-scale bloom over the OLD fps is built as a
+    distributed OR-merge reduce (stages/dedup.build_bloom_distributed
+    — no driver-side key collection);
+    (3) the bloom broadcast drops definitely-new rows from the join
+    entirely — ONLY maybe-dup suspects enter the exact sort-merge
+    ANTI join, so the exchange is bounded by true dups + the filter's
+    false-positive rate, not the new-slice size;
+    (4) definite-new rows union the anti-join survivors. Exact
+    despite the lossy prefilter (false positives only). SQL-checked
+    via the shared fp oracle table + NOT IN."""
+    import pyarrow.parquet as _pqm
+
+    from ..functions.fingerprint import fp64
+    from ..stages.dedup import build_bloom_distributed
+    from ..stages.joins import merge_join
+    from ..state.bloom import BloomFilter
+    from .oracle_sketch import oracle_doc_fp_table
+
+    oracle_doc_fp_table(sf_dir)
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        fps = np.fromiter(
+            (fp64(x or "") for x in t.column("text").to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "text_fp": pa.array(fps),
+            }
+        )
+
+    fps = (
+        _pq(sf_dir, "documents", ["doc_id", "source", "text"], min_blocks=8)
+        .map_batches(fp_batch, batch_format="pyarrow")
+        .materialize()  # slim; feeds the bloom build, the join, both slices
+    )
+    old = fps.filter(expr=f"source < '{cutoff}'").select_columns(["text_fp"])
+    n_upper = _pqm.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    bloom = build_bloom_distributed(old, "text_fp", num_elements=max(n_upper, 1))
+    blob = ray.put(bloom.to_bytes())
+    blob_key = blob.hex()
+
+    def split(t: pa.Table, want_suspect: bool) -> pa.Table:
+        bf = _WORKER_BLOOM_CACHE.get(blob_key)
+        if bf is None:
+            bf = BloomFilter.from_bytes(ray.get(blob))
+            _WORKER_BLOOM_CACHE.clear()
+            _WORKER_BLOOM_CACHE[blob_key] = bf
+        keys = t.column("text_fp").to_numpy(zero_copy_only=False)
+        maybe = bf.maybe_present_batch(keys)
+        return t.filter(pa.array(maybe if want_suspect else ~maybe))
+
+    new = fps.filter(expr=f"source >= '{cutoff}'")
+    definite = new.map_batches(
+        lambda t: split(t, want_suspect=False), batch_format="pyarrow"
+    )
+    suspects = new.map_batches(
+        lambda t: split(t, want_suspect=True), batch_format="pyarrow"
+    )
+    survivors = merge_join(
+        suspects,
+        old,
+        left_on="text_fp",
+        right_on="text_fp",
+        right_cols=[],
+        how="anti",
+    )
+    return definite.union(survivors).select_columns(["doc_id", "source", "text_fp"])
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH fp AS (
+  SELECT f.doc_id, d.source, f.text_fp
+  FROM read_parquet('/tmp/ccray_oracle_doc_fp.parquet') f
+  JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, text_fp FROM fp
+WHERE source >= 'src5'
+  AND text_fp NOT IN (SELECT text_fp FROM fp WHERE source < 'src5')
+"""
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL source/sink round-trip — the interchange format modern
     LLM data stacks actually exchange (one JSON object per line,
@@ -5691,6 +5787,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),

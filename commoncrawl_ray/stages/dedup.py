@@ -713,3 +713,52 @@ def embedding_lsh_neardup(
     from ray.data.aggregate import Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("sim", alias_name="sim"))
+
+
+def build_bloom_distributed(ds, col: str, num_elements: int,
+                            max_fp_prob: float = 0.0009, fanin: int = 16):
+    """Corpus-scale bloom-filter construction as a streaming reduce —
+    the piece the driver-side build in orders_of_rich_customers_bloom
+    can't do when the keyed side IS the corpus: every block folds its
+    int64 keys into a fixed-geometry partial filter, partial bit
+    arrays OR-merge through two map_batches(batch_size=fanin) passes
+    (the sketch-reduce shape — NOT a repartition), and the driver ORs
+    the final <= fanin blobs. Bit-identical to a single sequential
+    BloomFilter fed every key, because bloom insertion is a pure OR.
+
+    Sizing note: one flat filter holds to ~10^9 keys (GB-scale bits);
+    beyond that, range-partition the keys and build one filter per
+    partition (the URL-seen pool discipline) rather than growing a
+    single array."""
+    import pyarrow as pa
+
+    from ..state.bloom import BloomFilter
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_elements, max_fp_prob)
+        keys = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            bf.add_batch(keys)
+        return pa.table({"blob": pa.array([bf.to_bytes()], pa.large_binary())})
+
+    def or_merge(t: pa.Table) -> pa.Table:
+        blobs = t.column("blob").to_pylist()
+        acc = bytearray(blobs[0])
+        header, acc_bits = acc[:8], np.frombuffer(bytes(acc[8:]), np.uint64).copy()
+        for b in blobs[1:]:
+            assert b[:8] == bytes(header), "partial blooms disagree on geometry"
+            acc_bits |= np.frombuffer(b[8:], np.uint64)
+        return pa.table(
+            {"blob": pa.array([bytes(header) + acc_bits.tobytes()], pa.large_binary())}
+        )
+
+    blobs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=fanin)
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=fanin)
+        .take_all()
+    )
+    final = or_merge(
+        pa.table({"blob": pa.array([r["blob"] for r in blobs], pa.large_binary())})
+    )
+    return BloomFilter.from_bytes(final.column("blob")[0].as_py())

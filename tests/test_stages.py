@@ -742,3 +742,21 @@ def test_logreg_quantized_gradient_grouping_invariant():
     assert np.array_equal(whole, split)
     w_fit = fit_logreg_sequential(x, y, iters=5)
     assert w_fit.shape == (3,) and np.isfinite(w_fit).all()
+
+
+def test_build_bloom_distributed_matches_sequential(ray_session):
+    """The OR-merge reduce must yield a filter bit-identical to one
+    sequential BloomFilter fed every key (bloom insert is a pure OR)."""
+    import numpy as np
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.dedup import build_bloom_distributed
+    from commoncrawl_ray.state.bloom import BloomFilter
+
+    keys = np.arange(1000, dtype=np.int64) * 7919 - 500
+    ds = rd.from_items([{"k": int(k)} for k in keys]).repartition(7)
+    dist = build_bloom_distributed(ds, "k", num_elements=1200, fanin=3)
+    seq = BloomFilter(1200)
+    seq.add_batch(keys)
+    assert dist.to_bytes() == seq.to_bytes()
+    assert dist.maybe_present_batch(keys).all()
