@@ -4248,6 +4248,62 @@ WHERE l.nll <= th.t2
 """
 
 
+def q_curation_report(sf_dir: str):
+    """The data card: per-language corpus accounting AFTER the full
+    curation DAG — total documents, survivors, and surviving word
+    mass (the numbers every dataset release publishes, and the
+    regression canary for any gate: a threshold drift moves a
+    kept_docs cell). Runs the whole q_curate_corpus DAG, folds
+    survivors with one tiny groupby(lang), and left-joins the
+    per-lang totals (a language-bounded second groupby) — all-integer
+    output, no rounding discipline. The SQL oracle nests the entire
+    already-verified SQL_CURATE_CORPUS as a CTE, so this row also
+    cross-checks the DAG's composition end to end."""
+    kept = (
+        q_curate_corpus(sf_dir)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="kept_docs"),
+            Sum("n_words", alias_name="kept_words"),
+        )
+    )
+    totals = (
+        _pq(sf_dir, "documents", ["lang"], min_blocks=4)
+        .groupby("lang")
+        .count()
+        .rename_columns({"count()": "total_docs"})
+    )
+    from ..stages.joins import merge_join
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "total_docs": t.column("total_docs").cast(pa.int64()),
+                "kept_docs": pc.fill_null(t.column("kept_docs"), 0).cast(pa.int64()),
+                "kept_words": pc.fill_null(t.column("kept_words"), 0).cast(pa.int64()),
+            }
+        )
+
+    return merge_join(
+        totals, kept, left_on="lang", right_on="lang",
+        right_cols=["kept_docs", "kept_words"], how="left",
+    ).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_CURATION_REPORT = f"""
+WITH kept AS ({SQL_CURATE_CORPUS})
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(SUM(k.n_words), 0) AS BIGINT) AS kept_words
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 _PACK_BUCKETS = 8
 _PACK_SEQ_TOKENS = 512
 
@@ -5822,6 +5878,7 @@ REGISTRY: dict[str, tuple] = {
     "source_mixture_weights": (q_source_mixture_weights, SQL_SOURCE_MIXTURE_WEIGHTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
+    "curation_report": (q_curation_report, SQL_CURATION_REPORT),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
