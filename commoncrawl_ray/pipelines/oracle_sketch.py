@@ -1142,3 +1142,37 @@ def oracle_logreg_table(sf_dir: str, pos_lang: str = "en",
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+COMPRESS_ORACLE_PATH = "/tmp/ccray_oracle_compress.parquet"
+
+
+def oracle_compress_table(sf_dir: str, level: int = 6,
+                          path: str = COMPRESS_ORACLE_PATH) -> str:
+    """Single-process compression-ratio scan in file order (zlib at a
+    fixed level is deterministic for a given input). Shares only the
+    zlib call with the distributed stage — the parity proven is the
+    batch plumbing and the integer threshold flag."""
+    import zlib
+
+    src_key = f"{os.path.abspath(sf_dir)}|compress|{level}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    n_raw, n_gz = [], []
+    for s in texts:
+        b = (s or "").encode("utf-8")
+        n_raw.append(len(b))
+        n_gz.append(len(zlib.compress(b, level)))
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_raw": pa.array(n_raw, pa.int64()),
+            "n_gz": pa.array(n_gz, pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1611,6 +1611,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_dup_strip_table,
         oracle_hll_by_type_table,
         oracle_host_edges_table,
+        oracle_compress_table,
         oracle_dsir_table,
         oracle_lang_id_table,
         oracle_logreg_table,
@@ -1653,6 +1654,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_dsir_table(sf_dir)
     oracle_shuffle_table(sf_dir)
     oracle_logreg_table(sf_dir)
+    oracle_compress_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -3144,6 +3146,53 @@ def q_docs_partitioned_write(sf_dir: str):
 SQL_DOCS_PARTITIONED_WRITE = """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang
+"""
+
+
+def q_compression_ratio(sf_dir: str, level: int = 6):
+    """Compression-ratio quality signal: per document, UTF-8 byte
+    length and zlib(level=6) compressed length, plus an integer-exact
+    repetitiveness flag (10*n_gz < 3*n_raw — compressing below ~0.3
+    marks boilerplate/templated text; highly repetitive pages
+    compress far better than natural prose, the heuristic web-corpus
+    cleanrooms use alongside the Gopher gram rules). zlib at a fixed
+    level is bit-deterministic for a given input, so both counts are
+    exact ints — no rounding discipline. Stateless one-pass map, the
+    compression runs in C per row off the Arrow UTF-8 buffer.
+    Hash-checked vs a sequential scan sharing only the zlib call."""
+    import zlib
+
+    from .oracle_sketch import oracle_compress_table
+
+    oracle_compress_table(sf_dir, level)
+
+    def comp(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        n_raw = np.zeros(n, dtype=np.int64)
+        n_gz = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(texts):
+            b = (s or "").encode("utf-8")
+            n_raw[i] = len(b)
+            n_gz[i] = len(zlib.compress(b, level))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_raw": pa.array(n_raw),
+                "n_gz": pa.array(n_gz),
+                "repetitive": pa.array((10 * n_gz < 3 * n_raw).astype(np.int64)),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        comp, batch_format="pyarrow"
+    )
+
+
+SQL_COMPRESSION_RATIO = """
+SELECT doc_id, n_raw, n_gz,
+       CAST(10 * n_gz < 3 * n_raw AS BIGINT) AS repetitive
+FROM read_parquet('/tmp/ccray_oracle_compress.parquet')
 """
 
 
@@ -5844,6 +5893,7 @@ REGISTRY: dict[str, tuple] = {
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
