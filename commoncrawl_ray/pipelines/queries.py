@@ -3336,6 +3336,48 @@ SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink round-trip (the spreadsheet-adjacent sibling of
+    q_jsonl_roundtrip): write the documents table as sharded CSV with
+    Ray's native sink (Arrow CSV writer: RFC-4180 quoting), read the
+    shard tree back with the native source, and emit per-document md5
+    text digests — the hash proves byte fidelity through CSV quoting/
+    escaping both ways, which is exactly where naive CSV pipelines
+    corrupt corpora (embedded quotes, commas, newlines)."""
+    import shutil
+    import tempfile
+
+    from ..functions.digests import md5_hex_column
+
+    out = tempfile.mkdtemp(prefix="ccray_csv_", dir="/tmp")
+    try:
+        _pq(sf_dir, "documents", ["doc_id", "lang", "source", "text"],
+            min_blocks=8).write_csv(out)
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                    "text_md5": pa.array(
+                        md5_hex_column(t.column("text")), pa.string()
+                    ),
+                }
+            )
+
+        return rd.read_csv(out).map_batches(
+            digest, batch_format="pyarrow"
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+"""
+
+
 def q_shuffle_export(sf_dir: str, seed: int = 42, num_shards: int = 8):
     """Deterministic seeded global shuffle + sharded export — the
     training-data publication step: every document gets a
@@ -5892,6 +5934,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
