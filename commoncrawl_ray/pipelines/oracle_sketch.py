@@ -863,6 +863,41 @@ def oracle_host_edges_table(sf_dir: str, path: str = HOST_EDGES_ORACLE_PATH) -> 
     return _write_atomic(out, path, src_key)
 
 
+ANCHOR_TERMS_ORACLE_PATH = "/tmp/ccray_oracle_anchor_terms.parquet"
+
+
+def oracle_anchor_terms_table(
+    sf_dir: str, path: str = ANCHOR_TERMS_ORACLE_PATH
+) -> str:
+    """Sequential (dst_host, anchor_term) occurrence pairs over the
+    SAME pages cache the registered query parses: shared parse kernel
+    + shared ``extract_anchor_terms_batch``, single thread. The
+    anchor-text aggregation oracle is then plain SQL (count + window
+    rank) over this parquet, fully independent of the distributed
+    groupby/top-k machinery."""
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+    from ..stages.pagerank import extract_anchor_terms_batch
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|anchor_terms|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    parsed = _sequential_parse(pages_cache_dir(sf), sf)
+    B = 256
+    parts = [
+        extract_anchor_terms_batch(parsed.slice(off, B))
+        for off in range(0, parsed.num_rows, B)
+    ]
+    out = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"dst": pa.array([], pa.string()), "term": pa.array([], pa.string())}
+        )
+    )
+    return _write_atomic(out, path, src_key)
+
+
 DUP_STRIP_ORACLE_PATH = "/tmp/ccray_oracle_dup_strip.parquet"
 
 

@@ -1606,6 +1606,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     harness runs at sf0.01; callers at other scales pass their own
     sf_dir."""
     from .oracle_sketch import (
+        oracle_anchor_terms_table,
         oracle_arc_roundtrip_table,
         oracle_doc_fp_table,
         oracle_dup_strip_table,
@@ -1655,6 +1656,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_shuffle_table(sf_dir)
     oracle_logreg_table(sf_dir)
     oracle_compress_table(sf_dir)
+    oracle_anchor_terms_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -5860,6 +5862,303 @@ LEFT JOIN dup5 d5 USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------
+# PII redaction gate (emails / IPv4 / phone numbers)
+# --------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction — the scrub pass every published text corpus runs
+    before release (emails, IPv4 addresses, phone numbers replaced by
+    typed placeholders, with per-doc hit counts for the data card).
+
+    The synthetic corpus carries no natural PII, so the query PLANTS a
+    deterministic specimen of each type derived from doc_id (the SQL
+    oracle builds the identical string), then runs the real kernel:
+    three chained RE2 ``replace_substring_regex`` passes plus
+    ``count_substring_regex`` hit counters, all vectorized over the
+    Arrow column — zero Python per row in the scrub itself.
+
+    Scale shape: ONE streaming map over a pruned (doc_id, text) read,
+    zero exchanges; the output is slim (ids + int counts + a 32-char
+    digest of the redacted text) so the scrubbed text itself never
+    rides the wire — a real pipeline would side-write it partitioned,
+    as docs_partitioned_write demonstrates."""
+    import pyarrow.compute as pc
+
+    from ..functions.digests import md5_hex_column
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy()
+        id_s = pa.array(ids.astype("U20"))
+        a_s = pa.array((ids % 256).astype("U3"))
+        b_s = pa.array((ids % 100).astype("U3"))
+        p1_s = pa.array((ids % 900 + 100).astype("U3"))
+        p4_s = pa.array(np.char.zfill((ids % 10000).astype("U4"), 4))
+        aug = pc.binary_join_element_wise(
+            batch.column("text").cast(pa.string()),
+            " Contact user", id_s, "@example.com at 10.0.", a_s, ".", b_s,
+            " tel ", p1_s, "-555-", p4_s, ".",
+            "",
+        )
+        n_emails = pc.count_substring_regex(aug, pattern=_PII_EMAIL)
+        n_ipv4 = pc.count_substring_regex(aug, pattern=_PII_IPV4)
+        n_phones = pc.count_substring_regex(aug, pattern=_PII_PHONE)
+        red = pc.replace_substring_regex(aug, pattern=_PII_EMAIL, replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=_PII_IPV4, replacement="<IP>")
+        red = pc.replace_substring_regex(red, pattern=_PII_PHONE, replacement="<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": n_emails.cast(pa.int64()),
+                "n_ipv4": n_ipv4.cast(pa.int64()),
+                "n_phones": n_phones.cast(pa.int64()),
+                "red_md5": pa.array(md5_hex_column(red), pa.string()),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' tel ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+              || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || '.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(length(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
+FROM aug
+"""
+
+
+# --------------------------------------------------------------------
+# CCNet-style text normalization
+# --------------------------------------------------------------------
+
+
+def q_text_normalize(sf_dir: str):
+    """CCNet-style normalization pass (lowercase + whitespace collapse
+    + trim) — the canonical form fed to dedup hashing and LM scoring so
+    cosmetic variants collide. All-Arrow: one RE2 collapse, one trim,
+    one lowercase, digest off the UTF-8 buffer; zero exchanges, slim
+    (doc_id, n_words, norm_md5) output."""
+    import pyarrow.compute as pc
+
+    from ..functions.digests import md5_hex_column
+
+    def norm(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").cast(pa.string())
+        collapsed = pc.replace_substring_regex(text, pattern=r"\s+", replacement=" ")
+        normed = pc.utf8_lower(pc.utf8_trim_whitespace(collapsed))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pc.count_substring_regex(
+                    normed, pattern=r"\S+"
+                ).cast(pa.int64()),
+                "norm_md5": pa.array(md5_hex_column(normed), pa.string()),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+       md5(t) AS norm_md5
+FROM n
+"""
+
+
+# --------------------------------------------------------------------
+# source spam filter: drop sources with above-average duplicate mass
+# --------------------------------------------------------------------
+
+
+def q_source_spam_filter(sf_dir: str):
+    """Source-level template-spam gate: drop every document from a
+    source whose lexical diversity (distinct tokens / total tokens)
+    falls strictly below the corpus-wide ratio — the source-granular
+    cousin of the Gopher repetition rules (a feed that keeps emitting
+    the same few templates has a collapsed type/token ratio long
+    before any page-level dup fires). The verdict is the exact integer
+    cross-multiplication n_types_s * sum(n_toks) >= sum(n_types) *
+    n_toks_s, so no float ratio rides the decision.
+
+    Scale shape: tokenize explode -> WITHIN-BATCH (source, token)
+    dedup (Arrow group_by, C++-speed) so the exchange carries each
+    batch's vocabulary, not its token stream -> one global
+    (source, token) distinct exchange -> per-source type counts
+    (#sources rows). Token totals ride a separate counter pass whose
+    wire is per-batch partials. Both verdict inputs are
+    driver-collected at #sources rows and the keep-set is ray.put
+    BROADCAST into a final streaming filter — the corpus never joins,
+    it probes a set. At a real corpus the token wire stays bounded by
+    per-batch vocab; hashing tokens to int64 fp64 (as the passage ops
+    do) would shrink it further at the cost of the verbatim-SQL
+    oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def tok_pairs(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        n = pc.list_value_length(split).cast(pa.int64())
+        src = t.column("source").combine_chunks()
+        idx = np.repeat(np.arange(len(t)), n.to_numpy(zero_copy_only=False))
+        flat = pc.list_flatten(split)
+        pairs = pa.table({"source": src.take(pa.array(idx)), "token": flat})
+        pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
+        # per-batch vocabulary dedup BEFORE the exchange
+        return pairs.group_by(["source", "token"]).aggregate([])
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "source", "text"], min_blocks=8)
+    types = (
+        docs.map_batches(tok_pairs, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Count(alias_name="_n"))  # global distinct (source, token)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_types"))
+    )
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n": pc.count_substring_regex(
+                    t.column("text"), pattern=r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    toks = (
+        docs.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_toks"))
+    )
+
+    ty = {r["source"]: r["n_types"] for r in types.take_all()}  # #sources rows
+    tk = {r["source"]: r["n_toks"] for r in toks.take_all()}
+    st, sk = sum(ty.values()), sum(tk.values())
+    keep = sorted(s for s in ty if ty[s] * sk >= st * tk[s])
+    keep_ref = ray.put(keep)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ok = ray.get(keep_ref)
+        mask = pc.is_in(batch.column("source"), value_set=pa.array(ok, pa.string()))
+        return batch.filter(mask)
+
+    return _pq(sf_dir, "documents", ["doc_id", "source"], min_blocks=4).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+SQL_SOURCE_SPAM_FILTER = r"""
+WITH tok AS (
+  SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+),
+stats AS (
+  SELECT source, COUNT(DISTINCT token) AS n_types, COUNT(*) AS n_toks
+  FROM tok WHERE token <> '' GROUP BY source
+),
+tot AS (SELECT SUM(n_types) AS st, SUM(n_toks) AS sk FROM stats)
+SELECT d.doc_id, d.source
+FROM documents d JOIN stats s USING (source), tot
+WHERE s.n_types * tot.sk >= tot.st * s.n_toks
+"""
+
+
+# --------------------------------------------------------------------
+# anchor-text aggregation per target host
+# --------------------------------------------------------------------
+
+
+def q_anchor_text(sf_dir: str):
+    """Anchor-text aggregation — the top-5 anchor terms pointing AT
+    each host, with occurrence counts: how the web describes a site,
+    the classic link-description signal (the reference stores raw
+    anchorTags per page, protocol.jr:96-103; this is the corpus-level
+    aggregate built from them). Streaming parse -> shared
+    ``extract_anchor_terms_batch`` kernel -> WITHIN-BATCH (dst, term)
+    count pre-aggregation (Arrow group_by) so the exchange carries
+    per-batch term vocabularies, not occurrence streams -> one global
+    (dst, term) groupby -> grouped_topk per host (pre-shuffle partial
+    top-k + ONE single-key sort exchange; stages/rank.py). Oracle:
+    plain SQL count+window over the sequential-kernel pairs parquet."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_anchor_terms_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from ..stages.rank import grouped_topk
+    from .oracle_sketch import oracle_anchor_terms_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_anchor_terms_table(sf_dir)
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        pairs = extract_anchor_terms_batch(t)
+        agg = pairs.group_by(["dst", "term"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["dst", "term", "n"])
+
+    pairs = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(batch_counts, batch_format="pyarrow")
+    )
+    counts = pairs.groupby(["dst", "term"]).aggregate(Sum("n", alias_name="cnt"))
+    return grouped_topk(
+        counts, group_col="dst", order_col="cnt", k=5,
+        tiebreak_col="term", descending=True,
+    )
+
+
+SQL_ANCHOR_TEXT = """
+SELECT dst, term, cnt, rank FROM (
+  SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY dst ORDER BY COUNT(*) DESC, term
+         ) AS rank
+  FROM read_parquet('/tmp/ccray_oracle_anchor_terms.parquet')
+  GROUP BY dst, term
+) WHERE rank <= 5
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -5935,6 +6234,10 @@ REGISTRY: dict[str, tuple] = {
     "shuffle_export": (q_shuffle_export, SQL_SHUFFLE_EXPORT),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "source_spam_filter": (q_source_spam_filter, SQL_SOURCE_SPAM_FILTER),
+    "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),

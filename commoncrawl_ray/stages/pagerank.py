@@ -84,6 +84,45 @@ def extract_host_edges_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def extract_anchor_terms_batch(t: pa.Table) -> pa.Table:
+    """Parse-output batch (url, anchors, base_url) -> (dst, term)
+    anchor-term occurrences: every resolved off-host link contributes
+    its anchor text's lowercased whitespace tokens against the TARGET
+    host — the link-description signal web search builds doc vectors
+    from (the reference stores the raw pairs as ArcFileMetadata
+    anchorTags, protocol.jr:120; aggregation by target is the query
+    this engine adds). Shared verbatim by the distributed query and
+    the sequential oracle so a hash match checks only the plan."""
+    from .links import resolve_links_aligned
+
+    urls = t.column("url").to_pylist()
+    anchors = t.column("anchors").to_pylist()
+    bases = t.column("base_url").to_pylist()
+    dst_out: list[str] = []
+    term_out: list[str] = []
+    for u, a, b in zip(urls, anchors, bases):
+        if not a:
+            continue
+        src = _host_of(u)
+        parts = a.split("\n")
+        hrefs = parts[0::2]
+        texts = parts[1::2]
+        resolved = resolve_links_aligned(u, hrefs, b)
+        for link, text in zip(resolved, texts):
+            dst = _host_of(link) if link else None
+            if not dst or dst == src or not text:
+                continue
+            for term in text.lower().split():
+                dst_out.append(dst)
+                term_out.append(term)
+    return pa.table(
+        {
+            "dst": pa.array(dst_out, pa.string()),
+            "term": pa.array(term_out, pa.string()),
+        }
+    )
+
+
 def _distinct_sorted(ds, cols: list[str]):
     """Global distinct of a (string...) tuple dataset: one sort range
     exchange + vectorized adjacent-dedup per block (equal first-key
