@@ -863,6 +863,55 @@ def oracle_host_edges_table(sf_dir: str, path: str = HOST_EDGES_ORACLE_PATH) -> 
     return _write_atomic(out, path, src_key)
 
 
+HOST_COMPONENTS_ORACLE_PATH = "/tmp/ccray_oracle_host_components.parquet"
+
+
+def oracle_host_components_table(
+    sf_dir: str, path: str = HOST_COMPONENTS_ORACLE_PATH
+) -> str:
+    """Sequential weakly-connected components over the SAME host edge
+    set (shared _sequential_host_edges build): plain union-find with
+    path compression, component rep = the member host with the
+    smallest fp64 (the identical rule the distributed Hash-to-Min
+    query resolves to, since its component_id is the min member
+    fingerprint)."""
+    from ..functions.fingerprint import fp64
+    from ..sources.synth import sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|host_components|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src_i.tolist(), dst_i.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    fps = [fp64(h) for h in nodes]
+    rep_fp: dict[int, int] = {}  # root -> index of min-fp member
+    for i in range(len(nodes)):
+        r = find(i)
+        if r not in rep_fp or fps[i] < fps[rep_fp[r]]:
+            rep_fp[r] = i
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "comp_host": pa.array(
+                [nodes[rep_fp[find(i)]] for i in range(len(nodes))], pa.string()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 ANCHOR_TERMS_ORACLE_PATH = "/tmp/ccray_oracle_anchor_terms.parquet"
 
 

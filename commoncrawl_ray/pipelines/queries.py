@@ -1608,6 +1608,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from .oracle_sketch import (
         oracle_anchor_terms_table,
         oracle_arc_roundtrip_table,
+        oracle_host_components_table,
         oracle_doc_fp_table,
         oracle_dup_strip_table,
         oracle_hll_by_type_table,
@@ -1657,6 +1658,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_logreg_table(sf_dir)
     oracle_compress_table(sf_dir)
     oracle_anchor_terms_table(sf_dir)
+    oracle_host_components_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -6159,6 +6161,161 @@ SELECT dst, term, cnt, rank FROM (
 """
 
 
+# --------------------------------------------------------------------
+# inverted index build (token -> postings)
+# --------------------------------------------------------------------
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: the (token, doc_id, tf) postings table a
+    retrieval system materializes over the corpus (BM25's runtime data
+    structure — q_bm25_topk recomputes scores per query; this op
+    EXPORTS the index once). Tokenize explode with WITHIN-BATCH
+    (doc_id, token) tf pre-aggregation (Arrow group_by — the wire
+    carries per-doc tf rows, not the token stream), then ONE global
+    (token, doc_id) groupby sum. Token-partitioned output is exactly
+    how a sharded index wants it: all postings of a term co-located.
+    At a real corpus the postings table would write partitioned by
+    hash(token) (docs_partitioned_write's layout) for resumable
+    shard-at-a-time serving."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        n = pc.list_value_length(split).cast(pa.int64())
+        ids = t.column("doc_id").combine_chunks()
+        idx = np.repeat(np.arange(len(t)), n.to_numpy(zero_copy_only=False))
+        pairs = pa.table(
+            {"doc_id": ids.take(pa.array(idx)), "token": pc.list_flatten(split)}
+        )
+        pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
+        agg = pairs.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["doc_id", "token", "tf"])
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8)
+        .map_batches(tf_pairs, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+) WHERE token <> '' GROUP BY token, doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# weakly-connected components of the host link graph
+# --------------------------------------------------------------------
+
+
+def q_host_components(sf_dir: str):
+    """Weakly-connected components of the crawl's host graph — the
+    web-graph partition every crawl scheduler and seed-selection pass
+    wants (which sites form one connected neighborhood; the undirected
+    cousin of pagerank_hosts over the same edges). Streaming parse ->
+    shared edge kernel -> distinct host edges, hosts keyed to int64
+    via the engine's fp64 fingerprint (functions/fingerprint.py — the
+    same key the URL dedup path ships, so no string ids ride the
+    hash-to-min rounds), then stages/components.connected_components
+    (Hash-to-Min, O(log n) all-to-alls), then ONE merge_join maps the
+    winning min-fp back to its host string. Component rep = the
+    member host with the smallest fp64 — arbitrary but deterministic,
+    replicated exactly by the sequential union-find oracle."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.components import connected_components
+    from ..stages.joins import merge_join
+    from ..stages.pagerank import extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_components_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_components_table(sf_dir)
+
+    def fp_edges(t: pa.Table) -> pa.Table:
+        from ..functions.fingerprint import fp64_batch
+
+        et = extract_host_edges_batch(t)
+        src = et.column("src").to_pylist()
+        dst = et.column("dst").to_pylist()
+        return pa.table(
+            {
+                "id_a": pa.array(fp64_batch(src), pa.int64()),
+                "id_b": pa.array(fp64_batch(dst), pa.int64()),
+                "src": et.column("src"),
+                "dst": et.column("dst"),
+            }
+        )
+
+    edges = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(fp_edges, batch_format="pyarrow")
+    ).materialize()  # feeds the components loop AND the two name maps
+
+    comps = connected_components(
+        edges.select_columns(["id_a", "id_b"]), id_a="id_a", id_b="id_b"
+    )
+    # (fp -> host) name map: union both endpoints, distinct
+    names = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "fp": pa.concat_arrays(
+                        [
+                            t.column("id_a").combine_chunks(),
+                            t.column("id_b").combine_chunks(),
+                        ]
+                    ),
+                    "host": pa.concat_arrays(
+                        [
+                            t.column("src").combine_chunks().cast(pa.string()),
+                            t.column("dst").combine_chunks().cast(pa.string()),
+                        ]
+                    ),
+                }
+            ).group_by(["fp", "host"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["fp", "host"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    ).materialize()  # vocabulary-scale (#hosts), two join consumers
+    with_host = merge_join(
+        comps, names, left_on="doc_id", right_on="fp",
+        right_cols=["host"], how="inner",
+    )
+    return merge_join(
+        with_host, names, left_on="component_id", right_on="fp",
+        right_cols=["host"], how="inner", suffix="_comp",
+    ).map_batches(
+        lambda t: pa.table(
+            {"host": t.column("host"), "comp_host": t.column("host_comp")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HOST_COMPONENTS = """
+SELECT host, comp_host
+FROM read_parquet('/tmp/ccray_oracle_host_components.parquet')
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -6238,6 +6395,8 @@ REGISTRY: dict[str, tuple] = {
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "source_spam_filter": (q_source_spam_filter, SQL_SOURCE_SPAM_FILTER),
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "host_components": (q_host_components, SQL_HOST_COMPONENTS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
