@@ -6316,6 +6316,56 @@ FROM read_parquet('/tmp/ccray_oracle_host_components.parquet')
 """
 
 
+# --------------------------------------------------------------------
+# BPE-ish subword token counting
+# --------------------------------------------------------------------
+
+# GPT-2's pre-tokenizer split, minus the one lookahead RE2 forbids
+# (`\s+(?!\S)`): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace. Counting matches of this
+# pattern approximates BPE sequence length far better than whitespace
+# words (punctuation and number boundaries count), which is what
+# packing/budget estimates need BEFORE paying for a real tokenizer.
+_BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Per-doc BPE-ish token counts (the GPT-2 pre-tokenizer regex,
+    RE2-compatible) next to the whitespace word count — the
+    token-budget estimator for sequence packing and mixture math.
+    One vectorized RE2 count per batch, zero Python per row, zero
+    exchanges."""
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pc.count_substring_regex(
+                    text, pattern=_BPE_SPLIT
+                ).cast(pa.int64()),
+                "n_words": pc.count_substring_regex(
+                    text, pattern=r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+       )) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words
+FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -6397,6 +6447,7 @@ REGISTRY: dict[str, tuple] = {
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "host_components": (q_host_components, SQL_HOST_COMPONENTS),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
