@@ -143,3 +143,58 @@ def test_triangle_count_degree_cap(ray_session):
     assert full == 11  # h-n_i-n_{i+1} triangles
     capped = triangle_count(ds, max_degree=5).to_pandas()["n_triangles"][0]
     assert capped == 0
+
+
+def test_resolve_links_aligned_positions():
+    from commoncrawl_ray.stages.links import resolve_links, resolve_links_aligned
+
+    hrefs = [
+        "http://b.com/p",
+        "mailto:x@y",
+        "/local",
+        "",
+        "#frag",
+        "http://b.com/p",  # repeat kept (no dedup in aligned mode)
+    ]
+    out = resolve_links_aligned("http://a.com/x", hrefs)
+    assert len(out) == len(hrefs)
+    assert out[0] == "http://b.com/p"
+    assert out[1] is None and out[3] is None and out[4] is None
+    assert out[2] == "http://a.com/local"
+    assert out[5] == "http://b.com/p"
+    # the filtered variant dedups; aligned preserves multiplicity
+    assert resolve_links("http://a.com/x", hrefs).count("http://b.com/p") == 1
+    # <base> honored identically in both
+    assert (
+        resolve_links_aligned("http://a.com/d/", ["rel"], "http://base.org/dir/")[0]
+        == "http://base.org/dir/rel"
+    )
+
+
+def test_extract_anchor_terms_batch():
+    import pyarrow as pa
+
+    from commoncrawl_ray.stages.pagerank import extract_anchor_terms_batch
+
+    t = pa.table(
+        {
+            "url": ["http://a.com/x", "http://b.com/y", "http://c.com/z"],
+            "anchors": [
+                # off-host link with two terms; self-host link ignored;
+                # empty anchor text ignored
+                "http://b.com/p\nGreat Site\nhttp://a.com/q\nself host\n/local\n\n",
+                # repeated link -> terms counted per occurrence
+                "http://a.com/1\nnews\nhttp://a.com/2\nnews\n",
+                None,
+            ],
+            "base_url": [None, None, None],
+        }
+    )
+    out = extract_anchor_terms_batch(t)
+    pairs = sorted(zip(out.column("dst").to_pylist(), out.column("term").to_pylist()))
+    assert pairs == [
+        ("a.com", "news"),
+        ("a.com", "news"),
+        ("b.com", "great"),
+        ("b.com", "site"),
+    ]
