@@ -6366,6 +6366,143 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------
+# embedding topic mixture (k-means cluster census)
+# --------------------------------------------------------------------
+
+
+def q_topic_mixture(sf_dir: str):
+    """Topic-mixture census over the embedding space: fit the SAME
+    distributed spherical k-means SemDeDup runs (integer-unit partial
+    sums, broadcast centroids, <= k rows/iter to the driver), then ONE
+    streaming assign pass with per-batch cluster-count pre-aggregation
+    and a k-row groupby — the cluster-size report a mixture designer
+    reads before reweighting (semantic counterpart of
+    source_mixture_weights). Identical (k, iters, init) to
+    q_semdedup_embeddings, so the verified sequential oracle's
+    assignment column doubles as this census's ground truth."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.vec import list_to_matrix
+    from ..stages.semdedup import _norm_rows, assign_rounded, kmeans_fit_distributed
+    from .oracle_sketch import oracle_semdedup_table
+
+    oracle_semdedup_table(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], min_blocks=4)
+    centroids = kmeans_fit_distributed(ds, dim=64, k=16, iters=4)
+    cref = ray.put(centroids)
+
+    def census(t: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        if len(t) == 0:
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()), "n_vecs": pa.array([], pa.int64())}
+            )
+        xn = _norm_rows(list_to_matrix(t.column("embedding")))
+        cl = assign_rounded(xn, cent)
+        counts = np.bincount(cl, minlength=0)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "cluster": pa.array(nz.astype(np.int64)),
+                "n_vecs": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    )
+
+
+SQL_TOPIC_MIXTURE = """
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM read_parquet('/tmp/ccray_oracle_semdedup.parquet')
+GROUP BY cluster
+"""
+
+
+# --------------------------------------------------------------------
+# ANN recall evaluation (IVF vs exact)
+# --------------------------------------------------------------------
+
+
+def q_ann_recall(sf_dir: str):
+    """Recall@10 evaluation of the approximate IVF index against exact
+    search — the quality gate an ANN deployment monitors (an index
+    rebuild that silently tanks recall shows up here, not in the
+    latency graphs). Both sides run as their registered distributed
+    pipelines (q_knn_ivf's nprobe=8 approximate scan; the nprobe=32
+    exhaustive exact scan); hits are counted with ONE semi merge_join
+    on a packed (query_id<<32 | vec_id) int64 key plus a 4-row
+    groupby. Output = per-query hit count out of 10, all-integer."""
+    import pyarrow.parquet as pq_mod
+    from ray.data.aggregate import Count
+
+    from ..stages.ann import knn_ivf
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_knn_ivf_table
+
+    oracle_knn_ivf_table(sf_dir)
+    t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    qmat = np.array(
+        [t.column("embedding")[ids.index(qid)].as_py() for qid in range(4)],
+        dtype=np.float64,
+    )
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def packed(res):
+        def key(b: pa.Table) -> pa.Table:
+            q = b.column("query_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            v = b.column("vec_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "query_id": pa.array(q),
+                    "pk": pa.array((q << np.int64(32)) | v),
+                }
+            )
+
+        return res.map_batches(key, batch_format="pyarrow")
+
+    exact = packed(knn_ivf(emb, qmat, k=10, n_centroids=32, nprobe=32))
+    approx = packed(
+        knn_ivf(emb, qmat, k=10, n_centroids=32, nprobe=8, sample_mode="hash")
+    )
+    hits = merge_join(
+        exact, approx, left_on="pk", right_on="pk", right_cols=[], how="semi"
+    )
+    return hits.groupby("query_id").aggregate(Count(alias_name="n_hits"))
+
+
+SQL_ANN_RECALL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+  FROM embeddings e, q
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS rank
+    FROM scored
+  ) WHERE rank < 10
+)
+SELECT CAST(e.query_id AS BIGINT) AS query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM exact e
+JOIN read_parquet('/tmp/ccray_oracle_knn_ivf.parquet') a
+  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -6448,6 +6585,8 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "host_components": (q_host_components, SQL_HOST_COMPONENTS),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "topic_mixture": (q_topic_mixture, SQL_TOPIC_MIXTURE),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
