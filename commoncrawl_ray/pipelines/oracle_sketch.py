@@ -863,6 +863,34 @@ def oracle_host_edges_table(sf_dir: str, path: str = HOST_EDGES_ORACLE_PATH) -> 
     return _write_atomic(out, path, src_key)
 
 
+SITEMAP_ORACLE_PATH = "/tmp/ccray_oracle_sitemap.parquet"
+
+
+def oracle_sitemap_table(sf_dir: str, path: str = SITEMAP_ORACLE_PATH) -> str:
+    """The universe's sitemap row set built directly by the shared
+    kernel (sources/sitemap.universe_sitemap_rows), WITHOUT the XML
+    layer — a hash match against the distributed write->read->parse
+    round-trip therefore proves the XML cycle lossless."""
+    from ..sources.sitemap import universe_sitemap_rows
+    from ..sources.synth import sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|sitemap|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    rows = universe_sitemap_rows(sf, n_shards=16)
+    out = pa.table(
+        {
+            "url": pa.array([r[1] for r in rows], pa.string()),
+            "lastmod": pa.array([r[2] for r in rows], pa.string()),
+            "shard": pa.array(
+                [f"sitemap-{r[0]:05d}.xml" for r in rows], pa.string()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 HOST_COMPONENTS_ORACLE_PATH = "/tmp/ccray_oracle_host_components.parquet"
 
 

@@ -1629,6 +1629,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_multimodal_table,
         oracle_parse_extract_table,
         oracle_semdedup_table,
+        oracle_sitemap_table,
         oracle_simhash_table,
         oracle_wat_table,
     )
@@ -1659,6 +1660,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_compress_table(sf_dir)
     oracle_anchor_terms_table(sf_dir)
     oracle_host_components_table(sf_dir)
+    oracle_sitemap_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -1675,6 +1677,123 @@ def q_crawl_log(sf_dir: str):
     with tempfile.TemporaryDirectory(prefix="cc_ray_crawl_") as ckpt:
         res = crawl(_crawl_cfg(), ckpt)
         return res.log_table().select(_CRAWL_LOG_COLS)
+
+
+def q_crawl_epoch_stats(sf_dir: str):
+    """Per-epoch crawl progress report — action counts and frontier
+    depth reach per epoch (the operational dashboard row a crawl
+    operator watches: discovery rate collapsing or robots-denials
+    spiking shows up here first). Consumed LAZILY from the epoch log
+    files (one read task per file) into ONE (epoch, action) groupby;
+    the result is epochs x actions rows. Hash-checked against the
+    single-process oracle crawler's log via plain SQL."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Max
+
+    from .crawl import crawl
+
+    ensure_crawl_oracle_table()
+    ckpt = tempfile.mkdtemp(prefix="cc_ray_crawl_estats_")
+    try:
+        res = crawl(_crawl_cfg(), ckpt)
+        return (
+            res.log_dataset()
+            .groupby(["epoch", "action"])
+            .aggregate(
+                Count(alias_name="n"),
+                Max("depth", alias_name="max_depth"),
+            )
+            .to_pandas()  # epochs x actions rows; log dirs deletable after
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_CRAWL_EPOCH_STATS = f"""
+SELECT epoch, action, CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(depth) AS max_depth
+FROM read_parquet('{_CRAWL_ORACLE_PATH}')
+GROUP BY epoch, action
+"""
+
+
+def q_sitemap_roundtrip(sf_dir: str):
+    """XML sitemap source/sink round-trip (sitemaps.org protocol) —
+    the frontier-seeding discovery channel the anchor-link crawl
+    misses: write the universe's URL inventory as ``<urlset>`` shard
+    files plus a ``<sitemapindex>`` (sources/sitemap.py — shard =
+    fp64(url) % 16, canonical byte-deterministic XML), read the shard
+    tree back via read_binary_files (one read task per shard, the
+    protocol's 50k-URL shard cap makes shards block-sized by
+    construction), parse with the namespace-tolerant stdlib stage,
+    and return (url, lastmod, shard) rows. Hash-check vs the
+    sequential shared-kernel row builder proves the XML write ->
+    read -> parse cycle lossless (an escaping bug or dropped entry
+    changes the row set)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sitemap import (
+        read_sitemaps,
+        universe_sitemap_rows,
+        write_sitemapindex,
+        write_urlset,
+    )
+    from ..sources.synth import sf_from_dir
+    from .oracle_sketch import oracle_sitemap_table
+
+    oracle_sitemap_table(sf_dir)
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    n_shards = 16
+    out = tempfile.mkdtemp(prefix="ccray_sitemap_", dir="/tmp")
+    try:
+        shard_ids = rd.from_items(
+            [{"shard": s} for s in range(n_shards)]
+        ).repartition(n_shards)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            # regenerate this shard's rows from (sf, seed) — pure
+            # function, no driver-side URL list shipped to tasks
+            written = []
+            for s in t.column("shard").to_pylist():
+                rows = [
+                    (loc, lm)
+                    for sh, loc, lm in universe_sitemap_rows(sf, n_shards=n_shards)
+                    if sh == s
+                ]
+                name = f"sitemap-{s:05d}.xml"
+                tmp = os.path.join(out, f".{name}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(write_urlset(rows))
+                os.replace(tmp, os.path.join(out, name))  # idempotent
+                written.append(len(rows))
+            return pa.table(
+                {"shard": t.column("shard"), "n": pa.array(written, pa.int64())}
+            )
+
+        n_urls = (
+            shard_ids.map_batches(write_shard, batch_format="pyarrow")
+            .sum("n")
+        )
+        index = write_sitemapindex(
+            [f"sitemap-{s:05d}.xml" for s in range(n_shards)]
+        )
+        with open(os.path.join(out, "sitemap-index.xml"), "wb") as f:
+            f.write(index)
+        res = read_sitemaps(out).to_pandas()
+        assert len(res) == n_urls, (len(res), n_urls)
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_SITEMAP_ROUNDTRIP = """
+SELECT url, lastmod, shard
+FROM read_parquet('/tmp/ccray_oracle_sitemap.parquet')
+"""
 
 
 def q_arc_roundtrip(sf_dir: str):
@@ -6587,6 +6706,8 @@ REGISTRY: dict[str, tuple] = {
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "topic_mixture": (q_topic_mixture, SQL_TOPIC_MIXTURE),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "crawl_epoch_stats": (q_crawl_epoch_stats, SQL_CRAWL_EPOCH_STATS),
+    "sitemap_roundtrip": (q_sitemap_roundtrip, SQL_SITEMAP_ROUNDTRIP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),

@@ -1,0 +1,150 @@
+"""XML sitemap source/sink (sitemaps.org protocol).
+
+The crawl-discovery companion the anchor-link frontier misses: sites
+publish their URL inventory as ``<urlset>`` sitemap files, sharded
+under a ``<sitemapindex>``. The reference library has no sitemap
+support (its discovery is anchor-based); a modern recrawl engine
+seeds its frontier from both. This module gives the engine the XML
+format layer: a deterministic writer (shard files of ``<url><loc>``
+entries + one index) and a namespace-tolerant stdlib parser, wired
+Ray-Data-first — ``read_binary_files`` over the shard directory, one
+``flat``-shaped ``map_batches`` parse stage, (url, lastmod, shard)
+rows out.
+
+Scale shape: each sitemap shard file is one read task (the protocol
+caps a shard at 50k URLs / 50 MB, so a shard is block-sized by
+construction); parsing is per-shard-local with zero exchanges, and
+frontier seeding from the parsed rows reuses the crawl's canonical
+fingerprint + URL-seen machinery.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
+
+import pyarrow as pa
+
+SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def write_urlset(rows: list[tuple[str, str | None]]) -> bytes:
+    """(loc, lastmod|None) rows -> canonical ``<urlset>`` bytes.
+    Hand-rendered (sorted attrs, LF lines, no timestamps) so the
+    output is byte-deterministic across runs and platforms."""
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    out.append(f'<urlset xmlns="{SITEMAP_NS}">')
+    for loc, lastmod in rows:
+        out.append("  <url>")
+        out.append(f"    <loc>{escape(loc)}</loc>")
+        if lastmod is not None:
+            out.append(f"    <lastmod>{escape(lastmod)}</lastmod>")
+        out.append("  </url>")
+    out.append("</urlset>")
+    return ("\n".join(out) + "\n").encode("utf-8")
+
+
+def write_sitemapindex(locs: list[str]) -> bytes:
+    """Shard locations -> canonical ``<sitemapindex>`` bytes."""
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    out.append(f'<sitemapindex xmlns="{SITEMAP_NS}">')
+    for loc in locs:
+        out.append("  <sitemap>")
+        out.append(f"    <loc>{escape(loc)}</loc>")
+        out.append("  </sitemap>")
+    out.append("</sitemapindex>")
+    return ("\n".join(out) + "\n").encode("utf-8")
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_sitemap(data: bytes) -> tuple[str, list[tuple[str, str | None]]]:
+    """Sitemap bytes -> (kind, rows). kind is ``"urlset"`` (rows =
+    (loc, lastmod|None)) or ``"sitemapindex"`` (rows = (loc, None)).
+    Namespace-tolerant: matches on local tag names, so files with a
+    missing/alternate xmlns still parse (the live web's dominant
+    sitemap defect)."""
+    root = ET.fromstring(data)
+    kind = _local(root.tag)
+    rows: list[tuple[str, str | None]] = []
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    for el in root:
+        if _local(el.tag) != child_tag:
+            continue
+        loc: str | None = None
+        lastmod: str | None = None
+        for sub in el:
+            t = _local(sub.tag)
+            if t == "loc":
+                loc = (sub.text or "").strip()
+            elif t == "lastmod":
+                lastmod = (sub.text or "").strip()
+        if loc:
+            rows.append((loc, lastmod))
+    return kind, rows
+
+
+def parse_sitemap_batch(t: pa.Table) -> pa.Table:
+    """read_binary_files batch (path, bytes) -> (url, lastmod, shard)
+    rows; one shard file = one urlset. Index files (kind
+    'sitemapindex') contribute no URL rows — the reader enumerates
+    shard files directly, the index is for external crawlers."""
+    import os
+
+    urls: list[str] = []
+    lastmods: list[str | None] = []
+    shards: list[str] = []
+    for path, data in zip(
+        t.column("path").to_pylist(), t.column("bytes").to_pylist()
+    ):
+        kind, rows = parse_sitemap(data)
+        if kind != "urlset":
+            continue
+        shard = os.path.basename(path)
+        for loc, lastmod in rows:
+            urls.append(loc)
+            lastmods.append(lastmod)
+            shards.append(shard)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "lastmod": pa.array(lastmods, pa.string()),
+            "shard": pa.array(shards, pa.string()),
+        }
+    )
+
+
+def universe_sitemap_rows(
+    sf: float, seed: int = 42, n_shards: int = 16
+) -> list[tuple[int, str, str]]:
+    """The synthetic universe's full URL inventory as deterministic
+    sitemap rows (shard_id, loc, lastmod): shard and lastmod are pure
+    functions of fp64(url), so the distributed writer, the reader
+    round-trip, and the sequential oracle all derive the identical
+    row set from (sf, seed) alone. Shared-kernel discipline of
+    oracle_arc_roundtrip_table."""
+    from ..functions.fingerprint import fp64
+    from .synth import get_universe
+
+    uni = get_universe(sf, seed)
+    rows: list[tuple[int, str, str]] = []
+    for host in uni.hosts:
+        for k in range(uni.page_counts[host]):
+            loc = uni.canon_page_url(host, k)
+            fp = fp64(loc) & 0x7FFFFFFF
+            lastmod = f"2025-{(fp % 12) + 1:02d}-{(fp % 28) + 1:02d}"
+            rows.append((fp % n_shards, loc, lastmod))
+    return rows
+
+
+def read_sitemaps(dir_path: str):
+    """Sitemap shard directory -> Dataset of (url, lastmod, shard).
+    One read task per shard file; the index file is skipped by the
+    parse stage."""
+    import ray.data as rd
+
+    return rd.read_binary_files(dir_path, include_paths=True).map_batches(
+        parse_sitemap_batch, batch_format="pyarrow"
+    )
