@@ -66,6 +66,13 @@ class CrawlConfig:
     # WARC-Date is the deterministic epoch clock (epoch seconds), never
     # the wall clock — resume/retry parity demands it.
     archive_format: str | None = None
+    # frontier seeding: "list" (the universe's anchor seed list) or
+    # "list+sitemap" (additionally ingest the sitemap-published URL
+    # slice — the hosts the anchor list misses. The engine reads the
+    # seeds THROUGH the real XML shard files, sources/sitemap.py; the
+    # oracle crawler derives the same set from the shared kernel, so
+    # crawl parity also validates the XML path end to end).
+    seed_source: str = "list"
 
     def priority_for_depth(self, depth: int) -> float:
         return 1.0 / (depth + 1)

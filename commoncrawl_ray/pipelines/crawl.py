@@ -814,6 +814,14 @@ def _seed_frontier_table(cfg: CrawlConfig) -> pa.Table:
 
     uni = get_universe(cfg.sf, cfg.seed)
     seeds = uni.seed_urls()
+    if getattr(cfg, "seed_source", "list") == "list+sitemap":
+        # sitemap ingestion through the REAL XML path: shard files in a
+        # write-once cache, one read task per shard, stdlib parse stage
+        from ..sources.sitemap import read_sitemaps, sitemap_seed_cache_dir
+
+        sm_dir = sitemap_seed_cache_dir(cfg.sf, cfg.seed)
+        sm = read_sitemaps(sm_dir).to_pandas()  # seed-scale, bounded
+        seeds = seeds + sorted(sm["url"].tolist())
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     cand = (
         rd.from_items([{"url": u} for u in seeds], override_num_blocks=min(ncpu, max(1, len(seeds) // 256)))

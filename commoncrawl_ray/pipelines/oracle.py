@@ -91,7 +91,14 @@ def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
     pagerank_mode = getattr(cfg, "priority_kind", "depth") == "pagerank"
     edge_set: set[tuple[str, str]] = set()
 
-    for url in uni.seed_urls():
+    seed_list = list(uni.seed_urls())
+    if getattr(cfg, "seed_source", "list") == "list+sitemap":
+        # shared kernel — the engine reads the same set through the
+        # real XML shards, so parity validates the XML layer too
+        from ..sources.sitemap import sitemap_seed_urls
+
+        seed_list += sitemap_seed_urls(cfg.sf, cfg.seed)
+    for url in seed_list:
         c = _admit(url, 0, 0, cfg)
         if c is not None and c.url_fp not in res.seen:
             res.seen.add(c.url_fp)

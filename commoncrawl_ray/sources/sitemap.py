@@ -139,6 +139,58 @@ def universe_sitemap_rows(
     return rows
 
 
+def sitemap_seed_urls(sf: float, seed: int = 42) -> list[str]:
+    """The sitemap-discovered seed slice: the first two pages of every
+    host the anchor seed list MISSES (``fp64(host) % 10 >= 8`` — the
+    complement of Universe.seed_urls' 80% rule), sorted. This is what
+    sitemap ingestion buys a crawl: coverage of sites nothing links
+    to yet. Shared verbatim by the oracle crawler; the engine derives
+    the same set through the real XML write->read->parse path
+    (sitemap_seed_cache_dir), so crawl parity also validates the XML
+    layer end to end."""
+    from ..functions.fingerprint import fp64
+    from .synth import get_universe
+
+    uni = get_universe(sf, seed)
+    out: list[str] = []
+    for h in uni.hosts:
+        if (fp64(h) % 10) >= 8:
+            for k in range(min(2, uni.page_counts[h])):
+                out.append(uni.canon_page_url(h, k))
+    return sorted(out)
+
+
+def sitemap_seed_cache_dir(sf: float, seed: int = 42, n_shards: int = 4) -> str:
+    """Write-once /tmp cache of the seed slice as real XML urlset
+    shards (atomic per-file tmp+rename, byte-deterministic writer) —
+    the engine's crawl seeding reads THROUGH this XML, it never calls
+    the row builder directly."""
+    import os
+
+    from ..functions.fingerprint import fp64
+
+    path = f"/tmp/ccray_sitemap_seeds_v1_{sf}_{seed}"
+    done = path + ".complete"  # sibling marker: the reader scans the dir
+    if os.path.isfile(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    urls = sitemap_seed_urls(sf, seed)
+    shards: dict[int, list[tuple[str, str | None]]] = {
+        s: [] for s in range(n_shards)
+    }
+    for u in urls:
+        shards[(fp64(u) & 0x7FFFFFFF) % n_shards].append((u, None))
+    for s, rows in shards.items():
+        name = f"sitemap-{s:05d}.xml"
+        tmp = os.path.join(path, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(write_urlset(rows))
+        os.replace(tmp, os.path.join(path, name))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
 def read_sitemaps(dir_path: str):
     """Sitemap shard directory -> Dataset of (url, lastmod, shard).
     One read task per shard file; the index file is skipped by the

@@ -232,3 +232,34 @@ def test_pagerank_priority_resume_parity(ray_session, tmp_path_factory):
     assert log.num_rows == len(want.log)
     assert log.column("url_fp").to_pylist() == [r["url_fp"] for r in want.log]
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sitemap_seed_parity(ray_session, tmp_path_factory):
+    """seed_source="list+sitemap": the engine ingests the sitemap seed
+    slice THROUGH the real XML shard files (write->read->parse) while
+    the oracle derives the same set from the shared kernel — parity
+    here validates the XML layer inside a full crawl, and the crawl
+    must reach hosts the anchor list alone never discovers."""
+    import dataclasses
+
+    from commoncrawl_ray.functions.fingerprint import fp64
+    from commoncrawl_ray.pipelines.crawl import crawl
+    from commoncrawl_ray.sources.synth import get_universe
+
+    cfg = dataclasses.replace(CFG, seed_source="list+sitemap")
+    want = oracle_crawl(cfg)
+    ckpt = str(tmp_path_factory.mktemp("crawl_sitemap"))
+    res = crawl(cfg, ckpt)
+    assert res.epochs_run == want.epochs_run
+    assert set(res.seen_table().column("url_fp").to_pylist()) == want.seen
+    got = res.log_table().to_pylist()
+    keys = ("epoch", "seq", "url_fp", "host_fp", "canon_url", "action", "http_status", "depth")
+    assert [{k: r[k] for k in keys} for r in got] == [{k: r[k] for k in keys} for r in want.log]
+    # the sitemap slice buys coverage: fetched hosts the anchor-only
+    # crawl can never reach (their pages are linked only from within)
+    uni = get_universe(cfg.sf, cfg.seed)
+    sm_hosts = {fp64(h) for h in uni.hosts if (fp64(h) % 10) >= 8}
+    fetched_hosts = {r["host_fp"] for r in got if r["action"] == "fetched"}
+    assert fetched_hosts & sm_hosts
+    anchor_only = oracle_crawl(CFG)
+    assert len(want.seen) > len(anchor_only.seen)

@@ -57,3 +57,46 @@ def test_universe_rows_deterministic():
     b = universe_sitemap_rows(0.001)
     assert a == b and len(a) >= 400
     assert all(0 <= s < 16 for s, _, _ in a)
+
+
+def test_sitemap_seed_slice_complements_anchor_seeds():
+    from commoncrawl_ray.functions.fingerprint import fp64
+    from commoncrawl_ray.sources.sitemap import sitemap_seed_urls
+    from commoncrawl_ray.sources.synth import get_universe
+
+    uni = get_universe(0.001, 42)
+    sm = sitemap_seed_urls(0.001, 42)
+    assert sm == sorted(sm) and len(sm) == len(set(sm)) and len(sm) >= 10
+    anchor_hosts = {h for h in uni.hosts if (fp64(h) % 10) < 8}
+    for u in sm:
+        host = u.split("/")[2]
+        assert host not in anchor_hosts  # exact complement of seed_urls
+    # deterministic
+    assert sitemap_seed_urls(0.001, 42) == sm
+
+
+def test_seed_cache_dir_roundtrips_through_real_xml(ray_session):
+    import os
+    import shutil
+
+    from commoncrawl_ray.sources.sitemap import (
+        read_sitemaps,
+        sitemap_seed_cache_dir,
+        sitemap_seed_urls,
+    )
+
+    path = f"/tmp/ccray_sitemap_seeds_v1_{0.001}_{42}"
+    shutil.rmtree(path, ignore_errors=True)
+    if os.path.isfile(path + ".complete"):
+        os.remove(path + ".complete")
+    d = sitemap_seed_cache_dir(0.001, 42)
+    assert os.path.isfile(d + ".complete")
+    names = sorted(os.listdir(d))
+    assert names == [f"sitemap-{s:05d}.xml" for s in range(4)]
+    got = sorted(read_sitemaps(d).to_pandas()["url"].tolist())
+    assert got == sitemap_seed_urls(0.001, 42)
+    # second call is a pure cache hit (byte-identical files untouched)
+    before = {n: open(os.path.join(d, n), "rb").read() for n in names}
+    assert sitemap_seed_cache_dir(0.001, 42) == d
+    after = {n: open(os.path.join(d, n), "rb").read() for n in names}
+    assert before == after
