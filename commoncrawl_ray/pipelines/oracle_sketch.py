@@ -35,6 +35,7 @@ MINHASH_ORACLE_PATH = "/tmp/ccray_oracle_minhash_pairs.parquet"
 PARSE_ORACLE_PATH = "/tmp/ccray_oracle_parse_extract.parquet"
 ARC_ORACLE_PATH = "/tmp/ccray_oracle_arc_roundtrip.parquet"
 HLL_ORACLE_PATH = "/tmp/ccray_oracle_hll_users.parquet"
+CDX_ORACLE_PATH = "/tmp/ccray_oracle_cdx_index.parquet"
 _M64 = (1 << 64) - 1
 
 
@@ -272,6 +273,41 @@ def oracle_arc_roundtrip_table(path: str = ARC_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(t, path, src_key)
+
+
+def oracle_cdx_table(path: str = CDX_ORACLE_PATH) -> str:
+    """Oracle for the CDX index queries WITHOUT the index layer: build
+    the identical 160-page shard straight from the synthetic universe
+    and derive the capture rows in-process via the shared row kernel
+    (sources/cdx.cdx_rows_batch — the same discipline as
+    oracle_arc_roundtrip_table). A value-hash match therefore proves
+    the CDXJ line format + gzip shard + cluster.idx write->read cycle
+    is lossless; the prefix-lookup query additionally proves the
+    pruned range scan returns exactly the SQL LIKE slice."""
+    from ..sources.cdx import cdx_rows_batch
+    from ..sources.synth import get_universe
+
+    src_key = "cdx|0.001|42|v1"
+    if _is_fresh(path, src_key):
+        return path
+    uni = get_universe(0.001, 42)
+    urls, tss, recs = [], [], []
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            urls.append(url)
+            tss.append(ts)
+            recs.append(rec)
+    rows = cdx_rows_batch(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("ms")),
+                "html": pa.array(recs, pa.binary()),
+            }
+        )
+    ).drop_columns(["cdx_key"])
+    return _write_atomic(rows, path, src_key)
 
 
 def oracle_hll_table(sf_dir: str, path: str = HLL_ORACLE_PATH, p: int = 14) -> str:

@@ -1544,6 +1544,7 @@ LIMIT 25
 
 from .oracle_sketch import (
     ARC_ORACLE_PATH,
+    CDX_ORACLE_PATH,
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
@@ -1608,6 +1609,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from .oracle_sketch import (
         oracle_anchor_terms_table,
         oracle_arc_roundtrip_table,
+        oracle_cdx_table,
         oracle_host_components_table,
         oracle_doc_fp_table,
         oracle_dup_strip_table,
@@ -1639,6 +1641,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_minhash_pairs_table(sf_dir)
     oracle_parse_extract_table(sf_dir)
     oracle_arc_roundtrip_table()
+    oracle_cdx_table()
     oracle_hll_table(sf_dir)
     oracle_hll_by_type_table(sf_dir)
     oracle_multimodal_table()
@@ -1915,6 +1918,92 @@ def q_warc_roundtrip(sf_dir: str):
 
 
 SQL_WARC_ROUNDTRIP = SQL_ARC_ROUNDTRIP
+
+
+def _cdx_query_index_dir() -> str:
+    """Write-once /tmp cache of the CDX index the two cdx_* queries
+    share: the 160-page universe shard -> build_cdx_index (the real
+    distributed sort + shard + cluster.idx path). Completeness marker
+    mirrors sources/sitemap.sitemap_seed_cache_dir."""
+    import os
+
+    from ..sources.cdx import build_cdx_index
+    from ..sources.synth import get_universe
+
+    path = "/tmp/ccray_cdx_index_v1_0.001_42"
+    done = path + ".complete"
+    if os.path.isfile(done):
+        return path
+    uni = get_universe(0.001, 42)
+    urls, tss, recs = [], [], []
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            urls.append(url)
+            tss.append(ts)
+            recs.append(rec)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("ms")),
+            "html": pa.array(recs, pa.binary()),
+        }
+    )
+    build_cdx_index(rd.from_arrow(t).repartition(6), path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
+def q_cdx_index(sf_dir: str):
+    """CDXJ capture-index layer (sources/cdx.py — the URL index the
+    real Common Crawl publishes beside its archives; the reference
+    predates CDX, built from the public CDXJ/zipnum layout): derive
+    capture rows from the 160-page shard, globally sort by
+    SURT+TIMESTAMP14, write content-addressed .cdxj.gz shards + a
+    cluster.idx manifest, read every shard back through the Ray
+    source. Hash-checked against the no-index sequential kernel
+    (oracle_cdx_table) — a match proves the line format, gzip
+    sharding, and manifest-resolved read are lossless."""
+    from ..sources.cdx import read_cdxj
+    from .oracle_sketch import oracle_cdx_table
+
+    oracle_cdx_table()
+    d = _cdx_query_index_dir()
+    return read_cdxj(d).drop_columns(["cdx_key", "shard"])
+
+
+SQL_CDX_INDEX = f"""
+SELECT surt, ts14, url, http_status, mime_norm, digest_hex, length
+FROM read_parquet('{CDX_ORACLE_PATH}')
+"""
+
+# whole-TLD subtree scan: every .com capture (multi-shard range)
+CDX_LOOKUP_PREFIX = "com,"
+
+
+def q_cdx_prefix_lookup(sf_dir: str):
+    """Pruned CDX range scan: cluster.idx admits only the shards whose
+    key range intersects the SURT prefix — the lookup opens O(site)
+    files, not O(corpus) (tests assert real pruning). Result is the
+    exact capture slice, hash-checked vs the SQL LIKE filter over the
+    sequential oracle rows."""
+    from ..sources.cdx import cdx_lookup
+    from .oracle_sketch import oracle_cdx_table
+
+    oracle_cdx_table()
+    d = _cdx_query_index_dir()
+    return cdx_lookup(d, CDX_LOOKUP_PREFIX).drop_columns(
+        ["cdx_key", "shard"]
+    )
+
+
+SQL_CDX_PREFIX_LOOKUP = f"""
+SELECT surt, ts14, url, http_status, mime_norm, digest_hex, length
+FROM read_parquet('{CDX_ORACLE_PATH}')
+WHERE surt LIKE '{CDX_LOOKUP_PREFIX}%'
+"""
+
 
 
 def q_wet_export(sf_dir: str):
@@ -6755,5 +6844,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
+    "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
+    "cdx_prefix_lookup": (q_cdx_prefix_lookup, SQL_CDX_PREFIX_LOOKUP),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }

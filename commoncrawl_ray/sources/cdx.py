@@ -1,0 +1,324 @@
+"""CDXJ capture index source/sink (the URL index beside the archives).
+
+Common Crawl (and every wayback-style archive) publishes, next to its
+WARC/ARC shards, a *capture index*: one line per archived URL, keyed
+by SURT + TIMESTAMP14, globally sorted, range-sharded, with a tiny
+secondary index (``cluster.idx``) mapping key ranges to shard files so
+a reader can binary-search 100 TB of captures while opening only the
+shards its key range touches. The reference library predates CDX and
+has no counterpart; this module is built from the public CDXJ line
+format (``<surt-key> <ts14> <json>``) and the zipnum sharding idea.
+
+Ray-Data shape:
+- **build**: pages -> ``cdx_rows_batch`` (vectorized capture rows,
+  sharing the parse kernel with the archives) -> ONE global
+  ``sort("cdx_key")`` (the only exchange) -> one ``.cdxj.gz`` shard
+  per sorted block, written content-addressed (md5 name, tmp+rename —
+  idempotent under retries) -> ``cluster.idx`` from the per-shard
+  (first_key, last_key) manifest, which is shard-count-sized, never
+  corpus-sized.
+- **read**: ``read_binary_files`` over shard files, one parse task per
+  shard, zero exchanges.
+- **lookup**: ``cluster.idx`` prunes to the shards whose key range
+  intersects the query prefix — at 100 TB a per-site scan opens a
+  handful of files, not the index. The pruning is asserted by tests.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CLUSTER_IDX = "cluster.idx"
+
+
+# ---------------------------------------------------------------- rows
+
+
+def cdx_rows_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, warc_ts, html) -> capture rows (cdx_key, surt, ts14,
+    url=canonical, http_status, mime_norm, digest_hex, length). Shares
+    the parse kernel (stages/parse_extract.py) and the SURT transform
+    with the sequential oracle; rows whose URL cannot be canonicalized
+    to a SURT key are dropped (the archive still holds them — they are
+    simply not addressable by key, as in wayback CDX practice)."""
+    from ..functions.http import format_timestamp14
+    from ..functions.surt import surt
+    from ..stages.parse_extract import parse_extract_batch
+
+    parsed = parse_extract_batch(batch)
+    htmls = batch.column("html").to_pylist()
+    tss = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+    canon = parsed.column("canon_url").to_pylist()
+    status = parsed.column("http_status").to_pylist()
+    mime = parsed.column("mime_norm").to_pylist()
+
+    keys, surts, ts14s, urls, sts, mimes, digs, lens = (
+        [], [], [], [], [], [], [], [],
+    )
+    for i, cu in enumerate(canon):
+        s = surt(cu) if cu else None
+        if s is None:
+            continue
+        t14 = format_timestamp14(tss[i])
+        keys.append(s + " " + t14)
+        surts.append(s)
+        ts14s.append(t14)
+        urls.append(cu)
+        sts.append(status[i])
+        mimes.append(mime[i])
+        digs.append(hashlib.md5(htmls[i] or b"").hexdigest())
+        lens.append(len(htmls[i] or b""))
+    return pa.table(
+        {
+            "cdx_key": pa.array(keys, pa.string()),
+            "surt": pa.array(surts, pa.string()),
+            "ts14": pa.array(ts14s, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "http_status": pa.array(sts, pa.int32()),
+            "mime_norm": pa.array(mimes, pa.string()),
+            "digest_hex": pa.array(digs, pa.string()),
+            "length": pa.array(lens, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- lines
+
+
+def format_cdxj_line(row: dict) -> str:
+    """Capture row -> one CDXJ line. JSON field order is fixed
+    (sort_keys) so the writer is byte-deterministic."""
+    fields = {
+        "digest": row["digest_hex"],
+        "length": str(row["length"]),
+        "mime": row["mime_norm"],
+        "status": str(row["http_status"]),
+        "url": row["url"],
+    }
+    return (
+        f"{row['surt']} {row['ts14']} "
+        f"{json.dumps(fields, sort_keys=True, separators=(',', ':'))}"
+    )
+
+
+def parse_cdxj(data: bytes) -> list[dict]:
+    """CDXJ shard bytes (gzip or plain — dual dispatch: Ray's
+    read_binary_files transparently gunzips ``.gz`` paths) -> capture
+    rows. Tolerant of blank lines; the key is re-derived from the two
+    leading space-separated tokens (JSON may itself contain spaces)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    rows: list[dict] = []
+    for line in data.decode("utf-8").splitlines():
+        if not line.strip():
+            continue
+        surt_key, ts14, js = line.split(" ", 2)
+        f = json.loads(js)
+        rows.append(
+            {
+                "cdx_key": surt_key + " " + ts14,
+                "surt": surt_key,
+                "ts14": ts14,
+                "url": f["url"],
+                "http_status": int(f["status"]),
+                "mime_norm": f["mime"],
+                "digest_hex": f["digest"],
+                "length": int(f["length"]),
+            }
+        )
+    return rows
+
+
+_SCHEMA = pa.schema(
+    [
+        ("cdx_key", pa.string()),
+        ("surt", pa.string()),
+        ("ts14", pa.string()),
+        ("url", pa.string()),
+        ("http_status", pa.int32()),
+        ("mime_norm", pa.string()),
+        ("digest_hex", pa.string()),
+        ("length", pa.int64()),
+        ("shard", pa.string()),
+    ]
+)
+
+
+def _rows_to_table(rows: list[dict], shard: str) -> pa.Table:
+    cols = {name: [r[name] for r in rows] for name in _SCHEMA.names[:-1]}
+    cols["shard"] = [shard] * len(rows)
+    return pa.table(
+        {n: pa.array(cols[n], _SCHEMA.field(n).type) for n in _SCHEMA.names}
+    )
+
+
+# ---------------------------------------------------------------- sink
+
+
+def build_cdx_index(pages_ds, out_dir: str):
+    """pages Dataset -> sorted, sharded CDXJ index under ``out_dir``
+    (+ ``cluster.idx``). Returns the shard-manifest table (file,
+    first_key, last_key, records) — shard-count-sized. ONE exchange
+    (the global key sort); shard writes are content-addressed and
+    idempotent (a retried block rewrites the identical file)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "file": pa.array([], pa.string()),
+                    "first_key": pa.array([], pa.string()),
+                    "last_key": pa.array([], pa.string()),
+                    "records": pa.array([], pa.int64()),
+                }
+            )
+        lines = [format_cdxj_line(r) for r in batch.to_pylist()]
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        # mtime=0: byte-deterministic gzip across runs/retries
+        blob = gzip.compress(payload, mtime=0)
+        name = f"cdx-{hashlib.md5(blob).hexdigest()}.cdxj.gz"
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(out_dir, name))
+        keys = batch.column("cdx_key")
+        return pa.table(
+            {
+                "file": pa.array([name], pa.string()),
+                "first_key": pa.array([keys[0].as_py()], pa.string()),
+                "last_key": pa.array([keys[-1].as_py()], pa.string()),
+                "records": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    rows = pages_ds.map_batches(
+        cdx_rows_batch, batch_format="pyarrow", batch_size=None
+    )
+    # materialize() so the side-effecting write stage executes EXACTLY
+    # once (schema probes / to_arrow_refs on a lazy plan re-run the
+    # lineage with a limit, double-writing shards)
+    written = (
+        rows.sort("cdx_key")
+        .map_batches(write_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    import ray
+
+    man = pa.concat_tables([ray.get(r) for r in written.to_arrow_refs()])
+    man = man.sort_by("first_key")
+    idx_lines = [
+        f"{fk}\t{fn}\t{lk}\t{n}"
+        for fk, fn, lk, n in zip(
+            man.column("first_key").to_pylist(),
+            man.column("file").to_pylist(),
+            man.column("last_key").to_pylist(),
+            man.column("records").to_pylist(),
+        )
+    ]
+    tmp = os.path.join(out_dir, f".{CLUSTER_IDX}.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write("\n".join(idx_lines) + ("\n" if idx_lines else ""))
+    os.replace(tmp, os.path.join(out_dir, CLUSTER_IDX))
+    # the atomically-replaced cluster.idx is the index's manifest:
+    # readers resolve shards through it, so orphans from an earlier
+    # build (different sort boundaries -> different content hashes)
+    # are unreachable — drop them
+    live = set(man.column("file").to_pylist())
+    for f in os.listdir(out_dir):
+        if f.endswith(".cdxj.gz") and f not in live:
+            os.remove(os.path.join(out_dir, f))
+    return man
+
+
+# -------------------------------------------------------------- source
+
+
+def _parse_batch(t: pa.Table) -> pa.Table:
+    tables = []
+    for path, data in zip(
+        t.column("path").to_pylist(), t.column("bytes").to_pylist()
+    ):
+        tables.append(_rows_to_table(parse_cdxj(data), os.path.basename(path)))
+    if not tables:
+        return _SCHEMA.empty_table()
+    return pa.concat_tables(tables)
+
+
+def read_cdxj(dir_or_paths):
+    """CDXJ shard dir (or explicit path list) -> Dataset of capture
+    rows; one read+parse task per shard, zero exchanges."""
+    import ray.data as rd
+
+    paths = dir_or_paths
+    if isinstance(paths, str):
+        idx = os.path.join(paths, CLUSTER_IDX)
+        if os.path.isfile(idx):
+            # resolve shards through the manifest, never a dir glob —
+            # orphans from interrupted builds are unreachable
+            with open(idx) as f:
+                names = [
+                    line.rstrip("\n").split("\t")[1]
+                    for line in f
+                    if line.strip()
+                ]
+            paths = [os.path.join(paths, n) for n in names]
+        else:
+            paths = [
+                os.path.join(paths, f)
+                for f in sorted(os.listdir(paths))
+                if f.endswith(".cdxj.gz")
+            ]
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
+        _parse_batch, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------- lookup
+
+
+def _prefix_upper(prefix: str) -> str:
+    """Smallest string greater than every string with this prefix."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return prefix + "\U0010ffff"
+
+
+def cdx_files_for_prefix(index_dir: str, prefix: str) -> list[str]:
+    """cluster.idx range intersection: the shard files that can hold
+    keys starting with ``prefix`` — the pruning step that makes a
+    per-site lookup open O(site) files, not O(corpus)."""
+    upper = _prefix_upper(prefix)
+    out = []
+    with open(os.path.join(index_dir, CLUSTER_IDX)) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            first_key, fname, last_key, _n = line.rstrip("\n").split("\t")
+            if last_key >= prefix and first_key < upper:
+                out.append(fname)
+    return out
+
+
+def cdx_lookup(index_dir: str, surt_prefix: str):
+    """SURT prefix -> Dataset of matching capture rows, reading ONLY
+    the shards cluster.idx admits (sorted-index range scan)."""
+    import ray.data as rd
+
+    files = cdx_files_for_prefix(index_dir, surt_prefix)
+    if not files:
+        return rd.from_arrow(_SCHEMA.empty_table())
+    paths = [os.path.join(index_dir, f) for f in files]
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(t.column("cdx_key"), surt_prefix))
+
+    return read_cdxj(paths).map_batches(filt, batch_format="pyarrow")

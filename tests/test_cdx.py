@@ -1,0 +1,197 @@
+"""SURT transform + CDXJ capture-index tests (functions/surt.py,
+sources/cdx.py): key goldens, line round-trip, sorted-shard build,
+cluster.idx pruning, idempotent content-addressed writes."""
+
+import gzip
+import os
+
+import pyarrow as pa
+import pytest
+
+from commoncrawl_ray.functions.surt import surt, surt_host_prefix
+from commoncrawl_ray.sources.cdx import (
+    _prefix_upper,
+    cdx_files_for_prefix,
+    cdx_rows_batch,
+    format_cdxj_line,
+    parse_cdxj,
+)
+
+
+def test_surt_goldens():
+    cases = [
+        ("http://www.example.com/", "com,example)/"),
+        ("http://example.com/a/b?x=1", "com,example)/a/b?x=1"),
+        # query args sorted; fragment dropped; default port dropped
+        ("http://a.b.example.com:80/p?z=2&a=1#frag", "com,example,b,a)/p?a=1&z=2"),
+        ("http://example.com:8080/p", "com,example)/p" .replace(")", ":8080)")),
+        # scheme + userinfo never in the key; host lowercased
+        ("http://user:pw@EXAMPLE.com/P", "com,example)/P"),
+        # IPv4 literal not reversed
+        ("http://192.168.0.1/x", "192.168.0.1)/x"),
+    ]
+    for url, want in cases:
+        assert surt(url) == want, url
+
+
+def test_surt_invalid_is_none():
+    assert surt("not a url") is None
+    assert surt("") is None
+
+
+def test_surt_sort_groups_sites():
+    keys = sorted(
+        surt(u)
+        for u in [
+            "http://example.com/z",
+            "http://example.com/a",
+            "http://sub.example.com/m",
+            "http://example.org/a",
+        ]
+    )
+    # all example.com captures contiguous, subdomain after the apex
+    assert keys == [
+        "com,example)/a",
+        "com,example)/z",
+        "com,example,sub)/m",
+        "org,example)/a",
+    ]
+
+
+def test_surt_host_prefix():
+    assert surt_host_prefix("www.example.com") == "com,example)"
+    assert surt_host_prefix("http://sub.example.com/x?y=1") == "com,example,sub)"
+    assert surt_host_prefix("192.168.0.1") == "192.168.0.1)"
+
+
+def test_cdxj_line_roundtrip():
+    row = {
+        "surt": "com,example)/a",
+        "ts14": "20250102030405",
+        "url": "http://example.com/a",
+        "http_status": 200,
+        "mime_norm": "text/html",
+        "digest_hex": "d41d8cd98f00b204e9800998ecf8427e",
+        "length": 123,
+    }
+    line = format_cdxj_line(row)
+    assert line.startswith("com,example)/a 20250102030405 {")
+    got = parse_cdxj((line + "\n").encode())[0]
+    for k in row:
+        assert got[k] == row[k]
+    assert got["cdx_key"] == "com,example)/a 20250102030405"
+    # gzip dual dispatch
+    got2 = parse_cdxj(gzip.compress((line + "\n").encode()))[0]
+    assert got2 == got
+
+
+def test_prefix_upper():
+    assert _prefix_upper("com,example)") > "com,example)zzz"
+    assert _prefix_upper("a") == "b"
+    assert "com,exampld" < _prefix_upper("com,exampld") <= "com,example"
+
+
+def _universe_pages_table(n_hosts=8, per_host=20) -> pa.Table:
+    from commoncrawl_ray.sources.synth import get_universe
+
+    uni = get_universe(0.001, 42)
+    urls, tss, recs = [], [], []
+    for host in uni.hosts[:n_hosts]:
+        for k in range(min(per_host, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            urls.append(url)
+            tss.append(ts)
+            recs.append(rec)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("ms")),
+            "html": pa.array(recs, pa.binary()),
+        }
+    )
+
+
+def test_cdx_rows_batch_deterministic():
+    t = _universe_pages_table(4, 10)
+    a = cdx_rows_batch(t)
+    b = cdx_rows_batch(t)
+    assert a.equals(b)
+    assert a.num_rows > 0
+    keys = a.column("cdx_key").to_pylist()
+    assert all(" " in k for k in keys)
+
+
+def test_build_read_lookup(ray_session, tmp_path):
+    import ray.data as rd
+
+    from commoncrawl_ray.sources.cdx import (
+        build_cdx_index,
+        cdx_lookup,
+        read_cdxj,
+    )
+
+    t = _universe_pages_table()
+    expect = cdx_rows_batch(t)
+    out = str(tmp_path / "cdx")
+    ds = rd.from_arrow(t).repartition(6)
+    man = build_cdx_index(ds, out)
+    assert os.path.isfile(os.path.join(out, "cluster.idx"))
+    assert man.num_rows >= 2  # actually sharded
+    # shard ranges are disjoint and ordered (global sort)
+    firsts = man.column("first_key").to_pylist()
+    lasts = man.column("last_key").to_pylist()
+    for i in range(1, man.num_rows):
+        assert lasts[i - 1] <= firsts[i]
+    # full read-back == expected rows (order-insensitive)
+    got = read_cdxj(out).to_pandas().sort_values("cdx_key").reset_index(drop=True)
+    want = (
+        expect.to_pandas().sort_values("cdx_key").reset_index(drop=True)
+    )
+    assert list(got["cdx_key"]) == list(want["cdx_key"])
+    for col in ("url", "http_status", "mime_norm", "digest_hex", "length"):
+        assert list(got[col]) == list(want[col]), col
+    # keys within each shard file are sorted (binary-searchable)
+    for fname in man.column("file").to_pylist():
+        rows = parse_cdxj(open(os.path.join(out, fname), "rb").read())
+        ks = [r["cdx_key"] for r in rows]
+        assert ks == sorted(ks)
+
+    # lookup: pick the surt host prefix with the most captures
+    surts = expect.column("surt").to_pylist()
+    prefix = max(
+        {s.split(")")[0] + ")" for s in surts},
+        key=lambda p: sum(s.startswith(p) for s in surts),
+    )
+    pruned = cdx_files_for_prefix(out, prefix)
+    assert 0 < len(pruned) < man.num_rows  # pruning really skips shards
+    hit = cdx_lookup(out, prefix).to_pandas()
+    want_n = sum(s.startswith(prefix) for s in surts)
+    assert len(hit) == want_n > 0
+    assert all(k.startswith(prefix) for k in hit["cdx_key"])
+
+    # no-match prefix -> empty dataset with full schema
+    miss = cdx_lookup(out, "zz,nothing)").to_pandas()
+    assert len(miss) == 0
+
+
+def test_build_is_idempotent_content_addressed(ray_session, tmp_path):
+    import ray.data as rd
+
+    from commoncrawl_ray.sources.cdx import build_cdx_index
+
+    from commoncrawl_ray.sources.cdx import read_cdxj
+
+    t = _universe_pages_table(4, 10)
+    expect_n = len(cdx_rows_batch(t))
+    out = str(tmp_path / "cdx2")
+    m1 = build_cdx_index(rd.from_arrow(t).repartition(3), out)
+    assert read_cdxj(out).count() == expect_n
+    # rebuild over the same dir: sort boundaries may differ, but the
+    # manifest-resolved read must never double-count, and no orphan
+    # shard may survive the atomic cluster.idx replace
+    m2 = build_cdx_index(rd.from_arrow(t).repartition(3), out)
+    assert read_cdxj(out).count() == expect_n
+    on_disk = {f for f in os.listdir(out) if f.endswith(".cdxj.gz")}
+    assert on_disk == set(m2.column("file").to_pylist())
+    assert int(m1.column("records").to_pylist() and sum(m1.column("records").to_pylist())) == expect_n
+    assert sum(m2.column("records").to_pylist()) == expect_n
