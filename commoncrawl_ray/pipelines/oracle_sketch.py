@@ -36,6 +36,8 @@ PARSE_ORACLE_PATH = "/tmp/ccray_oracle_parse_extract.parquet"
 ARC_ORACLE_PATH = "/tmp/ccray_oracle_arc_roundtrip.parquet"
 HLL_ORACLE_PATH = "/tmp/ccray_oracle_hll_users.parquet"
 CDX_ORACLE_PATH = "/tmp/ccray_oracle_cdx_index.parquet"
+BPE_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_bpe_train.parquet"
+BPE_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_bpe_encode.parquet"
 _M64 = (1 << 64) - 1
 
 
@@ -273,6 +275,81 @@ def oracle_arc_roundtrip_table(path: str = ARC_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(t, path, src_key)
+
+
+BPE_MAX_WORDS = 20_000
+BPE_N_MERGES = 200
+
+
+def _bpe_seq_word_counts(sf_dir: str) -> dict[str, int]:
+    """Sequential word-count + cap: dict fold over every document with
+    the SHARED pre-tokenizer, then the identical deterministic cap
+    rule (count desc, word asc, top BPE_MAX_WORDS) the distributed
+    sort+limit applies."""
+    from collections import Counter
+
+    from ..stages.bpe import pretokenize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    c: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        if txt:
+            c.update(pretokenize(txt))
+    kept = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+    return dict(kept)
+
+
+def oracle_bpe_train_table(
+    sf_dir: str, path: str = BPE_TRAIN_ORACLE_PATH
+) -> str:
+    """Sequential BPE training oracle: single-process word counts (no
+    Ray) feeding the SHARED merge-learning kernel (stages/bpe.learn_bpe
+    — pure + deterministic), so a registry hash match isolates exactly
+    the distributed counting/cap path."""
+    from ..stages.bpe import learn_bpe, merges_table
+
+    src_key = f"{os.path.abspath(sf_dir)}|bpe_train|{BPE_MAX_WORDS}|{BPE_N_MERGES}"
+    if _is_fresh(path, src_key):
+        return path
+    merges = learn_bpe(_bpe_seq_word_counts(sf_dir), BPE_N_MERGES)
+    return _write_atomic(merges_table(merges), path, src_key)
+
+
+def oracle_bpe_encode_table(
+    sf_dir: str, path: str = BPE_ENCODE_ORACLE_PATH
+) -> str:
+    """Sequential BPE encode oracle: the sequentially-trained merge
+    ranks applied doc-by-doc with the shared encode_word kernel."""
+    from ..stages.bpe import encode_word, learn_bpe, pretokenize
+
+    src_key = f"{os.path.abspath(sf_dir)}|bpe_encode|{BPE_MAX_WORDS}|{BPE_N_MERGES}"
+    if _is_fresh(path, src_key):
+        return path
+    merges = learn_bpe(_bpe_seq_word_counts(sf_dir), BPE_N_MERGES)
+    ranks = {m: i for i, m in enumerate(merges)}
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    memo: dict[str, int] = {}
+    out = []
+    for txt in t.column("text").to_pylist():
+        n = 0
+        for w in pretokenize(txt or ""):
+            k = memo.get(w)
+            if k is None:
+                k = len(encode_word(w, ranks))
+                memo[w] = k
+            n += k
+        out.append(n)
+    tab = pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": pa.array(out, pa.int64()),
+        }
+    )
+    return _write_atomic(tab, path, src_key)
 
 
 def oracle_cdx_table(path: str = CDX_ORACLE_PATH) -> str:

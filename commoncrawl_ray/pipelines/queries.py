@@ -1545,6 +1545,8 @@ LIMIT 25
 from .oracle_sketch import (
     ARC_ORACLE_PATH,
     CDX_ORACLE_PATH,
+    BPE_TRAIN_ORACLE_PATH,
+    BPE_ENCODE_ORACLE_PATH,
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
@@ -1610,6 +1612,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_anchor_terms_table,
         oracle_arc_roundtrip_table,
         oracle_cdx_table,
+        oracle_bpe_train_table,
+        oracle_bpe_encode_table,
         oracle_host_components_table,
         oracle_doc_fp_table,
         oracle_dup_strip_table,
@@ -1642,6 +1646,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_parse_extract_table(sf_dir)
     oracle_arc_roundtrip_table()
     oracle_cdx_table()
+    oracle_bpe_train_table(sf_dir)
+    oracle_bpe_encode_table(sf_dir)
     oracle_hll_table(sf_dir)
     oracle_hll_by_type_table(sf_dir)
     oracle_multimodal_table()
@@ -2003,6 +2009,73 @@ SELECT surt, ts14, url, http_status, mime_norm, digest_hex, length
 FROM read_parquet('{CDX_ORACLE_PATH}')
 WHERE surt LIKE '{CDX_LOOKUP_PREFIX}%'
 """
+
+
+# --------------------------------------------------------------------
+# BPE tokenizer training + encoding (stages/bpe.py)
+# --------------------------------------------------------------------
+
+
+def _bpe_merges(sf_dir: str) -> list[tuple[str, str]]:
+    """Distributed word-count -> shared merge-learning kernel. The
+    corpus-scale half is Ray (within-batch Counter pre-agg, ONE
+    groupby(word), distributed sort+limit cap); the merge loop is
+    vocab-scale driver compute — the standard two-regime split every
+    BPE trainer uses (Sennrich 2016)."""
+    from .oracle_sketch import BPE_MAX_WORDS, BPE_N_MERGES
+    from ..stages.bpe import corpus_word_counts, learn_bpe
+
+    docs = _pq(sf_dir, "documents", ["text"], min_blocks=8)
+    wc = corpus_word_counts(docs, max_words=BPE_MAX_WORDS)
+    counts = dict(
+        zip(wc.column("word").to_pylist(), wc.column("count").to_pylist())
+    )
+    return learn_bpe(counts, BPE_N_MERGES)
+
+
+def q_bpe_train(sf_dir: str):
+    """Learn a BPE merge table from the corpus (stages/bpe.py). The
+    oracle runs the IDENTICAL pure merge kernel on sequentially-
+    counted words, so the hash match isolates the distributed
+    count + deterministic-cap path."""
+    from .oracle_sketch import oracle_bpe_train_table
+    from ..stages.bpe import merges_table
+
+    oracle_bpe_train_table(sf_dir)
+    return merges_table(_bpe_merges(sf_dir))
+
+
+SQL_BPE_TRAIN = f"""
+SELECT "rank", "left", "right", merged
+FROM read_parquet('{BPE_TRAIN_ORACLE_PATH}')
+"""
+
+
+def q_bpe_encode(sf_dir: str):
+    """Encode the corpus with the learned merges: ranks ray.put-
+    broadcast once, actor-pool stage with a per-actor word memo
+    (Zipf => ~1 hit rate), zero exchanges; (doc_id, n_bpe_tokens)
+    out — the exact token budget q_bpe_token_counts estimates."""
+    import ray
+
+    from .oracle_sketch import oracle_bpe_encode_table
+    from ..stages.bpe import BpeEncodeStage
+
+    oracle_bpe_encode_table(sf_dir)
+    ref = ray.put(_bpe_merges(sf_dir))
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        BpeEncodeStage,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+
+SQL_BPE_ENCODE = f"""
+SELECT doc_id, n_bpe_tokens
+FROM read_parquet('{BPE_ENCODE_ORACLE_PATH}')
+"""
+
 
 
 
@@ -6846,5 +6919,7 @@ REGISTRY: dict[str, tuple] = {
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     "cdx_prefix_lookup": (q_cdx_prefix_lookup, SQL_CDX_PREFIX_LOOKUP),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }
