@@ -165,6 +165,31 @@ def parse_robots_txt(text: str, agent: str = "ccray") -> RobotsRules:
     return merged(agent_lc) or merged("*") or ALLOW_ALL
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body — the discovery
+    bridge into the XML sitemap source (sources/sitemap.py). Per the
+    sitemaps.org protocol (and RFC 9309 §2.2.4 "other records") the
+    directive is GLOBAL, not group-scoped: every line counts no matter
+    which User-agent group surrounds it. Values must be absolute URLs;
+    order preserved, duplicates dropped."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if "://" not in val:
+            continue  # protocol requires an absolute URL
+        if val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out
+
+
 def fetch_robots_http(hosts: list[str], http_opts: dict | None, agent: str):
     """Fetch+parse ``http://host/robots.txt`` for each host through the
     crawl's own AsyncHttpFetcher. RFC 9309 §2.3.1 failure modes:

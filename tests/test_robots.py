@@ -272,3 +272,24 @@ def test_http_robots_crawl_matches_sim_crawl(ray_session, tmp_path_factory):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_sitemap_directive_is_global_and_deduped():
+    from commoncrawl_ray.state.robots import parse_robots_sitemaps
+
+    body = """
+User-agent: somebot
+Disallow: /private
+Sitemap: http://example.com/sitemap-a.xml
+
+User-agent: *
+Allow: /
+sitemap: http://example.com/sitemap-b.xml  # case-insensitive key
+Sitemap: http://example.com/sitemap-a.xml
+Sitemap: /relative/ignored.xml
+"""
+    assert parse_robots_sitemaps(body) == [
+        "http://example.com/sitemap-a.xml",
+        "http://example.com/sitemap-b.xml",
+    ]
+    assert parse_robots_sitemaps("User-agent: *\nDisallow:") == []
