@@ -123,6 +123,25 @@ def _cmd_parse(args) -> int:
     return 0
 
 
+def _cmd_index_cdx(args) -> int:
+    """WARC archive dir -> sorted CDXJ capture index + cluster.idx."""
+    ray = _init_ray(args.num_cpus)
+    from .sources.cdx import index_warc_archive
+
+    man = index_warc_archive(args.input, args.output)
+    print(
+        json.dumps(
+            {
+                "shards": man.num_rows,
+                "records": int(sum(man.column("records").to_pylist())),
+                "output": args.output,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def _cmd_export_warc(args) -> int:
     """pages parquet -> gzip-member-per-record .warc.gz files."""
     ray = _init_ray(args.num_cpus)
@@ -306,6 +325,13 @@ def main(argv=None) -> int:
     et.add_argument("--input", required=True)
     et.add_argument("--output", required=True)
     et.set_defaults(fn=_cmd_export_wet)
+
+    ic = sub.add_parser(
+        "index-cdx", help=".warc.gz archive dir -> sorted CDXJ capture index"
+    )
+    ic.add_argument("--input", required=True)
+    ic.add_argument("--output", required=True)
+    ic.set_defaults(fn=_cmd_index_cdx)
 
     s = sub.add_parser("synth", help="generate a synthetic pages universe")
     s.add_argument("--output", required=True)

@@ -161,12 +161,13 @@ def _rows_to_table(rows: list[dict], shard: str) -> pa.Table:
 # ---------------------------------------------------------------- sink
 
 
-def build_cdx_index(pages_ds, out_dir: str):
-    """pages Dataset -> sorted, sharded CDXJ index under ``out_dir``
-    (+ ``cluster.idx``). Returns the shard-manifest table (file,
-    first_key, last_key, records) — shard-count-sized. ONE exchange
-    (the global key sort); shard writes are content-addressed and
-    idempotent (a retried block rewrites the identical file)."""
+def write_cdx_from_rows(rows_ds, out_dir: str):
+    """capture-row Dataset (cdx_rows_batch schema, ``shard`` column
+    ignored if present) -> sorted, sharded CDXJ index under
+    ``out_dir`` (+ ``cluster.idx``). Returns the shard-manifest table
+    (file, first_key, last_key, records) — shard-count-sized. ONE
+    exchange (the global key sort); shard writes are content-addressed
+    and idempotent (a retried block rewrites the identical file)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
@@ -198,9 +199,10 @@ def build_cdx_index(pages_ds, out_dir: str):
             }
         )
 
-    rows = pages_ds.map_batches(
-        cdx_rows_batch, batch_format="pyarrow", batch_size=None
-    )
+    def strip_shard(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["shard"]) if "shard" in t.schema.names else t
+
+    rows = rows_ds.map_batches(strip_shard, batch_format="pyarrow")
     # materialize() so the side-effecting write stage executes EXACTLY
     # once (schema probes / to_arrow_refs on a lazy plan re-run the
     # lineage with a limit, double-writing shards)
@@ -235,6 +237,57 @@ def build_cdx_index(pages_ds, out_dir: str):
         if f.endswith(".cdxj.gz") and f not in live:
             os.remove(os.path.join(out_dir, f))
     return man
+
+
+def build_cdx_index(pages_ds, out_dir: str):
+    """pages Dataset (url, warc_ts, html) -> CDXJ index: the capture
+    rows are derived with the shared parse kernel, then written via
+    write_cdx_from_rows."""
+    return write_cdx_from_rows(
+        pages_ds.map_batches(
+            cdx_rows_batch, batch_format="pyarrow", batch_size=None
+        ),
+        out_dir,
+    )
+
+
+def merge_cdx_indexes(index_dirs: list[str], out_dir: str):
+    """Merge N sorted CDXJ indexes into one (the incremental-recrawl
+    path: each crawl epoch/snapshot publishes its own index; readers
+    want a single sorted view). Union of manifest-resolved shard reads
+    -> ONE re-sort -> sharded write. No corpus-scale driver state —
+    the merge is the same one-exchange shape as the build."""
+    import ray.data as rd
+
+    parts = [read_cdxj(d) for d in index_dirs]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return write_cdx_from_rows(ds, out_dir)
+
+
+def index_warc_archive(archive_dir: str, out_dir: str):
+    """WARC archive directory -> CDXJ index over its captures: read
+    every ``.warc.gz`` back through the Ray WARC source and index the
+    (url, warc_ts, html) rows — what the real Common Crawl does after
+    each crawl (cdx-index beside the warc/ prefix)."""
+    from .warc import read_warc_pages
+
+    paths = [
+        os.path.join(archive_dir, f)
+        for f in sorted(os.listdir(archive_dir))
+        if f.endswith(".warc.gz")
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no .warc.gz under {archive_dir}")
+    pages = read_warc_pages(paths)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["url", "warc_ts", "html"])
+
+    return build_cdx_index(
+        pages.map_batches(slim, batch_format="pyarrow"), out_dir
+    )
 
 
 # -------------------------------------------------------------- source

@@ -195,3 +195,61 @@ def test_build_is_idempotent_content_addressed(ray_session, tmp_path):
     assert on_disk == set(m2.column("file").to_pylist())
     assert int(m1.column("records").to_pylist() and sum(m1.column("records").to_pylist())) == expect_n
     assert sum(m2.column("records").to_pylist()) == expect_n
+
+
+def test_merge_cdx_indexes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from commoncrawl_ray.sources.cdx import (
+        build_cdx_index,
+        merge_cdx_indexes,
+        read_cdxj,
+    )
+
+    t = _universe_pages_table(6, 12)
+    half = t.num_rows // 2
+    a, b = t.slice(0, half), t.slice(half)
+    da, db, dm = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    build_cdx_index(rd.from_arrow(a).repartition(3), da)
+    build_cdx_index(rd.from_arrow(b).repartition(3), db)
+    man = merge_cdx_indexes([da, db], dm)
+    # merged == index built over the union, row for row
+    want = (
+        cdx_rows_batch(t).to_pandas().sort_values("cdx_key").reset_index(drop=True)
+    )
+    got = read_cdxj(dm).to_pandas().sort_values("cdx_key").reset_index(drop=True)
+    assert list(got["cdx_key"]) == list(want["cdx_key"])
+    assert list(got["digest_hex"]) == list(want["digest_hex"])
+    # merged shards are globally sorted and disjoint
+    firsts = man.column("first_key").to_pylist()
+    lasts = man.column("last_key").to_pylist()
+    for i in range(1, man.num_rows):
+        assert lasts[i - 1] <= firsts[i]
+
+
+def test_index_warc_archive_and_cli(ray_session, tmp_path, capsys):
+    import json
+
+    import ray.data as rd
+
+    from commoncrawl_ray.cli import main
+    from commoncrawl_ray.sources.cdx import cdx_lookup, read_cdxj
+    from commoncrawl_ray.sources.warc import write_warc
+
+    t = _universe_pages_table(4, 10)
+    warc_dir = str(tmp_path / "warc")
+    write_warc(rd.from_arrow(t).repartition(2), warc_dir).materialize()
+    out = str(tmp_path / "cdxidx")
+    rc = main(["index-cdx", "--input", warc_dir, "--output", out])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    expect = cdx_rows_batch(t)
+    assert info["records"] == expect.num_rows
+    got = read_cdxj(out).to_pandas().sort_values("cdx_key").reset_index(drop=True)
+    want = expect.to_pandas().sort_values("cdx_key").reset_index(drop=True)
+    assert list(got["cdx_key"]) == list(want["cdx_key"])
+    assert list(got["digest_hex"]) == list(want["digest_hex"])
+    # a capture is findable through the pruned lookup
+    s0 = want["surt"][0].split(")")[0] + ")"
+    hit = cdx_lookup(out, s0).to_pandas()
+    assert len(hit) == sum(s.startswith(s0) for s in want["surt"])
