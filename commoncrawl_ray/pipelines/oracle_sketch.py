@@ -36,6 +36,7 @@ PARSE_ORACLE_PATH = "/tmp/ccray_oracle_parse_extract.parquet"
 ARC_ORACLE_PATH = "/tmp/ccray_oracle_arc_roundtrip.parquet"
 HLL_ORACLE_PATH = "/tmp/ccray_oracle_hll_users.parquet"
 CDX_ORACLE_PATH = "/tmp/ccray_oracle_cdx_index.parquet"
+SITEMAP_INV_ORACLE_PATH = "/tmp/ccray_oracle_sitemap_inventory.parquet"
 BPE_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_bpe_train.parquet"
 BPE_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_bpe_encode.parquet"
 _M64 = (1 << 64) - 1
@@ -350,6 +351,28 @@ def oracle_bpe_encode_table(
         }
     )
     return _write_atomic(tab, path, src_key)
+
+
+def oracle_sitemap_inventory_table(
+    path: str = SITEMAP_INV_ORACLE_PATH,
+) -> str:
+    """The sf0.001 universe's full sitemap inventory (url, lastmod)
+    straight from the shared row kernel — the sitemap side of the
+    coverage-audit join (pinned to the same fixed 0.001/42 slice the
+    CDX index queries use, independent of the driver's sf_dir)."""
+    from ..sources.sitemap import universe_sitemap_rows
+
+    src_key = "sitemap_inv|0.001|42"
+    if _is_fresh(path, src_key):
+        return path
+    rows = universe_sitemap_rows(0.001, 42)
+    t = pa.table(
+        {
+            "url": pa.array([r[1] for r in rows], pa.string()),
+            "lastmod": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    return _write_atomic(t, path, src_key)
 
 
 def oracle_cdx_table(path: str = CDX_ORACLE_PATH) -> str:

@@ -1546,6 +1546,7 @@ from .oracle_sketch import (
     ARC_ORACLE_PATH,
     CDX_ORACLE_PATH,
     BPE_TRAIN_ORACLE_PATH,
+    SITEMAP_INV_ORACLE_PATH,
     BPE_ENCODE_ORACLE_PATH,
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
@@ -1613,6 +1614,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_arc_roundtrip_table,
         oracle_cdx_table,
         oracle_bpe_train_table,
+        oracle_sitemap_inventory_table,
         oracle_bpe_encode_table,
         oracle_host_components_table,
         oracle_doc_fp_table,
@@ -1647,6 +1649,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_arc_roundtrip_table()
     oracle_cdx_table()
     oracle_bpe_train_table(sf_dir)
+    oracle_sitemap_inventory_table()
     oracle_bpe_encode_table(sf_dir)
     oracle_hll_table(sf_dir)
     oracle_hll_by_type_table(sf_dir)
@@ -2075,6 +2078,87 @@ SQL_BPE_ENCODE = f"""
 SELECT doc_id, n_bpe_tokens
 FROM read_parquet('{BPE_ENCODE_ORACLE_PATH}')
 """
+
+
+def q_sitemap_coverage(sf_dir: str):
+    """Sitemap-vs-archive coverage audit: which of the URLs a site
+    PUBLISHES (its sitemap inventory, read through the real XML shard
+    cache) does the archive actually HOLD (the CDXJ capture index)?
+    Per host: published count, captured count, latest capture TS14.
+    The staple completeness report of a wayback-style archive, and the
+    op that ties the two new discovery/index sources together.
+
+    Shape: both sides slim (url + one attribute), ONE sort-merge LEFT
+    join on the url string (stages/joins.merge_join — union + single
+    sort exchange), per-batch host pre-aggregation, then a host-scale
+    groupby. Nothing corpus-wide materializes."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..sources.cdx import read_cdxj
+    from ..sources.sitemap import sitemap_inventory_cache_dir, read_sitemaps
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_cdx_table, oracle_sitemap_inventory_table
+
+    oracle_cdx_table()
+    oracle_sitemap_inventory_table()
+    sm = read_sitemaps(sitemap_inventory_cache_dir(0.001, 42)).select_columns(
+        ["url"]
+    )
+    cdx = read_cdxj(_cdx_query_index_dir()).select_columns(["url", "ts14"])
+    j = merge_join(sm, cdx, "url", "url", ["ts14"], how="left")
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = b.column("url")
+        # host of a canonical url == split_part(substr(url, 8), '/', 1)
+        hosts = pc.list_element(
+            pc.split_pattern(pc.utf8_slice_codeunits(urls, 7), "/"), 0
+        )
+        ts = b.column("ts14")
+        cap = pc.is_valid(ts)
+        tsi = pc.if_else(
+            cap, pc.cast(pc.coalesce(ts, "0"), pa.int64()), pa.scalar(0, pa.int64())
+        )
+        t = pa.table(
+            {
+                "host": hosts,
+                "n1": pa.array([1] * b.num_rows, pa.int64()),
+                "nc": cap.cast(pa.int64()),
+                "ts": tsi,
+            }
+        )
+        # within-batch pre-agg: the exchange carries host-scale rows
+        return (
+            t.group_by("host")
+            .aggregate([("n1", "sum"), ("nc", "sum"), ("ts", "max")])
+            .rename_columns(["host", "n1", "nc", "ts"])
+        )
+
+    agg = (
+        j.map_batches(pre, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n1"), Sum("nc"), Max("ts"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["host", "n_sitemap_urls", "n_captured", "latest_capture"]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_SITEMAP_COVERAGE = f"""
+SELECT split_part(substr(s.url, 8), '/', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_sitemap_urls,
+       CAST(COUNT(c.url) AS BIGINT) AS n_captured,
+       COALESCE(MAX(CAST(c.ts14 AS BIGINT)), 0) AS latest_capture
+FROM read_parquet('{SITEMAP_INV_ORACLE_PATH}') s
+LEFT JOIN read_parquet('{CDX_ORACLE_PATH}') c ON s.url = c.url
+GROUP BY 1
+"""
+
 
 
 
@@ -6921,5 +7005,6 @@ REGISTRY: dict[str, tuple] = {
     "cdx_prefix_lookup": (q_cdx_prefix_lookup, SQL_CDX_PREFIX_LOOKUP),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }

@@ -191,6 +191,37 @@ def sitemap_seed_cache_dir(sf: float, seed: int = 42, n_shards: int = 4) -> str:
     return path
 
 
+def sitemap_inventory_cache_dir(
+    sf: float, seed: int = 42, n_shards: int = 16
+) -> str:
+    """Write-once /tmp cache of the universe's FULL URL inventory as
+    real XML urlset shards (universe_sitemap_rows layout) — the
+    coverage-audit query reads the inventory THROUGH this XML, never
+    the row builder. Same marker discipline as
+    sitemap_seed_cache_dir."""
+    import os
+
+    path = f"/tmp/ccray_sitemap_inventory_v1_{sf}_{seed}"
+    done = path + ".complete"
+    if os.path.isfile(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    shards: dict[int, list[tuple[str, str | None]]] = {
+        s: [] for s in range(n_shards)
+    }
+    for s, loc, lastmod in universe_sitemap_rows(sf, seed, n_shards):
+        shards[s].append((loc, lastmod))
+    for s, rows in shards.items():
+        name = f"sitemap-{s:05d}.xml"
+        tmp = os.path.join(path, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(write_urlset(rows))
+        os.replace(tmp, os.path.join(path, name))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
 def read_sitemaps(dir_path: str):
     """Sitemap shard directory -> Dataset of (url, lastmod, shard).
     One read task per shard file; the index file is skipped by the

@@ -100,3 +100,25 @@ def test_seed_cache_dir_roundtrips_through_real_xml(ray_session):
     assert sitemap_seed_cache_dir(0.001, 42) == d
     after = {n: open(os.path.join(d, n), "rb").read() for n in names}
     assert before == after
+
+
+def test_inventory_cache_roundtrips_full_universe(ray_session):
+    import os
+    import shutil
+
+    from commoncrawl_ray.sources.sitemap import (
+        read_sitemaps,
+        sitemap_inventory_cache_dir,
+        universe_sitemap_rows,
+    )
+
+    path = f"/tmp/ccray_sitemap_inventory_v1_{0.001}_{7}"
+    shutil.rmtree(path, ignore_errors=True)
+    if os.path.isfile(path + ".complete"):
+        os.remove(path + ".complete")
+    d = sitemap_inventory_cache_dir(0.001, 7)
+    got = read_sitemaps(d).to_pandas()
+    want = universe_sitemap_rows(0.001, 7)
+    assert sorted(zip(got["url"], got["lastmod"])) == sorted(
+        (loc, lm) for _s, loc, lm in want
+    )
