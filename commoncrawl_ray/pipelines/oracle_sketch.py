@@ -39,6 +39,7 @@ CDX_ORACLE_PATH = "/tmp/ccray_oracle_cdx_index.parquet"
 SITEMAP_INV_ORACLE_PATH = "/tmp/ccray_oracle_sitemap_inventory.parquet"
 BPE_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_bpe_train.parquet"
 BPE_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_bpe_encode.parquet"
+BPE_VOCAB_ORACLE_PATH = "/tmp/ccray_oracle_bpe_vocab.parquet"
 _M64 = (1 << 64) - 1
 
 
@@ -316,6 +317,21 @@ def oracle_bpe_train_table(
         return path
     merges = learn_bpe(_bpe_seq_word_counts(sf_dir), BPE_N_MERGES)
     return _write_atomic(merges_table(merges), path, src_key)
+
+
+def oracle_bpe_vocab_table(
+    sf_dir: str, path: str = BPE_VOCAB_ORACLE_PATH
+) -> str:
+    """Sequential-count vocabulary through the SHARED vocab_table
+    kernel — hash parity isolates the distributed counting path."""
+    from ..stages.bpe import learn_bpe, vocab_table
+
+    src_key = f"{os.path.abspath(sf_dir)}|bpe_vocab|{BPE_MAX_WORDS}|{BPE_N_MERGES}"
+    if _is_fresh(path, src_key):
+        return path
+    wc = _bpe_seq_word_counts(sf_dir)
+    merges = learn_bpe(wc, BPE_N_MERGES)
+    return _write_atomic(vocab_table(wc, merges), path, src_key)
 
 
 def oracle_bpe_encode_table(

@@ -1548,6 +1548,7 @@ from .oracle_sketch import (
     BPE_TRAIN_ORACLE_PATH,
     SITEMAP_INV_ORACLE_PATH,
     BPE_ENCODE_ORACLE_PATH,
+    BPE_VOCAB_ORACLE_PATH,
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
@@ -1615,6 +1616,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_cdx_table,
         oracle_bpe_train_table,
         oracle_sitemap_inventory_table,
+        oracle_bpe_vocab_table,
         oracle_bpe_encode_table,
         oracle_host_components_table,
         oracle_doc_fp_table,
@@ -1650,6 +1652,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_cdx_table()
     oracle_bpe_train_table(sf_dir)
     oracle_sitemap_inventory_table()
+    oracle_bpe_vocab_table(sf_dir)
     oracle_bpe_encode_table(sf_dir)
     oracle_hll_table(sf_dir)
     oracle_hll_by_type_table(sf_dir)
@@ -2077,6 +2080,28 @@ def q_bpe_encode(sf_dir: str):
 SQL_BPE_ENCODE = f"""
 SELECT doc_id, n_bpe_tokens
 FROM read_parquet('{BPE_ENCODE_ORACLE_PATH}')
+"""
+
+
+def q_bpe_vocab(sf_dir: str):
+    """Tokenizer vocabulary export (token, token_id): distributed word
+    counts -> shared merge + vocab kernels. The shippable artifact of
+    bpe_train."""
+    from .oracle_sketch import BPE_MAX_WORDS, BPE_N_MERGES, oracle_bpe_vocab_table
+    from ..stages.bpe import corpus_word_counts, learn_bpe, vocab_table
+
+    oracle_bpe_vocab_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["text"], min_blocks=8)
+    wc = corpus_word_counts(docs, max_words=BPE_MAX_WORDS)
+    counts = dict(
+        zip(wc.column("word").to_pylist(), wc.column("count").to_pylist())
+    )
+    return vocab_table(counts, learn_bpe(counts, BPE_N_MERGES))
+
+
+SQL_BPE_VOCAB = f"""
+SELECT token, token_id
+FROM read_parquet('{BPE_VOCAB_ORACLE_PATH}')
 """
 
 
@@ -7006,5 +7031,6 @@ REGISTRY: dict[str, tuple] = {
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
+    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }

@@ -197,6 +197,23 @@ def merges_table(merges: list[tuple[str, str]]) -> pa.Table:
     )
 
 
+def vocab_table(
+    word_counts: dict[str, int], merges: list[tuple[str, str]]
+) -> "pa.Table":
+    """Tokenizer vocabulary (token, token_id): base symbols are the
+    distinct characters of the counted words (sorted, ids first), then
+    merged tokens in merge order — the id layout BPE tokenizers ship.
+    Pure + deterministic; shared by engine and oracle."""
+    base = sorted({c for w in word_counts for c in w})
+    toks = base + [a + b for a, b in merges]
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "token_id": pa.array(range(len(toks)), pa.int64()),
+        }
+    )
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank-first BPE encode of one word (the GPT-2
     apply rule)."""
