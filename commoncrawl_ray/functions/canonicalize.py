@@ -260,7 +260,12 @@ def canonicalize_parts(parts: UrlParts, strip_www: bool = True) -> str:
         out.append(parts.port)
     if parts.path:
         semi = parts.path.find(";")
-        out.append(parts.path[:semi] if semi != -1 else parts.path)
+        if semi != -1:
+            # the ;-param slice can expose a fresh dot segment ("/.;x"
+            # -> "/."); re-normalize so canonicalization is idempotent
+            out.append(_remove_dot_segments(parts.path[:semi]))
+        else:
+            out.append(parts.path)
     if parts.query:
         out.append("?")
         out.append(parts.query)

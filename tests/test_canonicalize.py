@@ -22,6 +22,10 @@ CANON_CASES = [
     ("http://www.foo.co.uk/x", "http://foo.co.uk/x"),
     # ;params stripped from path, query kept
     ("http://example.com/p;jsessionid=abc?q=2", "http://example.com/p?q=2"),
+    # ;-slice exposing a fresh dot segment must still normalize
+    # (hypothesis falsifying example, r5: '/.;' -> '/' in ONE pass)
+    ("http://0/.;", "http://0/"),
+    ("http://example.com/b/..;p", "http://example.com/"),
     # port preserved when non-default
     ("http://example.com:8080/x", "http://example.com:8080/x"),
     ("https://example.com:443/x", "https://example.com/x"),
