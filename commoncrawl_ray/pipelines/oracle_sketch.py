@@ -40,6 +40,7 @@ SITEMAP_INV_ORACLE_PATH = "/tmp/ccray_oracle_sitemap_inventory.parquet"
 BPE_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_bpe_train.parquet"
 BPE_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_bpe_encode.parquet"
 BPE_VOCAB_ORACLE_PATH = "/tmp/ccray_oracle_bpe_vocab.parquet"
+WARC_REVISIT_ORACLE_PATH = "/tmp/ccray_oracle_warc_revisit.parquet"
 _M64 = (1 << 64) - 1
 
 
@@ -274,6 +275,63 @@ def oracle_arc_roundtrip_table(path: str = ARC_ORACLE_PATH) -> str:
                 ],
                 pa.string(),
             ),
+        }
+    )
+    return _write_atomic(t, path, src_key)
+
+
+def oracle_warc_revisit_table(path: str = WARC_REVISIT_ORACLE_PATH) -> str:
+    """Oracle for the revisit-dedup query WITHOUT the WARC layer or any
+    distributed machinery: regenerate the identical two-crawl capture
+    set (160 pages at ts and ts + 7 d — the payload is a pure function
+    of (host, k), so the recrawl duplicates every digest), fold a plain
+    dict digest -> earliest (ts, url) keeper, and emit the expected
+    capture table. A value-hash match proves the distributed index ->
+    groupby(digest) keeper pick -> per-file rewrite -> read-back cycle
+    reassigned every capture to the right record type with the right
+    keeper reference."""
+    import base64
+    import hashlib
+
+    from ..sources.synth import get_universe
+
+    src_key = "warc_revisit|0.001|42|2crawls"
+    if _is_fresh(path, src_key):
+        return path
+    uni = get_universe(0.001, 42)
+    rows = []  # (url, ts_ms, digest)
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            end = rec.find(b"\r\n\r\n")
+            body = rec[end + 4 :] if end != -1 else b""
+            dig = "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+            # WARC-Date is second-granular, so every ts the engine
+            # sees after the write -> read cycle is floor-truncated
+            ts = (ts // 1000) * 1000
+            for dt in (0, 7 * 86400 * 1000):
+                rows.append((url, ts + dt, dig))
+    keeper: dict[str, tuple[int, str]] = {}
+    for url, ts, dig in sorted(rows, key=lambda r: (r[1], r[0])):
+        keeper.setdefault(dig, (ts, url))
+    urls, tss, types, digs, rurls, rtss = [], [], [], [], [], []
+    for url, ts, dig in rows:
+        k_ts, k_url = keeper[dig]
+        is_keep = (ts, url) == (k_ts, k_url)
+        urls.append(url)
+        tss.append(ts)
+        types.append("response" if is_keep else "revisit")
+        digs.append(dig)
+        rurls.append(None if is_keep else k_url)
+        rtss.append(None if is_keep else k_ts)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "ts_ms": pa.array(tss, pa.int64()),
+            "rec_type": pa.array(types, pa.string()),
+            "digest": pa.array(digs, pa.string()),
+            "refers_url": pa.array(rurls, pa.string()),
+            "refers_ts": pa.array(rtss, pa.int64()),
         }
     )
     return _write_atomic(t, path, src_key)

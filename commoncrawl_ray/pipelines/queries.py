@@ -1932,6 +1932,66 @@ def q_warc_roundtrip(sf_dir: str):
 SQL_WARC_ROUNDTRIP = SQL_ARC_ROUNDTRIP
 
 
+def q_warc_revisit_dedup(sf_dir: str):
+    """WARC revisit-record archive dedup (sources/warc.py
+    deduplicate_warc; WARC 1.0 §6.7.2 identical-payload-digest — no
+    reference counterpart, the reference predates WARC): write the
+    160-page universe shard TWICE (a re-crawl 7 days later — payloads
+    are pure functions of (host, k), so every digest duplicates),
+    rewrite the archive so each payload is stored once with later
+    captures downgraded to revisit records, and read the capture table
+    back. Hash-checked against a sequential dict-fold keeper oracle.
+
+    Scale shape: payload bytes ride ZERO exchanges — a slim
+    (file, url, ts, digest) index makes two all-to-all hops (keeper
+    pick by digest, dup-map routing by file) and each source file is
+    rewritten by one task reading it locally."""
+    import os
+    import tempfile
+
+    from ..sources.synth import get_universe
+    from ..sources.warc import (
+        deduplicate_warc,
+        read_warc_captures,
+        write_warc,
+    )
+    from .oracle_sketch import oracle_warc_revisit_table
+
+    oracle_warc_revisit_table()
+    uni = get_universe(0.001, 42)
+    rows = []
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            for dt in (0, 7 * 86400 * 1000):
+                rows.append((url, ts + dt, rec))
+    tmp = tempfile.mkdtemp(prefix="cc_ray_warc_rv_src_")
+    out = tempfile.mkdtemp(prefix="cc_ray_warc_rv_out_")
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    # 4 files so keeper/duplicate pairs cross file boundaries
+    write_warc(rd.from_arrow(t).repartition(4), tmp).count()
+    paths = [
+        os.path.join(tmp, f) for f in sorted(os.listdir(tmp)) if f.endswith(".warc.gz")
+    ]
+    deduplicate_warc(paths, out).count()
+    deduped = [
+        os.path.join(out, f) for f in sorted(os.listdir(out)) if f.endswith(".warc.gz")
+    ]
+    return read_warc_captures(deduped)
+
+
+SQL_WARC_REVISIT_DEDUP = """
+SELECT url, ts_ms, rec_type, digest, refers_url, refers_ts
+FROM read_parquet('/tmp/ccray_oracle_warc_revisit.parquet')
+"""
+
+
 def _cdx_query_index_dir() -> str:
     """Write-once /tmp cache of the CDX index the two cdx_* queries
     share: the 160-page universe shard -> build_cdx_index (the real
@@ -7024,6 +7084,7 @@ REGISTRY: dict[str, tuple] = {
     "crawl_host_stats": (q_crawl_host_stats, SQL_CRAWL_HOST_STATS),
     "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),

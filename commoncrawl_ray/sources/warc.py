@@ -30,8 +30,9 @@ Ray Data mapping mirrors the ARC source: a .warc.gz is unsplittable
 
 from __future__ import annotations
 
+import base64
 import hashlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from .arc import iter_gzip_members, _gzip_member
@@ -114,6 +115,9 @@ class WarcRecord:
     ts_ms: int
     content_type: str | None
     block: bytes
+    # full lowercased named-field map — revisit records carry their
+    # keeper reference (WARC-Refers-To-*) and payload digest here
+    fields: dict = field(default_factory=dict)
 
 
 def parse_warc_member(data: bytes) -> WarcRecord:
@@ -145,6 +149,7 @@ def parse_warc_member(data: bytes) -> WarcRecord:
         ts_ms=ts_ms,
         content_type=fields.get("content-type"),
         block=block,
+        fields=fields,
     )
 
 
@@ -198,10 +203,11 @@ def iter_warc_records(
     stream, chunk_size: int = 32 * 1024, rec_type: str = "response"
 ):
     """Yield WarcRecords of ``rec_type`` ('response' for .warc,
-    'conversion' for .wet). Accepts the gzip member-per-record form
-    (dispatched on the gzip magic) or an uncompressed/already-inflated
-    stream (the ARC reader's dual dispatch — Arrow's read path may
-    transparently gunzip .gz)."""
+    'conversion' for .wet; ``None`` yields every record incl.
+    warcinfo). Accepts the gzip member-per-record form (dispatched on
+    the gzip magic) or an uncompressed/already-inflated stream (the
+    ARC reader's dual dispatch — Arrow's read path may transparently
+    gunzip .gz)."""
     if isinstance(stream, (bytes, bytearray)) and bytes(stream[:2]) != b"\x1f\x8b":
         members = iter_warc_records_uncompressed(bytes(stream))
     else:
@@ -209,7 +215,7 @@ def iter_warc_records(
             parse_warc_member(m) for m in iter_gzip_members(stream, chunk_size)
         )
     for rec in members:
-        if rec.rec_type == rec_type:
+        if rec_type is None or rec.rec_type == rec_type:
             yield rec
 
 
@@ -451,3 +457,237 @@ def write_warc(ds, out_dir: str, prefix: str = "part"):
         )
 
     return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------
+# revisit records — digest-based archive deduplication (what real web
+# archives write on a re-crawl whose payload is already stored; WARC
+# 1.0 §6.7.2, identical-payload-digest profile). No reference
+# counterpart (the reference predates WARC); built from the public
+# spec + the netpreserve profile URI.
+# --------------------------------------------------------------------
+
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def payload_digest(msg: bytes) -> str:
+    """``sha1:<base32>`` of the HTTP payload body (bytes after the
+    header CRLF CRLF) — the convention real WARC/CDX tooling uses for
+    WARC-Payload-Digest."""
+    end = msg.find(_CRLF + _CRLF)
+    body = msg[end + 4 :] if end != -1 else b""
+    return "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+
+
+def revisit_record(
+    url: str,
+    ts_ms: int,
+    digest: str,
+    refers_url: str,
+    refers_ts_ms: int,
+    http_headers: bytes,
+) -> bytes:
+    """identical-payload-digest revisit: the block keeps only the HTTP
+    header section of THIS capture (its payload is elsewhere — named by
+    WARC-Refers-To-Target-URI/-Date + the shared payload digest)."""
+    return _record(
+        [
+            ("WARC-Type", "revisit"),
+            ("WARC-Record-ID", _record_id("revisit", url, ts_ms)),
+            ("WARC-Date", _warc_date(ts_ms)),
+            ("WARC-Target-URI", url),
+            ("WARC-Profile", REVISIT_PROFILE),
+            ("WARC-Payload-Digest", digest),
+            ("WARC-Refers-To-Target-URI", refers_url),
+            ("WARC-Refers-To-Date", _warc_date(refers_ts_ms)),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http_headers,
+    )
+
+
+def index_warc_digests(paths):
+    """WARC files -> slim capture index (file, url, ts_ms, digest) —
+    ONE sequential scan per file (unsplittable gz), no payload bytes in
+    the output. This is the only thing the dedup exchanges ever ship."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(
+        paths, include_paths=True, arrow_open_stream_args={"compression": None}
+    )
+
+    def idx(batch: pa.Table) -> pa.Table:
+        files, urls, tss, digs = [], [], [], []
+        for path, raw in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            for rec in iter_warc_records(raw):
+                files.append(path)
+                urls.append(rec.url or "")
+                tss.append(rec.ts_ms)
+                digs.append(payload_digest(rec.block))
+        return pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "ts_ms": pa.array(tss, pa.int64()),
+                "digest": pa.array(digs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(idx, batch_format="pyarrow", batch_size=None)
+
+
+def deduplicate_warc(paths, out_dir: str, suffix: str = "dedup"):
+    """Rewrite a WARC archive so each distinct payload is stored ONCE:
+    the earliest capture (min (ts_ms, url, file) per digest) keeps its
+    response record; every later capture becomes a ``revisit`` record
+    pointing at the keeper. Returns a Dataset of per-file counts
+    (file, responses, revisits).
+
+    Scale shape: payload bytes NEVER ride an exchange. The pipeline is
+    (1) slim digest index scan, (2) keeper selection via
+    ``groupby(digest)`` — a group is one payload's duplicate set,
+    bounded in practice, (3) ``groupby(file)`` routes each file's slim
+    dup map to ONE rewrite task that re-reads its source file locally
+    and streams the deduped copy out (deterministic gzip, mtime=0).
+    Two all-to-all exchanges total, both over (file, url, ts, digest)
+    rows only. A failed run re-runs per file idempotently (tmp+rename).
+    """
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    idx = index_warc_digests(paths)
+
+    def pick(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("ts_ms").to_pylist(),
+                group.column("url").to_pylist(),
+                group.column("file").to_pylist(),
+            )
+        )
+        keep_ts, keep_url, _keep_file = rows[0]
+        return pa.table(
+            {
+                "file": pa.array([r[2] for r in rows], pa.string()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "ts_ms": pa.array([r[0] for r in rows], pa.int64()),
+                "is_dup": pa.array(
+                    [i > 0 for i in range(len(rows))], pa.bool_()
+                ),
+                "ref_url": pa.array([keep_url] * len(rows), pa.string()),
+                "ref_ts": pa.array([keep_ts] * len(rows), pa.int64()),
+            }
+        )
+
+    marked = idx.groupby("digest").map_groups(pick, batch_format="pyarrow")
+
+    def rewrite(group: pa.Table) -> pa.Table:
+        src = group.column("file").to_pylist()[0]
+        dup = {
+            (u, t): (ru, rt)
+            for u, t, d, ru, rt in zip(
+                group.column("url").to_pylist(),
+                group.column("ts_ms").to_pylist(),
+                group.column("is_dup").to_pylist(),
+                group.column("ref_url").to_pylist(),
+                group.column("ref_ts").to_pylist(),
+            )
+            if d
+        }
+        base = os.path.basename(src)
+        if base.endswith(".warc.gz"):
+            base = base[: -len(".warc.gz")]
+        name = f"{base}.{suffix}.warc.gz"
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        n_resp = n_rev = 0
+        with open(src, "rb") as fin, open(tmp, "wb") as fout:
+            for member in iter_gzip_members(fin):
+                rec = parse_warc_member(member)
+                key = (rec.url or "", rec.ts_ms)
+                if rec.rec_type == "response" and key in dup:
+                    ru, rt = dup[key]
+                    end = rec.block.find(_CRLF + _CRLF)
+                    head = rec.block[: end + 4] if end != -1 else rec.block
+                    fout.write(
+                        _gzip_member(
+                            revisit_record(
+                                rec.url or "",
+                                rec.ts_ms,
+                                payload_digest(rec.block),
+                                ru,
+                                rt,
+                                head,
+                            )
+                        )
+                    )
+                    n_rev += 1
+                else:
+                    fout.write(_gzip_member(member))
+                    if rec.rec_type == "response":
+                        n_resp += 1
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {
+                "file": pa.array([name], pa.string()),
+                "responses": pa.array([n_resp], pa.int64()),
+                "revisits": pa.array([n_rev], pa.int64()),
+            }
+        )
+
+    return marked.groupby("file").map_groups(rewrite, batch_format="pyarrow")
+
+
+def read_warc_captures(paths):
+    """All response + revisit records of a (possibly deduplicated)
+    archive -> Dataset of (url, ts_ms, rec_type, digest, refers_url,
+    refers_ts) — the capture-level view a CDX consumer sees. For a
+    response the digest is computed from the stored payload; for a
+    revisit it is the record's own WARC-Payload-Digest field, and the
+    refers_* columns carry the keeper reference (null on responses)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, arrow_open_stream_args={"compression": None})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, types, digs, rurls, rtss = [], [], [], [], [], []
+        for raw in batch.column("bytes").to_pylist():
+            for rec in iter_warc_records(raw, rec_type=None):
+                if rec.rec_type == "response":
+                    dig = payload_digest(rec.block)
+                    ru, rt = None, None
+                elif rec.rec_type == "revisit":
+                    dig = rec.fields.get("warc-payload-digest", "")
+                    ru = rec.fields.get("warc-refers-to-target-uri")
+                    rd_ = rec.fields.get("warc-refers-to-date")
+                    rt = None
+                    if rd_:
+                        dt = datetime.strptime(
+                            rd_, "%Y-%m-%dT%H:%M:%SZ"
+                        ).replace(tzinfo=timezone.utc)
+                        rt = int(dt.timestamp() * 1000)
+                else:
+                    continue
+                urls.append(rec.url or "")
+                tss.append(rec.ts_ms)
+                types.append(rec.rec_type)
+                digs.append(dig)
+                rurls.append(ru)
+                rtss.append(rt)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts_ms": pa.array(tss, pa.int64()),
+                "rec_type": pa.array(types, pa.string()),
+                "digest": pa.array(digs, pa.string()),
+                "refers_url": pa.array(rurls, pa.string()),
+                "refers_ts": pa.array(rtss, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=None)

@@ -217,3 +217,102 @@ def test_cli_export_warc_wet(ray_session, tmp_path):
     assert read_warc_pages(wpaths).count() == len(rows)
     tpaths = [os.path.join(out_wet, f) for f in os.listdir(out_wet)]
     assert read_wet_pages(tpaths).count() == len(rows)
+
+
+# ------------------------------------------------------------------
+# revisit records / archive dedup (WARC 1.0 §6.7.2,
+# identical-payload-digest profile)
+# ------------------------------------------------------------------
+
+
+def _mk_msg(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+
+
+def test_revisit_record_roundtrip():
+    from commoncrawl_ray.sources.warc import (
+        REVISIT_PROFILE,
+        payload_digest,
+        revisit_record,
+    )
+
+    msg = _mk_msg(b"dup body")
+    dig = payload_digest(msg)
+    assert dig.startswith("sha1:")
+    head = msg[: msg.find(b"\r\n\r\n") + 4]
+    rec = parse_warc_member(
+        revisit_record(
+            "http://b.com/x", 1_700_000_005_000, dig,
+            "http://a.com/x", 1_700_000_000_000, head,
+        )
+    )
+    assert rec.rec_type == "revisit"
+    assert rec.url == "http://b.com/x"
+    assert rec.fields["warc-profile"] == REVISIT_PROFILE
+    assert rec.fields["warc-payload-digest"] == dig
+    assert rec.fields["warc-refers-to-target-uri"] == "http://a.com/x"
+    assert rec.fields["warc-refers-to-date"] == "2023-11-14T22:13:20Z"
+    assert rec.block == head  # headers only, payload elided
+
+
+def test_deduplicate_warc(ray_session, tmp_path):
+    import ray.data as rd
+
+    from commoncrawl_ray.sources.warc import (
+        deduplicate_warc,
+        read_warc_captures,
+        write_warc,
+    )
+
+    # 3 urls; url a captured 3x (two files), url b 1x, url c shares
+    # a's payload under a different url — 3 distinct payload digests
+    # is wrong: a+c collapse, so 2 keepers + 3 revisits
+    base = 1_700_000_000_000
+    rows = [
+        ("http://a.com/x", base + 0, _mk_msg(b"AAA")),
+        ("http://a.com/x", base + 60_000, _mk_msg(b"AAA")),
+        ("http://b.com/y", base + 1_000, _mk_msg(b"BBB")),
+        ("http://a.com/x", base + 120_000, _mk_msg(b"AAA")),
+        ("http://c.com/z", base + 2_000, _mk_msg(b"AAA")),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    write_warc(rd.from_arrow(t).repartition(2), str(src)).count()
+    import os
+
+    paths = sorted(str(src / f) for f in os.listdir(src) if f.endswith(".warc.gz"))
+    stats = deduplicate_warc(paths, str(out)).to_pandas()
+    assert int(stats.responses.sum()) == 2
+    assert int(stats.revisits.sum()) == 3
+    deduped = sorted(
+        str(out / f) for f in os.listdir(out) if f.endswith(".warc.gz")
+    )
+    caps = read_warc_captures(deduped).to_pandas()
+    assert len(caps) == 5
+    resp = caps[caps.rec_type == "response"]
+    revs = caps[caps.rec_type == "revisit"]
+    # keeper of the AAA digest group is the earliest capture overall
+    assert set(zip(resp.url, resp.ts_ms)) == {
+        ("http://a.com/x", base), ("http://b.com/y", base + 1_000)
+    }
+    # every revisit resolves: its (refers_url, refers_ts) is a stored
+    # response with the identical payload digest
+    stored = {(r.url, r.ts_ms): r.digest for r in resp.itertuples()}
+    for r in revs.itertuples():
+        assert stored[(r.refers_url, r.refers_ts)] == r.digest
+    # idempotent + byte-deterministic rewrite
+    out2 = tmp_path / "out2"
+    deduplicate_warc(paths, str(out2)).count()
+    for f in os.listdir(out):
+        a = (out / f).read_bytes()
+        b = (out2 / f).read_bytes()
+        assert a == b
