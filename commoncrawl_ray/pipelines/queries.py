@@ -1992,6 +1992,125 @@ FROM read_parquet('/tmp/ccray_oracle_warc_revisit.parquet')
 """
 
 
+def q_recrawl_schedule(sf_dir: str):
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina, "Estimating
+    Frequency of Change", ACM TOIT 3(3) 2003): estimate each URL's
+    change rate from its capture history and emit the priority the
+    frontier scheduler feeds on. With n observed intervals at sync
+    spacing I and X detected changes, the bias-corrected estimator is
+    ``lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / I``.
+
+    The capture history is synthesized deterministically from doc_id
+    arithmetic (n_caps = 4 + id%4 captures, interval 1 + id%3 days,
+    a change event at capture i iff (id + i*i) % 3 == 0) so DuckDB can
+    rebuild the identical history with generate_series — the SQL
+    oracle checks the whole distributed pipeline with real SQL logic,
+    not a pinned parquet.
+
+    Scale shape: capture rows ride as TWO int64s (shifted composite
+    key doc_id*8+i, digest version); the consecutive-capture digest
+    compare is a distributed sort-merge self-join on the +1-shifted
+    key (stages/joins.merge_join — no per-URL capture group ever needs
+    one block, no per-group Python), the per-URL fold is ONE groupby
+    Sum, and the estimator finalize is stateless numpy (n_caps /
+    interval are pure functions of doc_id, so they never ride an
+    exchange)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    docs = _pq(sf_dir, "documents", ["doc_id"], min_blocks=4)
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "dig": pa.array([], pa.int64())}
+            )
+        n = 4 + (d % 4)
+        reps = np.repeat(d, n)
+        starts = np.cumsum(n) - n
+        i = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+        chg = ((reps + i * i) % 3 == 0) & (i >= 1)
+        c = np.cumsum(chg)
+        ver = c - np.repeat(c[starts], n)  # digest version per capture
+        return pa.table(
+            {
+                "k": pa.array(reps * 8 + i),
+                "dig": pa.array(ver.astype(np.int64)),
+            }
+        )
+
+    caps = docs.map_batches(expand, batch_format="pyarrow")
+
+    def shift(t: pa.Table) -> pa.Table:
+        # capture i re-keyed to i+1: joins each capture to its
+        # successor (n_caps <= 7 < 8, so the shift never crosses into
+        # the next doc's key range)
+        return pa.table(
+            {"k1": pc.add(t.column("k"), 1), "dig": t.column("dig")}
+        )
+
+    prev = caps.map_batches(shift, batch_format="pyarrow")
+    joined = merge_join(caps, prev, "k", "k1", ["dig"], how="inner", suffix="_prev")
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        chg = (
+            t.column("dig").to_numpy(zero_copy_only=False)
+            != t.column("dig_prev").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array((k // 8).astype(np.int64)),
+                "chg": pa.array(chg),
+            }
+        )
+
+    agg = (
+        joined.map_batches(to_changes, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("chg", alias_name="x_changes"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t.column("x_changes").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = (3 + (d % 4)).astype(np.float64)  # observed intervals
+        interval_days = (1 + (d % 3)).astype(np.float64)
+        lam = -np.log((n - x + 0.5) / (n + 0.5)) / interval_days
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "n_caps": pa.array((n + 1).astype(np.int64)),
+                "x_changes": pa.array(x.astype(np.int64)),
+                # + 0.0 normalizes IEEE -0.0 (the X=0 case) so the
+                # byte-level value hash agrees with the SQL side
+                "change_rate": pa.array(np.round(lam, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_RECRAWL_SCHEDULE = """
+WITH caps AS (
+  SELECT d.doc_id, g.i,
+         CASE WHEN (d.doc_id + g.i * g.i) % 3 = 0 THEN 1 ELSE 0 END AS chg
+  FROM documents d
+  JOIN (SELECT UNNEST(generate_series(1, 7)) AS i) g
+    ON g.i <= 3 + (d.doc_id % 4)
+)
+SELECT doc_id,
+       CAST(4 + doc_id % 4 AS BIGINT) AS n_caps,
+       CAST(SUM(chg) AS BIGINT) AS x_changes,
+       ROUND(-LN((3 + doc_id % 4 - SUM(chg) + 0.5) / (3 + doc_id % 4 + 0.5))
+             / (1 + doc_id % 3), 6) + 0.0 AS change_rate
+FROM caps
+GROUP BY doc_id
+"""
+
+
 def _cdx_query_index_dir() -> str:
     """Write-once /tmp cache of the CDX index the two cdx_* queries
     share: the 160-page universe shard -> build_cdx_index (the real
@@ -7085,6 +7204,7 @@ REGISTRY: dict[str, tuple] = {
     "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
+    "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
