@@ -837,6 +837,67 @@ def oracle_pagerank_table(
     return _write_atomic(out, path, src_key)
 
 
+TRUSTRANK_ORACLE_PATH = "/tmp/ccray_oracle_trustrank.parquet"
+TRUSTRANK_N_SEEDS = 8
+
+
+def oracle_trustrank_table(
+    sf_dir: str,
+    path: str = TRUSTRANK_ORACLE_PATH,
+    damping: float = 0.85,
+    iters: int = 10,
+    n_seeds: int = TRUSTRANK_N_SEEDS,
+) -> str:
+    """Single-process TrustRank (Gyongyi et al. 2004) over the same
+    host graph: seed set = top-``n_seeds`` hosts by distinct-edge
+    in-degree (host-asc tiebreak — the deterministic stand-in for a
+    human-vetted whitelist), teleport restricted to the seeds, dense
+    numpy iteration with dangling mass returned to the seeds. Trust
+    rounded to 6 decimals on both sides."""
+    from ..sources.synth import sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|trustrank|{sf}|{damping}|{iters}|{n_seeds}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    n = len(nodes)
+    if n == 0:
+        out = pa.table(
+            {"host": pa.array([], pa.string()), "trust": pa.array([], pa.float64())}
+        )
+        return _write_atomic(out, path, src_key)
+    indeg = np.bincount(dst_i, minlength=n)
+    # candidates = hosts with >= 1 in-edge (what a groupby over the
+    # edge table's dst column sees on the distributed side)
+    order = sorted(
+        (i for i in range(n) if indeg[i] > 0),
+        key=lambda i: (-int(indeg[i]), nodes[i]),
+    )
+    seed_idx = order[: min(n_seeds, len(order))]
+    if not seed_idx:
+        out = pa.table(
+            {"host": pa.array([], pa.string()), "trust": pa.array([], pa.float64())}
+        )
+        return _write_atomic(out, path, src_key)
+    tele = np.zeros(n, dtype=np.float64)
+    tele[seed_idx] = 1.0 / len(seed_idx)
+    deg = np.bincount(src_i, minlength=n).astype(np.float64)
+    pr = tele.copy()
+    for _ in range(iters):
+        dangling = pr[deg == 0].sum()
+        w = np.where(deg > 0, pr / np.maximum(deg, 1.0), 0.0)
+        s = np.bincount(dst_i, weights=w[src_i], minlength=n)
+        pr = (1.0 - damping) * tele + damping * (s + dangling * tele)
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "trust": pa.array(np.round(pr, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 HITS_ORACLE_PATH = "/tmp/ccray_oracle_hits.parquet"
 
 

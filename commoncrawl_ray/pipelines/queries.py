@@ -1447,6 +1447,71 @@ def q_hits_hosts(sf_dir: str):
     return hits_hosts(parsed, iters=6)
 
 
+def q_trustrank_hosts(sf_dir: str):
+    """TrustRank over the crawl host graph (stages/pagerank.py
+    trustrank_edges — Gyongyi et al. 2004): teleport restricted to a
+    trusted seed set so link-spam clusters that inflate plain PageRank
+    score near zero. Seeds = top-8 hosts by distinct-edge in-degree
+    (host-asc tiebreak), the deterministic stand-in for a vetted
+    whitelist — selected DISTRIBUTED (groupby(dst).count -> sort ->
+    limit(8); only 8 rows reach the driver), then broadcast into the
+    same one-edge-exchange-per-iteration power loop PageRank uses.
+    The distinct edge table is built once and shared by seed selection
+    and the iteration (dedup=False). Hash-checked against the
+    dense-numpy sequential oracle."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import (
+        _distinct_sorted,
+        extract_host_edges_batch,
+        trustrank_edges,
+    )
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import TRUSTRANK_N_SEEDS, oracle_trustrank_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_trustrank_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    edges = _distinct_sorted(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        ["src", "dst"],
+    ).materialize()
+    seed_rows = (
+        edges.groupby("dst")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host": t.column("dst"),
+                    "indeg": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["indeg", "host"], descending=[True, False])
+        .limit(TRUSTRANK_N_SEEDS)
+        .take_all()
+    )
+    seeds = {r["host"] for r in seed_rows}
+    return trustrank_edges(edges, seeds, damping=0.85, iters=10, dedup=False)
+
+
+SQL_TRUSTRANK_HOSTS = """
+SELECT host, trust FROM read_parquet('/tmp/ccray_oracle_trustrank.parquet')
+"""
+
+
 def q_parse_extract(sf_dir: str):
     """The flagship parse/extract pipeline over the engine's own pages
     universe at a matching scale (input_hint shape). Hash-checked
@@ -7102,6 +7167,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_ivfpq": (q_knn_ivfpq, SQL_KNN_IVFPQ),
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
     "hits_hosts": (q_hits_hosts, SQL_HITS_HOSTS),
+    "trustrank_hosts": (q_trustrank_hosts, SQL_TRUSTRANK_HOSTS),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

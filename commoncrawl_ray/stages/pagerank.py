@@ -282,6 +282,167 @@ def pagerank_edges(edge_ds, damping: float = 0.85, iters: int = 10, parts: int =
     return ranks.map_batches(finalize, batch_format="pyarrow")
 
 
+def trustrank_edges(
+    edge_ds,
+    seeds: set,
+    damping: float = 0.85,
+    iters: int = 10,
+    parts: int = 8,
+    dedup: bool = True,
+):
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004:
+    "Combating web spam with TrustRank") over a (src, dst) host edge
+    Dataset: PageRank with the teleport vector restricted to a trusted
+    seed set — trust flows out of the seeds along links, so link-spam
+    farms that inflate plain PageRank score near zero here.
+
+    ``t = (1 - a) * d + a * (T t + dangling * d)`` with ``d`` uniform
+    over the seed hosts present in the graph (dangling mass returns to
+    the seeds, keeping t a distribution). -> Dataset (host, trust),
+    rounded to 6 decimals.
+
+    Scale shape: identical to :func:`pagerank_edges` — the edge table
+    moves once per iteration, the loop-carried rank table stays
+    distributed, one dangling scalar reaches the driver per round.
+    The teleport vector never materializes as a table: ``seeds`` is a
+    SMALL broadcast set (task-closure at the typical 10^1..10^4 seed
+    scale; ship via ray.put if ever larger) and the per-node tele
+    value is recomputed statelessly inside each map. ``dedup=False``
+    skips the global edge distinct for callers that already hold a
+    distinct edge table (e.g. a query that used it for seed
+    selection)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import merge_join
+
+    edges = _distinct_sorted(edge_ds, ["src", "dst"]) if dedup else edge_ds
+    edges = edges.repartition(parts).materialize()
+
+    nodes = _distinct_sorted(
+        edges.select_columns(["src"])
+        .map_batches(
+            lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+        )
+        .union(
+            edges.select_columns(["dst"]).map_batches(
+                lambda t: pa.table({"node": t.column("dst")}),
+                batch_format="pyarrow",
+            )
+        ),
+        ["node"],
+    )
+    degrees = edges.groupby("src").count()
+    node_deg = merge_join(
+        nodes,
+        degrees.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "deg": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        left_on="node",
+        right_on="src",
+        right_cols=["deg"],
+        how="left",
+    ).repartition(parts).materialize()
+
+    seed_set = frozenset(seeds)
+    empty = rd.from_arrow(
+        pa.table(
+            {"host": pa.array([], pa.string()), "trust": pa.array([], pa.float64())}
+        )
+    )
+    if node_deg.count() == 0:
+        return empty
+    # |seeds ∩ nodes| — one scalar to the driver, like n in pagerank
+    n_s_row = node_deg.map_batches(
+        lambda t: pa.table(
+            {
+                "c": pa.array(
+                    [sum(x in seed_set for x in t.column("node").to_pylist())],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("c", alias_name="s"))
+    n_s = int(n_s_row["s"] or 0)
+    if n_s == 0:
+        return empty
+
+    def tele_of(node_col: pa.ChunkedArray) -> np.ndarray:
+        return np.array(
+            [1.0 / n_s if x in seed_set else 0.0 for x in node_col.to_pylist()],
+            dtype=np.float64,
+        )
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column("pr", pa.array(tele_of(t.column("node"))))
+
+    ranks = node_deg.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        dang_row = ranks.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("deg"))),
+            batch_format="pyarrow",
+        ).aggregate(Sum("pr", alias_name="s"))
+        dangling = float(dang_row["s"] or 0.0)
+
+        def to_weight(t: pa.Table) -> pa.Table:
+            pr = t.column("pr").to_numpy(zero_copy_only=False)
+            deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                w = np.where(np.isnan(deg) | (deg == 0), 0.0, pr / deg)
+            return pa.table({"node": t.column("node"), "w": pa.array(w)})
+
+        weights = ranks.map_batches(to_weight, batch_format="pyarrow")
+        contribs = merge_join(
+            edges, weights, left_on="src", right_on="node",
+            right_cols=["w"], how="inner",
+        )
+        sums = contribs.groupby("dst").aggregate(Sum("w", alias_name="s"))
+        new_ranks = merge_join(
+            node_deg, sums, left_on="node", right_on="dst",
+            right_cols=["s"], how="left",
+        )
+
+        def apply_rank(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+            s = np.nan_to_num(s, nan=0.0)
+            tele = tele_of(t.column("node"))
+            pr = (1.0 - damping) * tele + damping * (s + dangling * tele)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "deg": t.column("deg"),
+                    "pr": pa.array(pr, pa.float64()),
+                }
+            )
+
+        ranks = (
+            new_ranks.map_batches(apply_rank, batch_format="pyarrow")
+            .repartition(parts)
+            .materialize()
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "trust": pa.array(
+                    np.round(t.column("pr").to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
 def hits_hosts(parse_ds, iters: int = 10, parts: int = 8):
     """HITS hubs/authorities (Kleinberg 1999, "Authoritative sources
     in a hyperlinked environment") over the same host graph ->

@@ -198,3 +198,52 @@ def test_extract_anchor_terms_batch():
         ("b.com", "great"),
         ("b.com", "site"),
     ]
+
+
+def test_trustrank_demotes_spam_farm(ray_session):
+    """trustrank_edges on a hand-built graph: a spam farm (clique of
+    s1..s4 all linking to spam.com) inflates plain in-degree, but no
+    trusted host links into the farm, so its TrustRank is exactly 0 —
+    while pages reachable from the seed keep positive trust. Dangling
+    mass returns to the seeds (scores stay a distribution over the
+    reachable set)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.pagerank import trustrank_edges
+
+    edges = [
+        # trusted neighborhood: seed -> good1 -> good2 (dangling)
+        ("seed.org", "good1.com"),
+        ("seed.org", "good2.com"),
+        ("good1.com", "good2.com"),
+        # spam farm: clique + everyone boosting spam.com
+        ("s1.com", "spam.com"), ("s2.com", "spam.com"),
+        ("s3.com", "spam.com"), ("s4.com", "spam.com"),
+        ("s1.com", "s2.com"), ("s2.com", "s3.com"),
+        ("s3.com", "s4.com"), ("s4.com", "s1.com"),
+        ("spam.com", "s1.com"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    res = {
+        r["host"]: r["trust"]
+        for r in trustrank_edges(
+            rd.from_arrow(t), seeds={"seed.org"}, iters=20
+        ).take_all()
+    }
+    assert res["seed.org"] > 0
+    assert res["good1.com"] > 0
+    assert res["good2.com"] > 0
+    assert res["spam.com"] == 0.0
+    assert res["s1.com"] == 0.0
+    # distribution: total mass ~1 over the graph
+    assert abs(sum(res.values()) - 1.0) < 1e-4
+    # seeds absent from the graph -> empty result, not a crash
+    assert (
+        trustrank_edges(rd.from_arrow(t), seeds={"nowhere.net"}).count() == 0
+    )
