@@ -88,6 +88,54 @@ def cdx_rows_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def revisit_cdx_rows_batch(batch: pa.Table) -> pa.Table:
+    """revisit captures (url, warc_ts, html=stored HTTP headers,
+    payload_digest) -> capture rows with mime ``warc/revisit`` —
+    wayback CDX practice for deduplicated archives: the capture stays
+    addressable, its digest names the payload stored under the keeper
+    record, and length 0 marks the payload as elided. Shares the parse
+    kernel (status/canon from the header section) and SURT transform
+    with the response path."""
+    from ..functions.http import format_timestamp14
+    from ..functions.surt import surt
+    from ..stages.parse_extract import parse_extract_batch
+
+    parsed = parse_extract_batch(batch.select(["url", "warc_ts", "html"]))
+    pdigs = batch.column("payload_digest").to_pylist()
+    tss = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+    canon = parsed.column("canon_url").to_pylist()
+    status = parsed.column("http_status").to_pylist()
+
+    keys, surts, ts14s, urls, sts, mimes, digs, lens = (
+        [], [], [], [], [], [], [], [],
+    )
+    for i, cu in enumerate(canon):
+        s = surt(cu) if cu else None
+        if s is None:
+            continue
+        t14 = format_timestamp14(tss[i])
+        keys.append(s + " " + t14)
+        surts.append(s)
+        ts14s.append(t14)
+        urls.append(cu)
+        sts.append(status[i])
+        mimes.append("warc/revisit")
+        digs.append(pdigs[i])
+        lens.append(0)
+    return pa.table(
+        {
+            "cdx_key": pa.array(keys, pa.string()),
+            "surt": pa.array(surts, pa.string()),
+            "ts14": pa.array(ts14s, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "http_status": pa.array(sts, pa.int32()),
+            "mime_norm": pa.array(mimes, pa.string()),
+            "digest_hex": pa.array(digs, pa.string()),
+            "length": pa.array(lens, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------- lines
 
 
@@ -266,13 +314,17 @@ def merge_cdx_indexes(index_dirs: list[str], out_dir: str):
     return write_cdx_from_rows(ds, out_dir)
 
 
-def index_warc_archive(archive, out_dir: str):
+def index_warc_archive(archive, out_dir: str, include_revisits: bool = True):
     """WARC archive (a directory or an explicit ``.warc.gz`` path list,
     e.g. ``CrawlResult.archive_paths()``) -> CDXJ index over its
     captures: read every file back through the Ray WARC source and
     index the (url, warc_ts, html) rows — what the real Common Crawl
-    does after each crawl (cdx-index beside the warc/ prefix)."""
-    from .warc import read_warc_pages
+    does after each crawl (cdx-index beside the warc/ prefix).
+    ``include_revisits``: also index revisit records (mime
+    ``warc/revisit``, length 0, the referenced payload digest), so an
+    archive rewritten by ``deduplicate_warc`` stays fully addressable
+    capture-by-capture."""
+    from .warc import read_warc_pages, read_warc_revisit_pages
 
     if isinstance(archive, str):
         paths = [
@@ -289,9 +341,16 @@ def index_warc_archive(archive, out_dir: str):
     def slim(t: pa.Table) -> pa.Table:
         return t.select(["url", "warc_ts", "html"])
 
-    return build_cdx_index(
-        pages.map_batches(slim, batch_format="pyarrow"), out_dir
+    rows = pages.map_batches(slim, batch_format="pyarrow").map_batches(
+        cdx_rows_batch, batch_format="pyarrow", batch_size=None
     )
+    if include_revisits:
+        rows = rows.union(
+            read_warc_revisit_pages(paths).map_batches(
+                revisit_cdx_rows_batch, batch_format="pyarrow", batch_size=None
+            )
+        )
+    return write_cdx_from_rows(rows, out_dir)
 
 
 # -------------------------------------------------------------- source

@@ -642,6 +642,38 @@ def deduplicate_warc(paths, out_dir: str, suffix: str = "dedup"):
     return marked.groupby("file").map_groups(rewrite, batch_format="pyarrow")
 
 
+def read_warc_revisit_pages(paths):
+    """Revisit records of a deduplicated archive -> Dataset of
+    (url, warc_ts, html, payload_digest) where ``html`` is the stored
+    HTTP header section (the identical-payload-digest profile keeps
+    headers only). Feeds the CDX indexer so a deduplicated archive
+    stays fully addressable capture-by-capture."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, arrow_open_stream_args={"compression": None})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, blobs, digs = [], [], [], []
+        for raw in batch.column("bytes").to_pylist():
+            for rec in iter_warc_records(raw, rec_type="revisit"):
+                urls.append(rec.url or "")
+                tss.append(rec.ts_ms)
+                blobs.append(rec.block)
+                digs.append(rec.fields.get("warc-payload-digest", ""))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.array(tss, dtype="int64"), pa.timestamp("ms")),
+                "html": pa.array(blobs, pa.binary()),
+                "payload_digest": pa.array(digs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
 def read_warc_captures(paths):
     """All response + revisit records of a (possibly deduplicated)
     archive -> Dataset of (url, ts_ms, rec_type, digest, refers_url,

@@ -320,3 +320,60 @@ def test_surt_idn_and_escape_vectors():
     ]
     for url, want in cases:
         assert surt(url) == want, url
+
+
+def test_index_deduplicated_archive_with_revisits(ray_session, tmp_path):
+    """deduplicate_warc -> index_warc_archive chain: a re-crawled,
+    deduplicated archive stays fully addressable — every capture
+    (response AND revisit) appears in the CDX index; revisit rows
+    carry mime warc/revisit, length 0, and the payload digest of the
+    keeper they reference."""
+    import os
+
+    import ray.data as rd
+
+    from commoncrawl_ray.sources.cdx import index_warc_archive, read_cdxj
+    from commoncrawl_ray.sources.warc import deduplicate_warc, write_warc
+
+    t = _universe_pages_table(4, 10)
+    # a second crawl of the same pages 7 days later: same payloads
+    t2 = pa.table(
+        {
+            "url": t.column("url"),
+            "warc_ts": pa.array(
+                [v + 7 * 86400 * 1000 for v in t.column("warc_ts").cast(pa.int64()).to_pylist()],
+                pa.timestamp("ms"),
+            ),
+            "html": t.column("html"),
+        }
+    )
+    both = pa.concat_tables([t, t2])
+    src = str(tmp_path / "src")
+    ded = str(tmp_path / "ded")
+    write_warc(rd.from_arrow(both).repartition(3), src).count()
+    paths = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".warc.gz")
+    )
+    stats = deduplicate_warc(paths, ded).to_pandas()
+    n_resp, n_rev = int(stats.responses.sum()), int(stats.revisits.sum())
+    assert n_resp + n_rev == both.num_rows and n_rev >= t.num_rows
+
+    out = str(tmp_path / "idx")
+    man = index_warc_archive(ded, out)
+    idx = read_cdxj(out).to_pandas()
+    # every capture indexed (all URLs here are SURTable)
+    assert len(idx) == both.num_rows == sum(man.column("records").to_pylist())
+    revs = idx[idx.mime_norm == "warc/revisit"]
+    resp = idx[idx.mime_norm != "warc/revisit"]
+    assert len(revs) == n_rev and len(resp) == n_resp
+    assert (revs.length == 0).all()
+    assert revs.digest_hex.str.startswith("sha1:").all()
+    # every revisit digest names a payload that IS archived (some
+    # keeper response holds it — possibly under a different URL when
+    # two pages share identical bytes)
+    from commoncrawl_ray.sources.warc import payload_digest
+
+    stored = {payload_digest(h) for h in t.column("html").to_pylist()}
+    assert set(revs.digest_hex) <= stored
+    # the index is globally key-sorted across record types
+    assert list(idx.sort_values("cdx_key").cdx_key) == sorted(idx.cdx_key)
