@@ -837,6 +837,80 @@ def oracle_pagerank_table(
     return _write_atomic(out, path, src_key)
 
 
+CRAWL_TRAP_ORACLE_PATH = "/tmp/ccray_oracle_crawl_trap.parquet"
+
+
+def trap_universe_rows(n_hosts: int = 12, per_host: int = 20):
+    """Deterministic pages shard with SIMULATED crawler traps, shared
+    by the distributed query and the sequential oracle: the base
+    universe slice, plus — for every 4th host — 8 calendar-style
+    ``?cal=<i>`` URL variants per early page that serve the SAME
+    bytes (the unbounded-URL-space / duplicate-content signature a
+    trap detector must flag). Yields (url, ts_ms, record_bytes)."""
+    from ..sources.synth import get_universe
+
+    uni = get_universe(0.001, 42)
+    for hi, host in enumerate(uni.hosts[:n_hosts]):
+        for k in range(min(per_host, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            yield url, ts, rec
+            if hi % 4 == 0 and k < 5:
+                canon = uni.canon_page_url(host, k)
+                sep = "&" if "?" in canon else "?"
+                for i in range(8):
+                    yield f"{canon}{sep}cal=2026-{i + 1:02d}-01", ts + i, rec
+
+
+def oracle_crawl_trap_table(path: str = CRAWL_TRAP_ORACLE_PATH) -> str:
+    """Sequential oracle for the crawler-trap detector: same simulated
+    trap shard, same parse kernel (canon_url) and host/digest
+    primitives, plain dict fold to per-host (n_urls, n_distinct
+    content digests); a host is a trap when it serves >= 2 URLs per
+    distinct payload. A value-hash match proves the distributed
+    two-groupby plan (distinct (host, digest) then host rollup)
+    reassigned every capture correctly."""
+    import hashlib
+
+    from ..stages.pagerank import _host_of
+    from ..stages.parse_extract import parse_extract_batch
+
+    src_key = "crawl_trap|0.001|42|12x20"
+    if _is_fresh(path, src_key):
+        return path
+    rows = list(trap_universe_rows())
+    parsed = parse_extract_batch(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        )
+    )
+    urls_n: dict[str, int] = {}
+    digs: dict[str, set] = {}
+    for cu, rec in zip(parsed.column("canon_url").to_pylist(), [r[2] for r in rows]):
+        h = _host_of(cu) if cu else None
+        if not h:
+            continue
+        urls_n[h] = urls_n.get(h, 0) + 1
+        digs.setdefault(h, set()).add(hashlib.md5(rec or b"").hexdigest())
+    hosts = sorted(urls_n)
+    n_urls = [urls_n[h] for h in hosts]
+    n_dist = [len(digs[h]) for h in hosts]
+    ratio = [np.round(u / d, 6) for u, d in zip(n_urls, n_dist)]
+    out = pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "n_urls": pa.array(n_urls, pa.int64()),
+            "n_distinct": pa.array(n_dist, pa.int64()),
+            "dup_ratio": pa.array(ratio, pa.float64()),
+            "is_trap": pa.array([r >= 2.0 for r in ratio], pa.bool_()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 TRUSTRANK_ORACLE_PATH = "/tmp/ccray_oracle_trustrank.parquet"
 TRUSTRANK_N_SEEDS = 8
 

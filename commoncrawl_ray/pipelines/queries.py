@@ -1512,6 +1512,91 @@ SELECT host, trust FROM read_parquet('/tmp/ccray_oracle_trustrank.parquet')
 """
 
 
+def q_crawl_trap_hosts(sf_dir: str):
+    """Crawler-trap detection: flag hosts whose URL space explodes
+    over duplicate content (calendar pages, session-id mazes — the
+    classic unbounded-URL trap a frontier must throttle; Heydon &
+    Najork's Mercator §3.2 describes the failure mode). Signal =
+    URLs-per-distinct-payload ratio; a host serving >= 2 URLs per
+    distinct digest is a trap. Runs over a shared deterministic shard
+    with SIMULATED ?cal= traps on every 4th host
+    (oracle_sketch.trap_universe_rows). Hash-checked against the
+    sequential dict-fold oracle.
+
+    Scale shape: captures reduce to slim (host, digest) rows in the
+    first map; distinct (host, digest) is ONE groupby exchange whose
+    output is content-scale, the host rollup is a second host-scale
+    groupby (Sum of pair counts = n_urls, Count = n_distinct) — the
+    raw pages never ride an exchange and no per-host group needs one
+    block."""
+    import hashlib
+
+    from ..stages.pagerank import _host_of
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_crawl_trap_table, trap_universe_rows
+
+    oracle_crawl_trap_table()
+    rows = list(trap_universe_rows())
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+
+    def host_digest(b: pa.Table) -> pa.Table:
+        htmls = b.column("html").to_pylist()
+        parsed = parse_extract_batch(b)
+        hosts, digests = [], []
+        for cu, raw in zip(parsed.column("canon_url").to_pylist(), htmls):
+            h = _host_of(cu) if cu else None
+            if not h:
+                continue
+            hosts.append(h)
+            digests.append(hashlib.md5(raw or b"").hexdigest())
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    pairs = (
+        rd.from_arrow(t)
+        .repartition(4)
+        .map_batches(host_digest, batch_format="pyarrow")
+        .groupby(["host", "digest"])
+        .count()  # distinct (host, digest) + URL multiplicity per pair
+    )
+    agg = pairs.groupby("host").aggregate(
+        Sum("count()", alias_name="n_urls"),
+        Count(alias_name="n_distinct"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        u = b.column("n_urls").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b.column("n_distinct").to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = np.round(u / d, 6)
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_urls": b.column("n_urls").cast(pa.int64()),
+                "n_distinct": b.column("n_distinct").cast(pa.int64()),
+                "dup_ratio": pa.array(ratio, pa.float64()),
+                "is_trap": pa.array(ratio >= 2.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_CRAWL_TRAP_HOSTS = """
+SELECT host, n_urls, n_distinct, dup_ratio, is_trap
+FROM read_parquet('/tmp/ccray_oracle_crawl_trap.parquet')
+"""
+
+
 def q_parse_extract(sf_dir: str):
     """The flagship parse/extract pipeline over the engine's own pages
     universe at a matching scale (input_hint shape). Hash-checked
@@ -2317,7 +2402,12 @@ def q_bpe_encode(sf_dir: str):
         BpeEncodeStage,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=4,
+        # (min, max) like every other pool: a FIXED concurrency=4
+        # reserves every CPU of a 4-cpu cluster for the actors and
+        # starves the upstream read — the executor then crawls at one
+        # effective worker (observed: the 4-cpu test session wedged
+        # here for an hour; 32-cpu runs masked it)
+        concurrency=(1, 4),
     )
 
 
@@ -7168,6 +7258,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
     "hits_hosts": (q_hits_hosts, SQL_HITS_HOSTS),
     "trustrank_hosts": (q_trustrank_hosts, SQL_TRUSTRANK_HOSTS),
+    "crawl_trap_hosts": (q_crawl_trap_hosts, SQL_CRAWL_TRAP_HOSTS),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

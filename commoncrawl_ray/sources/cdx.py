@@ -438,3 +438,53 @@ def cdx_lookup(index_dir: str, surt_prefix: str):
         return t.filter(pc.starts_with(t.column("cdx_key"), surt_prefix))
 
     return read_cdxj(paths).map_batches(filt, batch_format="pyarrow")
+
+
+def cdx_closest(index_dir: str, url: str, ts14: str) -> dict | None:
+    """Wayback-machine-style time-travel lookup: the capture of
+    ``url`` whose TIMESTAMP14 is closest to ``ts14`` (|delta| in
+    seconds; earlier capture wins a tie — wayback replay convention).
+    Returns one capture row dict or None.
+
+    Point lookups should not spin up a Dataset: the cluster.idx range
+    scan admits the O(1) shards covering this exact SURT key, which
+    are read directly (the same pruning the distributed
+    ``cdx_lookup`` path uses — a url's captures are contiguous in the
+    global key order)."""
+    from datetime import datetime, timezone
+
+    from ..functions.surt import surt
+
+    s = surt(url)
+    if s is None:
+        return None
+    prefix = s + " "
+    files = cdx_files_for_prefix(index_dir, prefix)
+    if not files:
+        return None
+
+    def t14_secs(t14: str) -> int:
+        # TIMESTAMP14 is UTC (functions/http.format_timestamp14 uses
+        # gmtime) — parse it as such so deltas never cross a DST seam
+        return int(
+            datetime.strptime(t14, "%Y%m%d%H%M%S")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+
+    want = t14_secs(ts14)
+    best = None
+    best_d = None
+    for fname in files:
+        with open(os.path.join(index_dir, fname), "rb") as f:
+            for row in parse_cdxj(f.read()):
+                if row["surt"] != s:
+                    continue
+                d = abs(t14_secs(row["ts14"]) - want)
+                if (
+                    best_d is None
+                    or d < best_d
+                    or (d == best_d and row["ts14"] < best["ts14"])
+                ):
+                    best, best_d = row, d
+    return best

@@ -377,3 +377,44 @@ def test_index_deduplicated_archive_with_revisits(ray_session, tmp_path):
     assert set(revs.digest_hex) <= stored
     # the index is globally key-sorted across record types
     assert list(idx.sort_values("cdx_key").cdx_key) == sorted(idx.cdx_key)
+
+
+def test_cdx_closest_time_travel(ray_session, tmp_path):
+    """cdx_closest: the wayback replay rule — capture with minimal
+    |ts delta|, earlier wins ties; unknown urls and empty prefixes
+    return None. Point lookup never builds a Dataset."""
+    import ray.data as rd
+
+    from commoncrawl_ray.functions.http import format_timestamp14
+    from commoncrawl_ray.functions.surt import surt
+    from commoncrawl_ray.sources.cdx import cdx_closest, write_cdx_from_rows
+
+    t = _universe_pages_table(3, 4)
+    base = t.column("warc_ts").cast(pa.int64()).to_pylist()
+    url0 = t.column("url")[0].as_py()
+    # three captures of row 0: t, t+100s, t+300s
+    tt = pa.concat_tables(
+        [
+            t,
+            t.slice(0, 1).set_column(
+                1, "warc_ts", pa.array([base[0] + 100_000], pa.timestamp("ms"))
+            ),
+            t.slice(0, 1).set_column(
+                1, "warc_ts", pa.array([base[0] + 300_000], pa.timestamp("ms"))
+            ),
+        ]
+    )
+    out = str(tmp_path / "idx")
+    write_cdx_from_rows(
+        rd.from_arrow(cdx_rows_batch(tt)).repartition(2), out
+    )
+    # exactly between capture 1 (t+100s) and capture 3 (t+300s) is
+    # t+200s: equidistant 100s both ways -> the EARLIER capture wins
+    hit = cdx_closest(out, url0, format_timestamp14(base[0] + 200_000))
+    assert hit is not None and hit["ts14"] == format_timestamp14(base[0] + 100_000)
+    # nearest to t+299s is t+300s
+    hit = cdx_closest(out, url0, format_timestamp14(base[0] + 299_000))
+    assert hit["ts14"] == format_timestamp14(base[0] + 300_000)
+    assert hit["surt"] == surt(hit["url"])
+    # a url outside the index
+    assert cdx_closest(out, "http://nowhere.example/none", "20260101000000") is None
