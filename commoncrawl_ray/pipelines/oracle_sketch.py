@@ -972,6 +972,42 @@ def oracle_trustrank_table(
     return _write_atomic(out, path, src_key)
 
 
+SPAM_MASS_ORACLE_PATH = "/tmp/ccray_oracle_spam_mass.parquet"
+
+
+def oracle_spam_mass_table(
+    sf_dir: str, path: str = SPAM_MASS_ORACLE_PATH
+) -> str:
+    """Sequential spam-mass combine (Gyongyi, Garcia-Molina & Pedersen
+    2006, "Link spam detection based on mass estimation"): relative
+    spam mass = (pr - trust) / pr per host, from the two sequential
+    graph oracles (both probability-scale, both already rounded to 6
+    decimals — the same inputs whose hashes the pagerank/trustrank
+    queries match, so the combine is value-exact on both sides)."""
+    src_key = f"{os.path.abspath(sf_dir)}|spam_mass"
+    if _is_fresh(path, src_key):
+        return path
+    pr_t = pq.read_table(oracle_pagerank_table(sf_dir))
+    tr_t = pq.read_table(oracle_trustrank_table(sf_dir))
+    trust = dict(
+        zip(tr_t.column("host").to_pylist(), tr_t.column("trust").to_pylist())
+    )
+    hosts = pr_t.column("host").to_pylist()
+    pr = np.asarray(pr_t.column("pr").to_pylist(), dtype=np.float64)
+    tr = np.asarray([trust.get(h, 0.0) for h in hosts], dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mass = np.where(pr > 0, np.round((pr - tr) / np.maximum(pr, 1e-300), 6), 0.0)
+    out = pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "pr": pa.array(pr, pa.float64()),
+            "trust": pa.array(tr, pa.float64()),
+            "spam_mass": pa.array(mass + 0.0, pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 HITS_ORACLE_PATH = "/tmp/ccray_oracle_hits.parquet"
 
 

@@ -1512,6 +1512,96 @@ SELECT host, trust FROM read_parquet('/tmp/ccray_oracle_trustrank.parquet')
 """
 
 
+def q_spam_mass_hosts(sf_dir: str):
+    """Spam mass (Gyongyi et al. 2006): relative mass =
+    (pr - trust) / pr per host — the share of a host's PageRank that
+    does NOT flow from the trusted seed neighborhood; link-spam farms
+    score ~1, seed-adjacent hosts ~0. Runs BOTH power loops over ONE
+    shared distinct edge table (PageRank uniform teleport, TrustRank
+    top-8-in-degree seeds) and combines them with a sort-merge join on
+    host — node-scale, one exchange. Both inputs are the exact rounded
+    vectors whose hashes the pagerank_hosts / trustrank_hosts rows
+    already match, so the combine is value-exact vs the sequential
+    oracle."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.joins import merge_join
+    from ..stages.pagerank import (
+        _distinct_sorted,
+        extract_host_edges_batch,
+        pagerank_edges,
+        trustrank_edges,
+    )
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import TRUSTRANK_N_SEEDS, oracle_spam_mass_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_spam_mass_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    edges = _distinct_sorted(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        ["src", "dst"],
+    ).materialize()
+    seed_rows = (
+        edges.groupby("dst")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host": t.column("dst"),
+                    "indeg": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["indeg", "host"], descending=[True, False])
+        .limit(TRUSTRANK_N_SEEDS)
+        .take_all()
+    )
+    seeds = {r["host"] for r in seed_rows}
+    pr = pagerank_edges(edges, damping=0.85, iters=10)
+    tr = trustrank_edges(edges, seeds, damping=0.85, iters=10, dedup=False)
+    joined = merge_join(pr, tr, "host", "host", ["trust"], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        p = t.column("pr").to_numpy(zero_copy_only=False)
+        tv = np.nan_to_num(
+            t.column("trust").to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mass = np.where(
+                p > 0, np.round((p - tv) / np.maximum(p, 1e-300), 6), 0.0
+            )
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "pr": t.column("pr"),
+                "trust": pa.array(tv, pa.float64()),
+                "spam_mass": pa.array(mass + 0.0, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SPAM_MASS_HOSTS = """
+SELECT host, pr, trust, spam_mass
+FROM read_parquet('/tmp/ccray_oracle_spam_mass.parquet')
+"""
+
+
 def q_crawl_trap_hosts(sf_dir: str):
     """Crawler-trap detection: flag hosts whose URL space explodes
     over duplicate content (calendar pages, session-id mazes — the
@@ -7259,6 +7349,7 @@ REGISTRY: dict[str, tuple] = {
     "hits_hosts": (q_hits_hosts, SQL_HITS_HOSTS),
     "trustrank_hosts": (q_trustrank_hosts, SQL_TRUSTRANK_HOSTS),
     "crawl_trap_hosts": (q_crawl_trap_hosts, SQL_CRAWL_TRAP_HOSTS),
+    "spam_mass_hosts": (q_spam_mass_hosts, SQL_SPAM_MASS_HOSTS),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

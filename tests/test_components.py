@@ -247,3 +247,46 @@ def test_trustrank_demotes_spam_farm(ray_session):
     assert (
         trustrank_edges(rd.from_arrow(t), seeds={"nowhere.net"}).count() == 0
     )
+
+
+def test_spam_mass_flags_farm(ray_session):
+    """Relative spam mass (Gyongyi et al. 2006) on the same hand-built
+    graph: the farm gets pr>0 from its clique but trust=0, so its mass
+    is exactly 1.0; the seed neighborhood keeps most rank from trusted
+    flow, so its mass stays well below the farm's."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.joins import merge_join
+    from commoncrawl_ray.stages.pagerank import pagerank_edges, trustrank_edges
+
+    edges = [
+        ("seed.org", "good1.com"), ("seed.org", "good2.com"),
+        ("good1.com", "good2.com"),
+        ("s1.com", "spam.com"), ("s2.com", "spam.com"),
+        ("s3.com", "spam.com"), ("s4.com", "spam.com"),
+        ("s1.com", "s2.com"), ("s2.com", "s3.com"),
+        ("s3.com", "s4.com"), ("s4.com", "s1.com"),
+        ("spam.com", "s1.com"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    pr = pagerank_edges(rd.from_arrow(t), iters=20)
+    tr = trustrank_edges(rd.from_arrow(t), seeds={"seed.org"}, iters=20)
+    joined = merge_join(pr, tr, "host", "host", ["trust"], how="left")
+    rows = joined.take_all()
+    mass = {}
+    for r in rows:
+        tv = 0.0 if r["trust"] is None or np.isnan(r["trust"]) else r["trust"]
+        mass[r["host"]] = (r["pr"] - tv) / r["pr"] if r["pr"] > 0 else 0.0
+    # every host in the farm carries pure spam mass
+    for h in ("spam.com", "s1.com", "s2.com", "s3.com", "s4.com"):
+        assert mass[h] == 1.0
+    # the trusted neighborhood is demoted far below the farm
+    assert mass["good1.com"] < 0.5
+    assert mass["good2.com"] < 0.5
