@@ -1008,6 +1008,48 @@ def oracle_spam_mass_table(
     return _write_atomic(out, path, src_key)
 
 
+RECIP_LINKS_ORACLE_PATH = "/tmp/ccray_oracle_recip_links.parquet"
+
+
+def oracle_recip_links_table(
+    sf_dir: str, path: str = RECIP_LINKS_ORACLE_PATH
+) -> str:
+    """Sequential reciprocal-link (link-exchange) fold over the same
+    distinct host edge set the graph queries use: per host with >= 1
+    non-self out-edge, how many of its out-edges are reciprocated
+    (the reverse edge exists) and the reciprocity ratio — the classic
+    link-exchange spam signal (cf. Gyongyi & Garcia-Molina, "Web spam
+    taxonomy", 2005: link farms show near-total reciprocity). Plain
+    Python set membership; ratio rounded to 6 decimals."""
+    src_key = f"{os.path.abspath(sf_dir)}|recip_links"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    pairs = set(zip(src_i.tolist(), dst_i.tolist()))
+    out_deg: dict[int, int] = {}
+    recip: dict[int, int] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        out_deg[s] = out_deg.get(s, 0) + 1
+        if (d, s) in pairs:
+            recip[s] = recip.get(s, 0) + 1
+    order = sorted(out_deg)
+    od = np.array([out_deg[i] for i in order], dtype=np.int64)
+    rc = np.array([recip.get(i, 0) for i in order], dtype=np.int64)
+    out = pa.table(
+        {
+            "host": pa.array([nodes[i] for i in order], pa.string()),
+            "out_deg": pa.array(od, pa.int64()),
+            "recip_deg": pa.array(rc, pa.int64()),
+            "recip_ratio": pa.array(
+                np.round(rc / np.maximum(od, 1), 6), pa.float64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 HITS_ORACLE_PATH = "/tmp/ccray_oracle_hits.parquet"
 
 

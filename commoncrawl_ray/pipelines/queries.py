@@ -1602,6 +1602,56 @@ FROM read_parquet('/tmp/ccray_oracle_spam_mass.parquet')
 """
 
 
+def q_reciprocal_links(sf_dir: str):
+    """Reciprocal-link (link-exchange) detection: per host, how many
+    of its distinct non-self out-edges are reciprocated — (a -> b)
+    with (b -> a) also present — and the reciprocity ratio. Link
+    farms trade links both ways, so near-1 ratios over non-trivial
+    out-degree are the classic link-exchange spam signal (Gyongyi &
+    Garcia-Molina, "Web spam taxonomy", AIRWeb 2005).
+
+    Shape: stages/pagerank.py reciprocal_link_stats — the distinct
+    (src, dst) edge table is built once and materialized (slim
+    two-string rows); the reverse-edge test is a SEMI merge_join of
+    the edge list against its own swapped key ("src\\tdst" vs
+    "dst\\tsrc") — ONE union+sort exchange over edge-scale rows, no
+    per-row Python; degree rollups are two node-scale groupbys joined
+    back with a left merge_join. Hash-checked against a sequential
+    set-membership oracle over the identical edge set."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import (
+        extract_host_edges_batch,
+        reciprocal_link_stats,
+    )
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_recip_links_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_recip_links_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return reciprocal_link_stats(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_RECIPROCAL_LINKS = """
+SELECT host, out_deg, recip_deg, recip_ratio
+FROM read_parquet('/tmp/ccray_oracle_recip_links.parquet')
+"""
+
+
 def q_crawl_trap_hosts(sf_dir: str):
     """Crawler-trap detection: flag hosts whose URL space explodes
     over duplicate content (calendar pages, session-id mazes — the
@@ -7350,6 +7400,7 @@ REGISTRY: dict[str, tuple] = {
     "trustrank_hosts": (q_trustrank_hosts, SQL_TRUSTRANK_HOSTS),
     "crawl_trap_hosts": (q_crawl_trap_hosts, SQL_CRAWL_TRAP_HOSTS),
     "spam_mass_hosts": (q_spam_mass_hosts, SQL_SPAM_MASS_HOSTS),
+    "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

@@ -679,3 +679,95 @@ def triangle_count(edge_ds, max_degree: int | None = 4096):
     return rd.from_arrow(
         pa.table({"n_triangles": pa.array([n], pa.int64())})
     )
+
+
+def reciprocal_link_stats(edge_ds):
+    """Per-host reciprocity over a raw (src, dst) edge Dataset: global
+    distinct, self-loops dropped, then the reverse-edge test as a SEMI
+    merge_join of the edge list against its own swapped key
+    ("src\\tdst" vs "dst\\tsrc") — ONE union+sort exchange over
+    edge-scale rows, no per-row Python. Degree rollups are two
+    node-scale groupbys joined back with a left merge_join. Output:
+    (host, out_deg, recip_deg, recip_ratio[6dp]) for every host with
+    >= 1 non-self out-edge. Link farms trade links both ways, so
+    near-1 ratios over non-trivial out-degree are the classic
+    link-exchange spam signal (Gyongyi & Garcia-Molina, "Web spam
+    taxonomy", AIRWeb 2005)."""
+    from .joins import merge_join
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+
+    edges = (
+        _distinct_sorted(edge_ds, ["src", "dst"])
+        .map_batches(drop_self, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    t.column("src"), t.column("dst"), "\t"
+                ),
+                "src": t.column("src"),
+            }
+        )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    t.column("dst"), t.column("src"), "\t"
+                )
+            }
+        )
+
+    recip_edges = merge_join(
+        edges.map_batches(fwd, batch_format="pyarrow"),
+        edges.map_batches(rev, batch_format="pyarrow"),
+        "k",
+        "k",
+        [],
+        how="semi",
+    )
+
+    def count_col(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "host": t.column("src"),
+                    name: t.column("count()").cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    outd = edges.groupby("src").count().map_batches(
+        count_col("out_deg"), batch_format="pyarrow"
+    )
+    rec = recip_edges.groupby("src").count().map_batches(
+        count_col("recip_deg"), batch_format="pyarrow"
+    )
+    joined = merge_join(outd, rec, "host", "host", ["recip_deg"], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        od = t.column("out_deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        rc = np.nan_to_num(
+            t.column("recip_deg")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "out_deg": pa.array(od, pa.int64()),
+                "recip_deg": pa.array(rc, pa.int64()),
+                "recip_ratio": pa.array(
+                    np.round(rc / np.maximum(od, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

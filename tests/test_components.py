@@ -290,3 +290,41 @@ def test_spam_mass_flags_farm(ray_session):
     # the trusted neighborhood is demoted far below the farm
     assert mass["good1.com"] < 0.5
     assert mass["good2.com"] < 0.5
+
+
+def test_reciprocal_link_stats(ray_session):
+    """Hand-built graph: a 3-host link-exchange ring trading links
+    both ways (ratio 1.0), an honest host linking out with nothing
+    reciprocated (ratio 0.0), and a self-loop that must be ignored."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.pagerank import reciprocal_link_stats
+
+    edges = [
+        # farm: full reciprocity
+        ("f1.com", "f2.com"), ("f2.com", "f1.com"),
+        ("f2.com", "f3.com"), ("f3.com", "f2.com"),
+        ("f1.com", "f3.com"), ("f3.com", "f1.com"),
+        # honest: one-way links only
+        ("news.org", "f1.com"), ("news.org", "blog.net"),
+        # self-loop must not count anywhere
+        ("loop.io", "loop.io"),
+        # duplicate edge must collapse before counting
+        ("news.org", "blog.net"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    rows = {r["host"]: r for r in reciprocal_link_stats(rd.from_arrow(t)).take_all()}
+    assert set(rows) == {"f1.com", "f2.com", "f3.com", "news.org"}
+    for h in ("f1.com", "f2.com", "f3.com"):
+        assert rows[h]["out_deg"] == 2
+        assert rows[h]["recip_deg"] == 2
+        assert rows[h]["recip_ratio"] == 1.0
+    assert rows["news.org"]["out_deg"] == 2
+    assert rows["news.org"]["recip_deg"] == 0
+    assert rows["news.org"]["recip_ratio"] == 0.0
