@@ -1008,6 +1008,50 @@ def oracle_spam_mass_table(
     return _write_atomic(out, path, src_key)
 
 
+LPA_ORACLE_PATH = "/tmp/ccray_oracle_lpa.parquet"
+
+
+def oracle_lpa_table(
+    sf_dir: str, path: str = LPA_ORACLE_PATH, iters: int = 5
+) -> str:
+    """Single-process synchronous label propagation (Raghavan et al.
+    2007, deterministic min-label tie-break) over the same undirected
+    host graph: neighbors = distinct non-self edge endpoints both
+    ways, every node starts as its own label, each round all nodes
+    simultaneously adopt the most frequent neighbor label (tie ->
+    lexicographically smallest). Fixed ``iters`` rounds — identical
+    semantics to stages/components.py label_propagation."""
+    from collections import Counter, defaultdict
+
+    src_key = f"{os.path.abspath(sf_dir)}|lpa|{iters}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    nbrs: dict[int, set] = defaultdict(set)
+    for s, d in zip(src_i.tolist(), dst_i.tolist()):
+        if s == d:
+            continue
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    labels = {i: nodes[i] for i in nbrs}
+    for _ in range(iters):
+        labels = {
+            a: min(
+                Counter(labels[b] for b in ns).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for a, ns in nbrs.items()
+        }
+    order = sorted(nbrs)
+    out = pa.table(
+        {
+            "host": pa.array([nodes[i] for i in order], pa.string()),
+            "community": pa.array([labels[i] for i in order], pa.string()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 RECIP_LINKS_ORACLE_PATH = "/tmp/ccray_oracle_recip_links.parquet"
 
 

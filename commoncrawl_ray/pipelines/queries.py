@@ -1652,6 +1652,49 @@ FROM read_parquet('/tmp/ccray_oracle_recip_links.parquet')
 """
 
 
+def q_lpa_communities(sf_dir: str):
+    """Host communities via synchronous label propagation
+    (stages/components.py label_propagation — Raghavan et al. 2007
+    with the deterministic min-label tie-break) over the crawl's
+    undirected host graph: 5 fixed rounds, each moving the
+    materialized distinct neighbor table exactly once through the
+    union+sort merge_join, then a (node,label) groupby count and a
+    sort(node) co-partitioned block-local argmax. Hash-checked
+    against a sequential Counter-fold oracle with identical
+    semantics."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.components import label_propagation
+    from ..stages.pagerank import extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_lpa_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_lpa_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return label_propagation(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        iters=5,
+    )
+
+
+SQL_LPA_COMMUNITIES = """
+SELECT host, community
+FROM read_parquet('/tmp/ccray_oracle_lpa.parquet')
+"""
+
+
 def q_crawl_trap_hosts(sf_dir: str):
     """Crawler-trap detection: flag hosts whose URL space explodes
     over duplicate content (calendar pages, session-id mazes — the
@@ -7401,6 +7444,7 @@ REGISTRY: dict[str, tuple] = {
     "crawl_trap_hosts": (q_crawl_trap_hosts, SQL_CRAWL_TRAP_HOSTS),
     "spam_mass_hosts": (q_spam_mass_hosts, SQL_SPAM_MASS_HOSTS),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
+    "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),

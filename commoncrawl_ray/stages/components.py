@@ -160,3 +160,102 @@ def connected_components(
             batch_format="pyarrow",
         )
     )
+
+
+def label_propagation(edge_ds, iters: int = 5, parts: int = 8):
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    "Near linear time algorithm to detect community structures") over
+    a raw directed (src, dst) string edge Dataset, viewed undirected:
+    every node starts as its own label; each round every node adopts
+    the most frequent label among its distinct neighbors
+    (tie -> lexicographically smallest label — the deterministic
+    variant; the paper breaks ties uniformly at random). Fixed
+    ``iters`` rounds, no early exit — synchronous LPA can oscillate on
+    bipartite structures, and a fixed round count keeps the oracle
+    comparison exact.
+
+    Scale shape (the pagerank_edges discipline): the undirected
+    distinct neighbor table is built ONCE and materialized
+    (edge-scale, two string columns); each round moves it once
+    through the union+sort merge_join that attaches neighbor labels,
+    then a (node, label)-keyed groupby count and a sort(node)
+    co-partitioned block-local argmax (equal sort keys co-locate in
+    one block — the repo's standing guarantee). The loop-carried
+    label table is node-scale and re-materialized per round; the
+    driver never sees a node or edge table.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .joins import merge_join
+    from .pagerank import _distinct_sorted
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        return pa.table(
+            {
+                "u": pa.concat_arrays([s, d]),
+                "v": pa.concat_arrays([d, s]),
+            }
+        )
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("u"), t.column("v")))
+
+    und = (
+        _distinct_sorted(
+            edge_ds.map_batches(both_dirs, batch_format="pyarrow"), ["u", "v"]
+        )
+        .map_batches(drop_self, batch_format="pyarrow")
+        .repartition(parts)
+        .materialize()
+    )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t.column("u"), "label": t.column("u")})
+
+    labels = (
+        _distinct_sorted(
+            und.map_batches(
+                lambda t: pa.table({"u": t.column("u")}), batch_format="pyarrow"
+            ),
+            ["u"],
+        )
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["u", "count()", "label"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("u", keep="first")
+        return pa.table(
+            {
+                "host": pa.array(df["u"], pa.string()),
+                "label": pa.array(df["label"], pa.string()),
+            }
+        )
+
+    for _ in range(iters):
+        votes = merge_join(und, labels, "v", "host", ["label"], how="inner")
+        labels = (
+            votes.groupby(["u", "label"])
+            .count()
+            .sort("u")
+            .map_batches(pick, batch_format="pyarrow", batch_size=None)
+            .repartition(parts)
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"host": t.column("host"), "community": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

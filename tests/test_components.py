@@ -328,3 +328,51 @@ def test_reciprocal_link_stats(ray_session):
     assert rows["news.org"]["out_deg"] == 2
     assert rows["news.org"]["recip_deg"] == 0
     assert rows["news.org"]["recip_ratio"] == 0.0
+
+
+def test_label_propagation_matches_sequential(ray_session):
+    """Distributed synchronous LPA == the sequential Counter fold with
+    identical semantics (min-label tie-break, fixed rounds) on a
+    two-clique graph with a bridge; the two cliques must end up in
+    different communities."""
+    from collections import Counter, defaultdict
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.components import label_propagation
+
+    edges = [
+        ("a1.com", "a2.com"), ("a2.com", "a3.com"), ("a1.com", "a3.com"),
+        ("b1.com", "b2.com"), ("b2.com", "b3.com"), ("b1.com", "b3.com"),
+        ("a3.com", "b1.com"),  # bridge
+        ("solo.net", "a1.com"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    iters = 5
+    got = {
+        r["host"]: r["community"]
+        for r in label_propagation(rd.from_arrow(t), iters=iters).take_all()
+    }
+
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    labels = {h: h for h in nbrs}
+    for _ in range(iters):
+        labels = {
+            a: min(
+                Counter(labels[b] for b in ns).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for a, ns in nbrs.items()
+        }
+    assert got == labels
+    # the cliques settle on distinct communities
+    assert len({got["a1.com"], got["a2.com"]} | {got["b2.com"], got["b3.com"]}) >= 2
