@@ -2444,6 +2444,171 @@ GROUP BY doc_id
 """
 
 
+def q_snapshot_churn(sf_dir: str):
+    """Snapshot-over-snapshot URL churn census — per snapshot t, how
+    many URLs were ADDED (first seen at t), GONE (present at t-1,
+    absent at t), CHANGED (present at both with a different payload
+    digest) and UNCHANGED. The crawl-planning counterpart of
+    recrawl_schedule: Common Crawl publishes exactly this
+    new/changed/gone breakdown between monthly snapshots, and a
+    100 TB engine computes it without ever co-locating a URL's whole
+    history.
+
+    The capture universe is synthesized deterministically from doc_id
+    arithmetic (present in snapshots [id%3, min(id%3 + 2 + id%5, 7)];
+    digest version = running count of change events (id + t*t) % 4 ==
+    0) so DuckDB rebuilds the identical history with generate_series
+    + a window SUM — a real-SQL oracle, not a pinned parquet.
+
+    Scale shape (the recrawl_schedule discipline): capture rows ride
+    as TWO int64s (composite key doc_id*16 + t, digest version); the
+    snapshot-pair compare is ONE distributed FULL OUTER sort-merge
+    self-join on the +1-shifted key (left-only -> added, right-only
+    -> gone, matched -> digest compare), then per-batch bincount
+    partials (<= 8 snapshot rows per batch — the A4 combiner
+    discipline) into a tiny groupby Sum. No per-URL group ever needs
+    one block; the driver sees only the 8-row census."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    T = 8
+    docs = _pq(sf_dir, "documents", ["doc_id"], min_blocks=4)
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "dig": pa.array([], pa.int64())}
+            )
+        first = d % 3
+        last = np.minimum(first + 2 + (d % 5), T - 1)
+        n = last - first + 1
+        reps = np.repeat(d, n)
+        starts = np.cumsum(n) - n
+        offs = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+        snap = np.repeat(first, n) + offs
+        chg = ((reps + snap * snap) % 4 == 0).astype(np.int64)
+        c = np.cumsum(chg)
+        dig = c - np.repeat(c[starts] - chg[starts], n)  # inclusive cumsum
+        return pa.table(
+            {
+                "k": pa.array(reps * 16 + snap),
+                "dig": pa.array(dig.astype(np.int64)),
+            }
+        )
+
+    caps = docs.map_batches(expand, batch_format="pyarrow")
+
+    def shift(t: pa.Table) -> pa.Table:
+        # capture t re-keyed to t+1 (t <= 7 < 16: never crosses into
+        # the next doc's key range)
+        return pa.table(
+            {"k1": pc.add(t.column("k"), 1), "dig": t.column("dig")}
+        )
+
+    prev = caps.map_batches(shift, batch_format="pyarrow")
+    joined = merge_join(
+        caps, prev, "k", "k1", ["dig"], how="outer", suffix="_prev"
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "snapshot": pa.array([], pa.int64()),
+                    "added": pa.array([], pa.int64()),
+                    "gone": pa.array([], pa.int64()),
+                    "changed": pa.array([], pa.int64()),
+                    "unchanged": pa.array([], pa.int64()),
+                }
+            )
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        snap = k % 16
+        lnull = pc.is_null(t.column("dig")).to_numpy(zero_copy_only=False)
+        rnull = pc.is_null(t.column("dig_prev")).to_numpy(zero_copy_only=False)
+        dig = t.column("dig").to_numpy(zero_copy_only=False).astype(np.float64)
+        digp = (
+            t.column("dig_prev").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        keep = snap < T  # a last-snapshot capture's shift lands at t=8
+        both = keep & ~lnull & ~rnull
+        cats = {
+            "added": keep & ~lnull & rnull,
+            "gone": keep & lnull,
+            "changed": both & (dig != digp),
+            "unchanged": both & (dig == digp),
+        }
+        cols = {"snapshot": pa.array(np.arange(T, dtype=np.int64))}
+        for name, mask in cats.items():
+            cols[name] = pa.array(
+                np.bincount(snap[mask], minlength=T)[:T].astype(np.int64)
+            )
+        return pa.table(cols)
+
+    agg = (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("snapshot")
+        .aggregate(
+            Sum("added", alias_name="added"),
+            Sum("gone", alias_name="gone"),
+            Sum("changed", alias_name="changed"),
+            Sum("unchanged", alias_name="unchanged"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # drop all-zero census rows: the SQL side only emits
+        # snapshots that have at least one pair row
+        total = None
+        for c in ("added", "gone", "changed", "unchanged"):
+            col = pc.cast(t.column(c), pa.int64())
+            total = col if total is None else pc.add(total, col)
+        out = pa.table(
+            {
+                "snapshot": pc.cast(t.column("snapshot"), pa.int64()),
+                "added": pc.cast(t.column("added"), pa.int64()),
+                "gone": pc.cast(t.column("gone"), pa.int64()),
+                "changed": pc.cast(t.column("changed"), pa.int64()),
+                "unchanged": pc.cast(t.column("unchanged"), pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(total, 0))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_CHURN = """
+WITH caps AS (
+  SELECT d.doc_id AS url_id, g.t,
+         SUM(CASE WHEN (d.doc_id + g.t * g.t) % 4 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d.doc_id ORDER BY g.t) AS dig
+  FROM documents d
+  JOIN (SELECT UNNEST(generate_series(0, 7)) AS t) g
+    ON g.t >= d.doc_id % 3
+   AND g.t <= LEAST(d.doc_id % 3 + 2 + d.doc_id % 5, 7)
+),
+pairs AS (
+  SELECT COALESCE(c.t, p.t + 1) AS snapshot,
+         c.dig AS dig, p.dig AS dig_prev
+  FROM caps c
+  FULL OUTER JOIN caps p
+    ON c.url_id = p.url_id AND c.t = p.t + 1
+)
+SELECT CAST(snapshot AS BIGINT) AS snapshot,
+       CAST(SUM(CASE WHEN dig IS NOT NULL AND dig_prev IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS added,
+       CAST(SUM(CASE WHEN dig IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gone,
+       CAST(SUM(CASE WHEN dig IS NOT NULL AND dig_prev IS NOT NULL
+                 AND dig <> dig_prev THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+       CAST(SUM(CASE WHEN dig IS NOT NULL AND dig_prev IS NOT NULL
+                 AND dig = dig_prev THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+FROM pairs
+WHERE snapshot <= 7
+GROUP BY snapshot
+"""
+
+
 def _cdx_query_index_dir() -> str:
     """Write-once /tmp cache of the CDX index the two cdx_* queries
     share: the 160-page universe shard -> build_cdx_index (the real
@@ -7548,6 +7713,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
+    "snapshot_churn": (q_snapshot_churn, SQL_SNAPSHOT_CHURN),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
