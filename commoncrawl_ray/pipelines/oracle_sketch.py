@@ -911,6 +911,100 @@ def oracle_crawl_trap_table(path: str = CRAWL_TRAP_ORACLE_PATH) -> str:
     return _write_atomic(out, path, src_key)
 
 
+MIRROR_ORACLE_PATH = "/tmp/ccray_oracle_mirror.parquet"
+
+
+def mirror_universe_rows(n_hosts: int = 12, per_host: int = 20):
+    """Deterministic pages shard with SIMULATED mirror sites, shared
+    by the distributed query and the sequential oracle: the base
+    universe slice, plus — for every 3rd host — an ``m-<host>`` twin
+    that serves byte-identical copies of the host's first 15 pages
+    (the partial-replica signature a mirror detector must flag;
+    Bharat & Broder 1999). Yields (url, ts_ms, record_bytes)."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    from ..sources.synth import get_universe
+
+    uni = get_universe(0.001, 42)
+    for hi, host in enumerate(uni.hosts[:n_hosts]):
+        n = min(per_host, uni.page_counts[host])
+        for k in range(n):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            yield url, ts, rec
+            if hi % 3 == 0 and k < 15:
+                p = urlsplit(url)
+                murl = urlunsplit(
+                    (p.scheme, "m-" + p.netloc, p.path, p.query, p.fragment)
+                )
+                yield murl, ts + 1, rec
+
+
+def oracle_mirror_table(
+    path: str = MIRROR_ORACLE_PATH,
+    min_shared: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_hosts_per_digest: int = 64,
+) -> str:
+    """Sequential mirror-host fold over the same simulated shard:
+    host -> set of payload digests (same parse kernel + md5 as the
+    distributed side), digests shared by more than
+    ``max_hosts_per_digest`` hosts dropped (the hot-content cap both
+    sides apply), then every host pair sharing >= ``min_shared``
+    digests scored with set-Jaccard."""
+    import hashlib
+    from itertools import combinations
+
+    from ..stages.pagerank import _host_of
+    from ..stages.parse_extract import parse_extract_batch
+
+    src_key = f"mirror|0.001|42|12x20|{min_shared}|{jaccard_threshold}|{max_hosts_per_digest}"
+    if _is_fresh(path, src_key):
+        return path
+    rows = list(mirror_universe_rows())
+    parsed = parse_extract_batch(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        )
+    )
+    digs: dict[str, set] = {}
+    for cu, rec in zip(parsed.column("canon_url").to_pylist(), [r[2] for r in rows]):
+        h = _host_of(cu) if cu else None
+        if not h:
+            continue
+        digs.setdefault(h, set()).add(hashlib.md5(rec or b"").hexdigest())
+    owners: dict[str, set] = {}
+    for h, ds in digs.items():
+        for dg in ds:
+            owners.setdefault(dg, set()).add(h)
+    hot = {dg for dg, hs in owners.items() if len(hs) > max_hosts_per_digest}
+    digs = {h: ds - hot for h, ds in digs.items()}
+    recs = []
+    for a, b in combinations(sorted(digs), 2):
+        shared = len(digs[a] & digs[b])
+        if shared < min_shared:
+            continue
+        jac = shared / len(digs[a] | digs[b])
+        recs.append((a, b, shared, len(digs[a]), len(digs[b]), round(jac, 6)))
+    out = pa.table(
+        {
+            "host_a": pa.array([r[0] for r in recs], pa.string()),
+            "host_b": pa.array([r[1] for r in recs], pa.string()),
+            "n_shared": pa.array([r[2] for r in recs], pa.int64()),
+            "n_a": pa.array([r[3] for r in recs], pa.int64()),
+            "n_b": pa.array([r[4] for r in recs], pa.int64()),
+            "jaccard": pa.array([r[5] for r in recs], pa.float64()),
+            "is_mirror": pa.array(
+                [r[5] >= jaccard_threshold for r in recs], pa.bool_()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 TRUSTRANK_ORACLE_PATH = "/tmp/ccray_oracle_trustrank.parquet"
 TRUSTRANK_N_SEEDS = 8
 

@@ -1774,6 +1774,184 @@ def q_crawl_trap_hosts(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_mirror_hosts(
+    sf_dir: str,
+    min_shared: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_hosts_per_digest: int = 64,
+):
+    """Mirror-site detection (Bharat & Broder, "Mirror, mirror on the
+    web", WWW 1999): host pairs whose payload-digest sets overlap —
+    ``m-<host>`` twins in the shared simulated shard serve
+    byte-identical copies of 15/20 pages (set-Jaccard 0.75). A crawl
+    engine dedups mirrors at the HOST level so the frontier skips the
+    whole replica, not page by page.
+
+    Scale shape: captures reduce to slim distinct (host, digest) rows
+    (ONE groupby); digests owned by more than
+    ``max_hosts_per_digest`` hosts are dropped BEFORE pair generation
+    (driver-printed count — the no-silent-caps convention; a
+    boilerplate asset shared by 10^5 hosts would otherwise explode
+    the self-join quadratically); the pair table is ONE sort-merge
+    self-join on digest with a vectorized in-block cross product,
+    rolled up by a (host_a, host_b) groupby; per-host set sizes
+    attach via two node-scale merge_joins. Hash-checked against the
+    sequential set-fold oracle with the identical cap."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+    from ..stages.pagerank import _host_of
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import mirror_universe_rows, oracle_mirror_table
+
+    oracle_mirror_table(
+        min_shared=min_shared,
+        jaccard_threshold=jaccard_threshold,
+        max_hosts_per_digest=max_hosts_per_digest,
+    )
+    rows = list(mirror_universe_rows())
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+
+    def host_digest(b: pa.Table) -> pa.Table:
+        htmls = b.column("html").to_pylist()
+        parsed = parse_extract_batch(b)
+        hosts, digests = [], []
+        for cu, raw in zip(parsed.column("canon_url").to_pylist(), htmls):
+            h = _host_of(cu) if cu else None
+            if not h:
+                continue
+            hosts.append(h)
+            digests.append(hashlib.md5(raw or b"").hexdigest())
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    hd = (
+        rd.from_arrow(t)
+        .repartition(4)
+        .map_batches(host_digest, batch_format="pyarrow")
+        .groupby(["host", "digest"])
+        .count()
+        .map_batches(
+            lambda b: b.select(["host", "digest"]), batch_format="pyarrow"
+        )
+    )
+    hot = (
+        hd.groupby("digest")
+        .count()
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("count()"), max_hosts_per_digest)
+            ).select(["digest"]),
+            batch_format="pyarrow",
+        )
+    )
+    n_hot = hot.count()
+    if n_hot:
+        print(
+            f"[mirror_hosts] dropped {n_hot} digests shared by more than "
+            f"{max_hosts_per_digest} hosts before pair generation"
+        )
+    hd = merge_join(hd, hot, "digest", "digest", [], how="anti").materialize()
+
+    sizes = hd.groupby("host").count()
+
+    def size_col(name):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "host": b.column("host"),
+                    name: b.column("count()").cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    pairs = (
+        merge_join(
+            hd,
+            hd.map_batches(
+                lambda b: pa.table(
+                    {"digest": b.column("digest"), "host_b": b.column("host")}
+                ),
+                batch_format="pyarrow",
+            ),
+            "digest",
+            "digest",
+            ["host_b"],
+            how="inner",
+        )
+        .map_batches(
+            lambda b: b.filter(pc.less(b.column("host"), b.column("host_b"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["host", "host_b"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host_a": b.column("host"),
+                    "host_b": b.column("host_b"),
+                    "n_shared": b.column("count()").cast(pa.int64()),
+                }
+            ).filter(pc.greater_equal(b.column("count()"), min_shared)),
+            batch_format="pyarrow",
+        )
+    )
+    pairs = merge_join(
+        pairs,
+        sizes.map_batches(size_col("n_a"), batch_format="pyarrow"),
+        "host_a",
+        "host",
+        ["n_a"],
+        how="inner",
+    )
+    pairs = merge_join(
+        pairs,
+        sizes.map_batches(size_col("n_b"), batch_format="pyarrow"),
+        "host_b",
+        "host",
+        ["n_b"],
+        how="inner",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        sh = b.column("n_shared").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = np.round(sh / (na + nb - sh), 6)
+        return pa.table(
+            {
+                "host_a": b.column("host_a"),
+                "host_b": b.column("host_b"),
+                "n_shared": b.column("n_shared"),
+                "n_a": b.column("n_a"),
+                "n_b": b.column("n_b"),
+                "jaccard": pa.array(jac, pa.float64()),
+                "is_mirror": pa.array(jac >= jaccard_threshold),
+            }
+        )
+
+    return pairs.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_MIRROR_HOSTS = """
+SELECT host_a, host_b, n_shared, n_a, n_b, jaccard, is_mirror
+FROM read_parquet('/tmp/ccray_oracle_mirror.parquet')
+"""
+
+
 SQL_CRAWL_TRAP_HOSTS = """
 SELECT host, n_urls, n_distinct, dup_ratio, is_trap
 FROM read_parquet('/tmp/ccray_oracle_crawl_trap.parquet')
@@ -7607,6 +7785,7 @@ REGISTRY: dict[str, tuple] = {
     "hits_hosts": (q_hits_hosts, SQL_HITS_HOSTS),
     "trustrank_hosts": (q_trustrank_hosts, SQL_TRUSTRANK_HOSTS),
     "crawl_trap_hosts": (q_crawl_trap_hosts, SQL_CRAWL_TRAP_HOSTS),
+    "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "spam_mass_hosts": (q_spam_mass_hosts, SQL_SPAM_MASS_HOSTS),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),

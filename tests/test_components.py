@@ -376,3 +376,20 @@ def test_label_propagation_matches_sequential(ray_session):
     assert got == labels
     # the cliques settle on distinct communities
     assert len({got["a1.com"], got["a2.com"]} | {got["b2.com"], got["b3.com"]}) >= 2
+
+
+def test_mirror_hosts_flags_twins(ray_session):
+    """Every m-<host> twin in the simulated shard shares 15 of its
+    origin's 20 pages -> Jaccard 0.75, flagged as a mirror; no
+    unrelated host pair appears."""
+    from commoncrawl_ray.pipelines.queries import q_mirror_hosts
+
+    rows = q_mirror_hosts("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 4
+    for r in rows:
+        a, b = r["host_a"], r["host_b"]
+        assert a == "m-" + b or b == "m-" + a
+        assert r["n_shared"] == 15
+        assert {r["n_a"], r["n_b"]} == {20, 15}
+        assert r["jaccard"] == 0.75
+        assert r["is_mirror"]
