@@ -2756,6 +2756,166 @@ def q_snapshot_churn(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_redirect_resolution(sf_dir: str, max_hops: int = 8):
+    """Redirect-chain resolution: collapse every 3xx chain to its
+    final landing page (or flag it unresolved when it loops or runs
+    past ``max_hops``) — the canonical-URL step a crawl engine runs
+    before dedup so an alias chain contributes ONE frontier entry.
+
+    The redirect table is synthesized deterministically from doc_id
+    arithmetic (id%11==7 -> id+1 and id%11==8 -> id-1, a 2-cycle the
+    resolver must detect; else id%5!=0 -> id-1, chains of <= 4 hops
+    ending at multiples of 5; targets outside the universe terminate
+    the walk) so DuckDB rebuilds the identical chains with a
+    WITH RECURSIVE walk — a real-SQL oracle.
+
+    Scale shape: POINTER DOUBLING (the distributed list-ranking
+    classic — Wyllie 1979; each round composes the mapping with
+    itself, so a length-L chain resolves in ceil(log2 L) rounds, not
+    L): the (u, cur, hops) mapping table rides as three int64s
+    through ONE left sort-merge join per round,
+    ``ceil(log2(max_hops)) + 1`` rounds total, loop-carried table
+    doc-scale and re-materialized per round. No per-chain group ever
+    needs one block; a 100-hop chain costs 7 exchanges, not 100."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    docs = _pq(sf_dir, "documents", ["doc_id"], min_blocks=4)
+
+    def base(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.where(
+            d % 11 == 7,
+            d + 1,
+            np.where(d % 11 == 8, d - 1, np.where(d % 5 != 0, d - 1, d)),
+        )
+        isr = (d % 11 == 7) | (d % 11 == 8) | (d % 5 != 0)
+        return pa.table(
+            {
+                "u": pa.array(d),
+                "cur": pa.array(np.where(isr, v, d).astype(np.int64)),
+                "hops": pa.array(isr.astype(np.int64)),
+                "is_redirect": pa.array(isr),
+            }
+        )
+
+    p = docs.map_batches(base, batch_format="pyarrow").materialize()
+    rounds = max(1, int(np.ceil(np.log2(max_hops))) + 1)
+    for _ in range(rounds):
+
+        def as_mapping(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u2": t.column("u"),
+                    "cur2": t.column("cur"),
+                    "hops2": t.column("hops"),
+                }
+            )
+
+        joined = merge_join(
+            p,
+            p.map_batches(as_mapping, batch_format="pyarrow"),
+            "cur",
+            "u2",
+            ["cur2", "hops2"],
+            how="left",
+        )
+
+        def compose(t: pa.Table) -> pa.Table:
+            cur = t.column("cur").to_numpy(zero_copy_only=False).astype(np.int64)
+            hops = t.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
+            c2 = t.column("cur2").to_numpy(zero_copy_only=False).astype(np.float64)
+            h2 = t.column("hops2").to_numpy(zero_copy_only=False).astype(np.float64)
+            miss = np.isnan(c2)  # target outside the universe: terminal
+            return pa.table(
+                {
+                    "u": t.column("u"),
+                    "cur": pa.array(
+                        np.where(miss, cur, c2).astype(np.int64)
+                    ),
+                    "hops": pa.array(
+                        (hops + np.where(miss, 0.0, h2)).astype(np.int64)
+                    ),
+                    "is_redirect": t.column("is_redirect"),
+                }
+            )
+
+        p = joined.map_batches(compose, batch_format="pyarrow").materialize()
+
+    # terminal test: cur still maps to a redirecting row -> loop /
+    # over-budget; attach the redirect flag of cur with one left join
+    redirect_keys = p.map_batches(
+        lambda t: pa.table(
+            {
+                "rk": t.column("u"),
+                "tgt_is_redirect": t.column("is_redirect"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    flagged = merge_join(
+        p, redirect_keys, "cur", "rk", ["tgt_is_redirect"], how="left"
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("is_redirect"))
+        cur = t.column("cur").to_numpy(zero_copy_only=False).astype(np.int64)
+        hops = t.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
+        tir = t.column("tgt_is_redirect").to_pylist()
+        unresolved = np.array(
+            [bool(x) for x in tir], dtype=bool
+        ) | (hops > max_hops)
+        return pa.table(
+            {
+                "url_id": t.column("u"),
+                "final_id": pa.array(
+                    np.where(unresolved, -1, cur).astype(np.int64)
+                ),
+                "hops": pa.array(
+                    np.where(unresolved, -1, hops).astype(np.int64)
+                ),
+                "resolved": pa.array(~unresolved),
+            }
+        )
+
+    return flagged.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_REDIRECT_RESOLUTION = """
+WITH RECURSIVE nxt AS (
+  SELECT doc_id AS u,
+         CASE WHEN doc_id % 11 = 7 THEN doc_id + 1
+              WHEN doc_id % 11 = 8 THEN doc_id - 1
+              WHEN doc_id % 5 <> 0 THEN doc_id - 1
+              ELSE NULL END AS v
+  FROM documents
+),
+walk AS (
+  SELECT n.u AS u, n.v AS cur, 1 AS hops FROM nxt n WHERE n.v IS NOT NULL
+  UNION ALL
+  SELECT w.u, n2.v, w.hops + 1
+  FROM walk w
+  JOIN nxt n2 ON n2.u = w.cur AND n2.v IS NOT NULL
+  WHERE w.hops <= 8
+),
+term AS (
+  SELECT u, cur, hops,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT t.u AS url_id,
+       CAST(CASE WHEN n3.v IS NOT NULL OR t.hops > 8
+                 THEN -1 ELSE t.cur END AS BIGINT) AS final_id,
+       CAST(CASE WHEN n3.v IS NOT NULL OR t.hops > 8
+                 THEN -1 ELSE t.hops END AS BIGINT) AS hops,
+       (n3.v IS NULL AND t.hops <= 8) AS resolved
+FROM term t
+LEFT JOIN nxt n3 ON n3.u = t.cur
+WHERE t.rn = 1
+"""
+
+
 SQL_SNAPSHOT_CHURN = """
 WITH caps AS (
   SELECT d.doc_id AS url_id, g.t,
@@ -7893,6 +8053,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "snapshot_churn": (q_snapshot_churn, SQL_SNAPSHOT_CHURN),
+    "redirect_resolution": (q_redirect_resolution, SQL_REDIRECT_RESOLUTION),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),

@@ -393,3 +393,21 @@ def test_mirror_hosts_flags_twins(ray_session):
         assert {r["n_a"], r["n_b"]} == {20, 15}
         assert r["jaccard"] == 0.75
         assert r["is_mirror"]
+
+
+def test_redirect_resolution_semantics(ray_session):
+    """Known chains from the deterministic redirect rules: 4->3->2->1
+    ->0 resolves in 4 hops; 6->5 in one; id 7 and 8 form a 2-cycle
+    (unresolved); 9 chains into the cycle via 8 (unresolved)."""
+    from commoncrawl_ray.pipelines.queries import q_redirect_resolution
+
+    rows = {
+        r["url_id"]: r
+        for r in q_redirect_resolution("/root/testdata/sf0.001").take_all()
+    }
+    assert rows[4]["final_id"] == 0 and rows[4]["hops"] == 4 and rows[4]["resolved"]
+    assert rows[6]["final_id"] == 5 and rows[6]["hops"] == 1
+    for cyc in (7, 8, 9):
+        assert not rows[cyc]["resolved"]
+        assert rows[cyc]["final_id"] == -1 and rows[cyc]["hops"] == -1
+    assert 0 not in rows and 5 not in rows  # non-redirecting ids absent
