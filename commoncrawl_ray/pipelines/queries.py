@@ -5405,6 +5405,121 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 30
 """
 
 
+def q_vocab_growth(sf_dir: str, n_buckets: int = 10):
+    """Vocabulary-growth census (Heaps' law V(n) ~ K·n^beta — Heaps
+    1978): split the corpus into ``n_buckets`` doc_id ranges and
+    count, EXACTLY, how many distinct tokens first appear in each —
+    the curve a tokenizer-vocabulary or dedup planner reads before
+    committing to a vocab size at 100 TB.
+
+    Scale shape: tokens ride the wire as int64 FNV-1a fingerprints
+    (functions/minhash.fnv1a_batch — the dup_passages hash-wire
+    discipline; output counts are invariant to the keying up to
+    ~V^2/2^64 collisions, so the string-token SQL oracle still
+    value-checks the run), first-appearance is ONE
+    groupby(token).min(bucket) exchange with per-batch (token,
+    bucket)-distinct pre-aggregation, and only ``n_buckets`` rows
+    reach the driver for the cumulative sum."""
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import fnv1a_batch
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+    mx = int(_pq(sf_dir, "documents", ["doc_id"]).max("doc_id")) + 1
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        toks = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = toks.flatten()
+        n_per = np.diff(offsets)
+        bucket = np.minimum(d * n_buckets // mx, n_buckets - 1)
+        tok_bucket = np.repeat(bucket, n_per)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        fps = fnv1a_batch(flat.filter(pa.array(mask))).view(np.int64)
+        tb = tok_bucket[mask]
+        # per-batch (token, bucket)-pair distinct combiner: ship each
+        # pair at most once per batch
+        order = np.lexsort((tb, fps))
+        f_s, b_s = fps[order], tb[order]
+        first = np.ones(len(f_s), dtype=bool)
+        first[1:] = (f_s[1:] != f_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return pa.table(
+            {
+                "tok": pa.array(f_s[first], pa.int64()),
+                "bucket": pa.array(b_s[first], pa.int64()),
+            }
+        )
+
+    tok_bucket = (
+        docs.map_batches(tokenize, batch_format="pyarrow")
+        .groupby(["tok", "bucket"])
+        .count()  # global (token, bucket) distinct
+        .map_batches(
+            lambda t: t.select(["tok", "bucket"]), batch_format="pyarrow"
+        )
+        .materialize()  # consumed twice below; (V x buckets)-scale
+    )
+    seen = (
+        tok_bucket.groupby("bucket").count().to_pandas()  # <= n_buckets rows
+    )
+    firsts = (
+        tok_bucket.groupby("tok")
+        .min("bucket")
+        .map_batches(
+            lambda t: pa.table({"bucket": t.column("min(bucket)")}),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .count()
+        .to_pandas()  # <= n_buckets rows
+    )
+    seen = seen.sort_values("bucket").reset_index(drop=True)
+    new_map = dict(zip(firsts["bucket"], firsts["count()"]))
+    new_tokens = seen["bucket"].map(lambda b: new_map.get(b, 0)).astype("int64")
+    return pd.DataFrame(
+        {
+            "bucket": seen["bucket"].astype("int64"),
+            "tokens_seen": seen["count()"].astype("int64"),
+            "new_tokens": new_tokens,
+            "cum_vocab": new_tokens.cumsum().astype("int64"),
+        }
+    )
+
+
+SQL_VOCAB_GROWTH = """
+WITH n AS (SELECT MAX(doc_id) + 1 AS mx FROM documents),
+toks AS (
+  SELECT LEAST((d.doc_id * 10) // n.mx, 9) AS bucket,
+         UNNEST(regexp_split_to_array(d.text, '\\s+')) AS token
+  FROM documents d, n
+),
+tb AS (SELECT DISTINCT bucket, token FROM toks WHERE token <> ''),
+seen AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tokens_seen
+  FROM tb GROUP BY bucket
+),
+firsts AS (
+  SELECT token, MIN(bucket) AS b FROM tb GROUP BY token
+),
+per AS (
+  SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM firsts GROUP BY b
+)
+SELECT CAST(s.bucket AS BIGINT) AS bucket, s.tokens_seen,
+       CAST(COALESCE(p.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(SUM(COALESCE(p.new_tokens, 0))
+            OVER (ORDER BY s.bucket) AS BIGINT) AS cum_vocab
+FROM seen s LEFT JOIN per p ON p.bucket = s.bucket
+"""
+
+
 # KLL capacity for the per-language tercile thresholds: >= the largest
 # per-language group at every test sf (sf0.1 max: 2,059 'en' docs) =>
 # the sketch never compacts and its quantile() is exactly
@@ -8021,6 +8136,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "docs_weighted_sample": (q_docs_weighted_sample, SQL_DOCS_WEIGHTED_SAMPLE),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "c4_line_dedup": (q_c4_line_dedup, SQL_C4_LINE_DEDUP),
