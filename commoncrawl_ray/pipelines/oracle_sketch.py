@@ -1102,6 +1102,54 @@ def oracle_spam_mass_table(
     return _write_atomic(out, path, src_key)
 
 
+CDC_ORACLE_PATH = "/tmp/ccray_oracle_cdc.parquet"
+
+
+def oracle_cdc_table(sf_dir: str, path: str = CDC_ORACLE_PATH) -> str:
+    """Sequential per-source CDC chunk-dedup fold over the documents
+    table with the SAME shared chunking kernel (functions/cdc.py) the
+    distributed query uses — the value-hash match verifies the
+    distributed (source, chunk_fp) aggregation."""
+    from ..functions.cdc import cdc_chunk_fps
+
+    src_key = f"{os.path.abspath(sf_dir)}|cdc"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    stats: dict[str, dict] = {}
+    for src, text in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        s = stats.setdefault(
+            src, {"chunks": 0, "bytes": 0, "seen": {}}
+        )
+        for fp, ln in cdc_chunk_fps((text or "").encode("utf-8")):
+            s["chunks"] += 1
+            s["bytes"] += ln
+            s["seen"].setdefault(fp, ln)
+    rows = []
+    for src in sorted(stats):
+        s = stats[src]
+        dbytes = sum(s["seen"].values())
+        ratio = round(1.0 - dbytes / s["bytes"], 6) if s["bytes"] else 0.0
+        rows.append(
+            (src, s["chunks"], len(s["seen"]), s["bytes"], dbytes, ratio)
+        )
+    out = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_chunks": pa.array([r[1] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+            "total_bytes": pa.array([r[3] for r in rows], pa.int64()),
+            "distinct_bytes": pa.array([r[4] for r in rows], pa.int64()),
+            "dedup_ratio": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 LPA_ORACLE_PATH = "/tmp/ccray_oracle_lpa.parquet"
 
 

@@ -4563,6 +4563,103 @@ FROM documents GROUP BY lang
 """
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup census (Muthitacharoen et al.,
+    LBFS, SOSP 2001 — the technique web archives apply to WARC
+    payload streams): per source, chunk every document's UTF-8 bytes
+    at rolling-hash boundaries (functions/cdc.py, ~64 B average,
+    vectorized window hash) and report chunk-level dedup potential —
+    total vs distinct chunks and bytes, and the byte dedup ratio a
+    storage planner reads before enabling chunk-store dedup.
+
+    Scale shape: chunks ride the wire as (source, fp:int64, len)
+    with per-batch pair pre-aggregation (the A4 combiner discipline),
+    ONE (source, fp, len) groupby exchange — chunk-scale, never the
+    text — then a source-scale rollup; only #sources rows reach the
+    driver. Hash-checked against the sequential dict fold sharing
+    the same chunking kernel."""
+    from ..functions.cdc import cdc_chunk_fps
+    from .oracle_sketch import oracle_cdc_table
+
+    oracle_cdc_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["source", "text"], min_blocks=4)
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        agg: dict[tuple, int] = {}
+        for src, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for fp, ln in cdc_chunk_fps((text or "").encode("utf-8")):
+                k = (src, fp, ln)
+                agg[k] = agg.get(k, 0) + 1
+        keys = list(agg)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "fp": pa.array([k[1] for k in keys], pa.int64()),
+                "len": pa.array([k[2] for k in keys], pa.int64()),
+                "cnt": pa.array([agg[k] for k in keys], pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby(["source", "fp", "len"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def to_partials(t: pa.Table) -> pa.Table:
+        ln = t.column("len").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_chunks": pa.array(cnt),
+                "n_distinct": pa.array(np.ones(len(cnt), dtype=np.int64)),
+                "total_bytes": pa.array(cnt * ln),
+                "distinct_bytes": pa.array(ln),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(to_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("distinct_bytes", alias_name="distinct_bytes"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tb = t.column("total_bytes").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        db = t.column("distinct_bytes").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        ratio = np.where(tb > 0, np.round(1.0 - db / np.maximum(tb, 1), 6), 0.0)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_chunks": t.column("n_chunks").cast(pa.int64()),
+                "n_distinct": t.column("n_distinct").cast(pa.int64()),
+                "total_bytes": t.column("total_bytes").cast(pa.int64()),
+                "distinct_bytes": t.column("distinct_bytes").cast(pa.int64()),
+                "dedup_ratio": pa.array(ratio + 0.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_CDC_DEDUP = """
+SELECT source, n_chunks, n_distinct, total_bytes, distinct_bytes, dedup_ratio
+FROM read_parquet('/tmp/ccray_oracle_cdc.parquet')
+"""
+
+
 def q_compression_ratio(sf_dir: str, level: int = 6):
     """Compression-ratio quality signal: per document, UTF-8 byte
     length and zlib(level=6) compressed length, plus an integer-exact
@@ -8122,6 +8219,7 @@ REGISTRY: dict[str, tuple] = {
     "sitemap_roundtrip": (q_sitemap_roundtrip, SQL_SITEMAP_ROUNDTRIP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
+    "cdc_dedup": (q_cdc_dedup, SQL_CDC_DEDUP),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
