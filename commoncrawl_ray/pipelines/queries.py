@@ -4563,6 +4563,111 @@ FROM documents GROUP BY lang
 """
 
 
+def q_phrase_search(sf_dir: str, phrase: tuple = ("table", "hash")):
+    """Positional phrase search — the retrieval feature BM25 can't
+    express: find every document where the query terms appear as a
+    CONSECUTIVE run, and count the occurrences. The inverted-index
+    companion op (an index with positions answers this from postings;
+    here the scan builds only the queried terms' postings on the
+    fly — a single-phrase query never needs the full index).
+
+    Scale shape: ONE tokenize pass emits (term_idx, k) rows for the
+    phrase terms ONLY (filter-at-source — postings-scale, not
+    corpus-scale), composite key k = doc_id * 2^20 + position; each
+    adjacency is a SEMI sort-merge join of term_i's postings against
+    term_{i-1}'s shifted key (the recrawl_schedule +1-shift
+    discipline), len(phrase) - 1 joins total; the doc rollup is one
+    postings-scale groupby. Real-SQL oracle: DuckDB rebuilds
+    positions with generate_subscripts and self-joins on pos + 1."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    M = 1 << 20  # position space per doc; synth docs are far shorter
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+    terms = list(phrase)
+
+    def postings(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        toks = (
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = toks.flatten()
+        n_per = np.diff(offsets)
+        assert int(n_per.max(initial=0)) < M, "doc longer than position space"
+        doc_rep = np.repeat(d, n_per)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offsets[:-1], n_per
+        )
+        out_idx, out_k = [], []
+        for i, term in enumerate(terms):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            out_idx.append(np.full(int(m.sum()), i, dtype=np.int64))
+            out_k.append(doc_rep[m] * M + pos[m])
+        return pa.table(
+            {
+                "term_idx": pa.array(np.concatenate(out_idx)),
+                "k": pa.array(np.concatenate(out_k)),
+            }
+        )
+
+    tp = docs.map_batches(postings, batch_format="pyarrow").materialize()
+
+    def pos_of(i):
+        return tp.map_batches(
+            lambda t, i=i: t.filter(
+                pc.equal(t.column("term_idx"), i)
+            ).select(["k"]),
+            batch_format="pyarrow",
+        )
+
+    occ = pos_of(0)
+    for i in range(1, len(terms)):
+        shifted = occ.map_batches(
+            lambda t: pa.table({"k1": pc.add(t.column("k"), 1)}),
+            batch_format="pyarrow",
+        )
+        occ = merge_join(pos_of(i), shifted, "k", "k1", [], how="semi")
+
+    def to_doc(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(k // M)})
+
+    return (
+        occ.map_batches(to_doc, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_occurrences": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(text, '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+  FROM documents
+),
+hits AS (SELECT doc_id, tok, pos FROM toks WHERE tok IN ('table', 'hash'))
+SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM hits a
+JOIN hits b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table' AND b.tok = 'hash'
+GROUP BY a.doc_id
+"""
+
+
 def q_cdc_dedup(sf_dir: str):
     """Content-defined-chunking dedup census (Muthitacharoen et al.,
     LBFS, SOSP 2001 — the technique web archives apply to WARC
@@ -8220,6 +8325,7 @@ REGISTRY: dict[str, tuple] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "cdc_dedup": (q_cdc_dedup, SQL_CDC_DEDUP),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),

@@ -411,3 +411,42 @@ def test_redirect_resolution_semantics(ray_session):
         assert not rows[cyc]["resolved"]
         assert rows[cyc]["final_id"] == -1 and rows[cyc]["hops"] == -1
     assert 0 not in rows and 5 not in rows  # non-redirecting ids absent
+
+
+def test_phrase_search_three_terms(ray_session):
+    """3-term phrase exercises the chained shifted-key semi joins;
+    parity vs a plain Python scan over the same parquet, including
+    overlapping-occurrence counting."""
+    import pyarrow.parquet as pq
+
+    from commoncrawl_ray.pipelines.queries import q_phrase_search
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    phrase = None
+    # pick the first 3-gram that occurs in >= 2 docs so the test is
+    # non-trivial yet deterministic
+    from collections import Counter
+
+    grams = Counter()
+    toks_by_doc = {}
+    for d, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = (tx or "").split()
+        toks_by_doc[d] = toks
+        for i in range(len(toks) - 2):
+            grams[tuple(toks[i : i + 3])] += 1
+    phrase, _ = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+    for d, toks in toks_by_doc.items():
+        n = sum(
+            1
+            for i in range(len(toks) - 2)
+            if tuple(toks[i : i + 3]) == phrase
+        )
+        if n:
+            want[d] = n
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in q_phrase_search(sf_dir, phrase=phrase).take_all()
+    }
+    assert got == want and len(want) >= 1
