@@ -1102,6 +1102,59 @@ def oracle_spam_mass_table(
     return _write_atomic(out, path, src_key)
 
 
+HOST_INDEX_ORACLE_PATH = "/tmp/ccray_oracle_host_index.parquet"
+
+
+def oracle_host_index_table(
+    sf_dir: str, path: str = HOST_INDEX_ORACLE_PATH
+) -> str:
+    """Sequential per-host index fold over the SAME pages cache the
+    distributed query parses (shared memoized parse): pages, 200s,
+    distinct normalized mimes, total extracted-text bytes
+    (pc.binary_length — the identical Arrow kernel both sides)."""
+    import pyarrow.compute as pc_
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|host_index|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    parsed = _sequential_parse(pages_cache_dir(sf), sf)
+    hosts = parsed.column("host").to_pylist()
+    status = parsed.column("http_status").to_pylist()
+    mimes = parsed.column("mime_norm").to_pylist()
+    tbytes = pc_.binary_length(
+        pc_.coalesce(parsed.column("text"), "")
+    ).to_pylist()
+    acc: dict[str, dict] = {}
+    for h, st, mi, tb in zip(hosts, status, mimes, tbytes):
+        if not h:
+            continue
+        a = acc.setdefault(
+            h, {"n": 0, "ok": 0, "mimes": set(), "bytes": 0}
+        )
+        a["n"] += 1
+        a["ok"] += 1 if st == 200 else 0
+        a["mimes"].add(mi or "")
+        a["bytes"] += int(tb or 0)
+    order = sorted(acc)
+    out = pa.table(
+        {
+            "host": pa.array(order, pa.string()),
+            "n_pages": pa.array([acc[h]["n"] for h in order], pa.int64()),
+            "n_ok": pa.array([acc[h]["ok"] for h in order], pa.int64()),
+            "n_mimes": pa.array(
+                [len(acc[h]["mimes"]) for h in order], pa.int64()
+            ),
+            "text_bytes": pa.array(
+                [acc[h]["bytes"] for h in order], pa.int64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 CDC_ORACLE_PATH = "/tmp/ccray_oracle_cdc.parquet"
 
 

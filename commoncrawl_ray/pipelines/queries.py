@@ -4563,6 +4563,102 @@ FROM documents GROUP BY lang
 """
 
 
+def q_host_index(sf_dir: str):
+    """Per-host index export — the Common Crawl "host index" product
+    re-expressed: one row per host with page count, 200-status count,
+    distinct normalized mime count, and total extracted-text bytes —
+    what a crawl operator publishes so downstream users can pick
+    hosts before touching any WARC.
+
+    Scale shape: parse streams per batch; batches reduce to slim
+    (host, mime_norm, n, ok, bytes) partials IN the map (the A4
+    combiner discipline — page text contributes only its byte count
+    to the wire), then one (host, mime) groupby and a host-scale
+    rollup where the distinct-mime count is a Count over the pair
+    rows. Hash-checked against the shared-parse sequential fold."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_index_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_index_table(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = parse_extract_batch(t)
+        df = pd.DataFrame(
+            {
+                "host": p.column("host").to_pylist(),
+                "mime_norm": [m or "" for m in p.column("mime_norm").to_pylist()],
+                "ok": np.asarray(
+                    pc.equal(p.column("http_status"), 200).to_pylist(),
+                    dtype=object,
+                ),
+                "bytes": pc.binary_length(
+                    pc.coalesce(p.column("text"), "")
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df[df["host"].notna() & (df["host"] != "")]
+        df["ok"] = df["ok"].fillna(False).astype(int)
+        g = (
+            df.groupby(["host", "mime_norm"], sort=False)
+            .agg(n=("ok", "size"), ok=("ok", "sum"), bytes=("bytes", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "host": pa.array(g["host"], pa.string()),
+                "mime_norm": pa.array(g["mime_norm"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "ok": pa.array(g["ok"].to_numpy(), pa.int64()),
+                "bytes": pa.array(g["bytes"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["host", "mime_norm"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("ok", alias_name="ok"),
+            Sum("bytes", alias_name="bytes"),
+        )
+    )
+    agg = pairs.groupby("host").aggregate(
+        Sum("n", alias_name="n_pages"),
+        Sum("ok", alias_name="n_ok"),
+        Count(alias_name="n_mimes"),
+        Sum("bytes", alias_name="text_bytes"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "n_pages": t.column("n_pages").cast(pa.int64()),
+                "n_ok": t.column("n_ok").cast(pa.int64()),
+                "n_mimes": t.column("n_mimes").cast(pa.int64()),
+                "text_bytes": t.column("text_bytes").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_HOST_INDEX = """
+SELECT host, n_pages, n_ok, n_mimes, text_bytes
+FROM read_parquet('/tmp/ccray_oracle_host_index.parquet')
+"""
+
+
 def q_phrase_search(sf_dir: str, phrase: tuple = ("table", "hash")):
     """Positional phrase search — the retrieval feature BM25 can't
     express: find every document where the query terms appear as a
@@ -8326,6 +8422,7 @@ REGISTRY: dict[str, tuple] = {
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "cdc_dedup": (q_cdc_dedup, SQL_CDC_DEDUP),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "host_index": (q_host_index, SQL_HOST_INDEX),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
