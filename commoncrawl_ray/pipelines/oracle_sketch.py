@@ -1102,6 +1102,77 @@ def oracle_spam_mass_table(
     return _write_atomic(out, path, src_key)
 
 
+FRESHNESS_ORACLE_PATH = "/tmp/ccray_oracle_freshness.parquet"
+
+
+def freshness_seconds(
+    max_age: int, expires: int, http_date: int, last_modified: int, flags: int
+) -> int:
+    """RFC 9111 freshness lifetime in whole seconds, or -1 when the
+    response is not cacheable (no-cache/no-store, or no usable
+    header). Precedence per §4.2: Cache-Control max-age, then
+    Expires - Date, then the §4.2.2 heuristic 10% of
+    (Date - Last-Modified). Dates are epoch millis, max-age seconds;
+    all integer arithmetic so both sides agree bit-for-bit."""
+    if flags & 3:  # CACHE_NO_CACHE | CACHE_NO_STORE
+        return -1
+    if max_age >= 0:
+        return max_age
+    if expires >= 0 and http_date >= 0:
+        return max(expires - http_date, 0) // 1000
+    if last_modified >= 0 and http_date >= 0 and http_date >= last_modified:
+        return ((http_date - last_modified) // 1000) // 10
+    return -1
+
+
+def oracle_freshness_table(
+    sf_dir: str, path: str = FRESHNESS_ORACLE_PATH
+) -> str:
+    """Sequential per-host cache-freshness fold over the shared
+    memoized parse, using the same freshness_seconds kernel as the
+    distributed query."""
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|freshness|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    parsed = _sequential_parse(pages_cache_dir(sf), sf)
+    acc: dict[str, list] = {}
+    for h, ma, ex, hd, lm, fl in zip(
+        parsed.column("host").to_pylist(),
+        parsed.column("max_age").to_pylist(),
+        parsed.column("expires").to_pylist(),
+        parsed.column("http_date").to_pylist(),
+        parsed.column("last_modified").to_pylist(),
+        parsed.column("cache_flags").to_pylist(),
+    ):
+        if not h:
+            continue
+        a = acc.setdefault(h, [0, 0, 0])  # n_pages, n_cacheable, total
+        a[0] += 1
+        fs = freshness_seconds(ma, ex, hd, lm, fl)
+        if fs >= 0:
+            a[1] += 1
+            a[2] += fs
+    order = sorted(acc)
+    n_c = np.array([acc[h][1] for h in order], dtype=np.int64)
+    tot = np.array([acc[h][2] for h in order], dtype=np.int64)
+    avg = np.where(n_c > 0, np.round(tot / np.maximum(n_c, 1), 6), 0.0)
+    out = pa.table(
+        {
+            "host": pa.array(order, pa.string()),
+            "n_pages": pa.array(
+                [acc[h][0] for h in order], pa.int64()
+            ),
+            "n_cacheable": pa.array(n_c, pa.int64()),
+            "total_freshness_s": pa.array(tot, pa.int64()),
+            "avg_freshness_s": pa.array(avg + 0.0, pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 HOST_INDEX_ORACLE_PATH = "/tmp/ccray_oracle_host_index.parquet"
 
 

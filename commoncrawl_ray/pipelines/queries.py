@@ -4659,6 +4659,128 @@ FROM read_parquet('/tmp/ccray_oracle_host_index.parquet')
 """
 
 
+def q_cache_freshness(sf_dir: str):
+    """HTTP cache-freshness census (RFC 9111): per host, how many
+    responses are cacheable and their total/average freshness
+    lifetime — max-age first, then Expires - Date, then the §4.2.2
+    heuristic 10% of (Date - Last-Modified); no-cache/no-store
+    excluded. Freshness drives recrawl economics: a host serving
+    long-lived responses can be revisited from cache.
+
+    Scale shape: the shared freshness_seconds integer kernel
+    (oracle_sketch.py) runs vectorized-per-batch right after parse;
+    pages reduce to (host, n, cacheable, total_s) partials in the
+    map, ONE host-scale groupby. Hash-checked vs the shared-parse
+    sequential fold using the identical kernel."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_freshness_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_freshness_table(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = parse_extract_batch(t)
+        hosts = p.column("host").to_pylist()
+        ma = p.column("max_age").to_numpy(zero_copy_only=False).astype(np.int64)
+        ex = p.column("expires").to_numpy(zero_copy_only=False).astype(np.int64)
+        hd = p.column("http_date").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lm = p.column("last_modified").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        fl = p.column("cache_flags").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # vectorized freshness_seconds (same precedence as the shared
+        # integer kernel, replicated branch-free)
+        by_age = ma
+        by_exp = np.maximum(ex - hd, 0) // 1000
+        by_heu = ((hd - lm) // 1000) // 10
+        fs = np.where(
+            (fl & 3) != 0,
+            -1,
+            np.where(
+                ma >= 0,
+                by_age,
+                np.where(
+                    (ex >= 0) & (hd >= 0),
+                    by_exp,
+                    np.where(
+                        (lm >= 0) & (hd >= 0) & (hd >= lm), by_heu, -1
+                    ),
+                ),
+            ),
+        )
+        df = pd.DataFrame(
+            {
+                "host": hosts,
+                "n": 1,
+                "cacheable": (fs >= 0).astype(np.int64),
+                "total_s": np.where(fs >= 0, fs, 0),
+            }
+        )
+        df = df[[bool(h) for h in df["host"]]]
+        g = df.groupby("host", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "host": pa.array(g["host"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "cacheable": pa.array(g["cacheable"].to_numpy(), pa.int64()),
+                "total_s": pa.array(g["total_s"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("host")
+        .aggregate(
+            Sum("n", alias_name="n_pages"),
+            Sum("cacheable", alias_name="n_cacheable"),
+            Sum("total_s", alias_name="total_freshness_s"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_c = (
+            t.column("n_cacheable").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )
+        tot = (
+            t.column("total_freshness_s")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        avg = np.where(n_c > 0, np.round(tot / np.maximum(n_c, 1), 6), 0.0)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "n_pages": t.column("n_pages").cast(pa.int64()),
+                "n_cacheable": t.column("n_cacheable").cast(pa.int64()),
+                "total_freshness_s": t.column("total_freshness_s").cast(
+                    pa.int64()
+                ),
+                "avg_freshness_s": pa.array(avg + 0.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_CACHE_FRESHNESS = """
+SELECT host, n_pages, n_cacheable, total_freshness_s, avg_freshness_s
+FROM read_parquet('/tmp/ccray_oracle_freshness.parquet')
+"""
+
+
 def q_phrase_search(sf_dir: str, phrase: tuple = ("table", "hash")):
     """Positional phrase search — the retrieval feature BM25 can't
     express: find every document where the query terms appear as a
@@ -8423,6 +8545,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_dedup": (q_cdc_dedup, SQL_CDC_DEDUP),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "host_index": (q_host_index, SQL_HOST_INDEX),
+    "cache_freshness": (q_cache_freshness, SQL_CACHE_FRESHNESS),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
