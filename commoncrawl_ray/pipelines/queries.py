@@ -1079,6 +1079,111 @@ def q_minhash_lsh_dedup(sf_dir: str):
     )
 
 
+def q_lsh_recall(sf_dir: str):
+    """Recall/precision evaluation of the MinHash+LSH near-dup
+    pipeline against the EXACT n-gram Jaccard pair set at the same
+    0.8 threshold — the quality gate a dedup deployment monitors: a
+    band/permutation change that silently starts missing clone pairs
+    shows up here, not in the pair counts. Companion of ann_recall
+    for the dedup stack.
+
+    Both sides run as their registered distributed pipelines
+    (stages/dedup.ngram_jaccard_pairs exact; minhash_lsh_pairs
+    banded+verified); the overlap is ONE semi merge_join on a packed
+    (id_a<<32 | id_b) int64 key, and only three scalar counts reach
+    the driver. SQL oracle: the exact side re-derived with the
+    real-SQL all-pairs gram query, the LSH side from the sequential
+    dict-bucket oracle parquet."""
+    from ..stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_minhash_pairs_table
+
+    oracle_minhash_pairs_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32)
+
+    def packed(res):
+        def key(b: pa.Table) -> pa.Table:
+            a = b.column("id_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            bb = b.column("id_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({"pk": pa.array((a << np.int64(32)) | bb)})
+
+        return res.map_batches(key, batch_format="pyarrow")
+
+    exact = packed(
+        ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text")
+    ).materialize()
+    lsh = packed(
+        minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+    ).materialize()
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = merge_join(
+        exact, lsh, left_on="pk", right_on="pk", right_cols=[], how="semi"
+    ).count()
+    recall = round(n_common / n_exact, 6) if n_exact else 0.0
+    prec = round(n_common / n_lsh, 6) if n_lsh else 0.0
+    return pd.DataFrame(
+        {
+            "n_exact": pd.array([n_exact], dtype="int64"),
+            "n_lsh": pd.array([n_lsh], dtype="int64"),
+            "n_common": pd.array([n_common], dtype="int64"),
+            "recall": [recall + 0.0],
+            "prec": [prec + 0.0],
+        }
+    )
+
+
+SQL_LSH_RECALL = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 4)) AS i
+  ) s
+  WHERE len(ws) >= 5
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS gram
+  FROM w WHERE len(ws) BETWEEN 1 AND 4
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE 5 * i.inter >= 4 * (sa.sz + sb.sz - i.inter)
+),
+lsh AS (
+  SELECT id_a, id_b
+  FROM read_parquet('/tmp/ccray_oracle_minhash_pairs.parquet')
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM exact e JOIN lsh l ON l.id_a = e.id_a AND l.id_b = e.id_b
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+       c.n_common,
+       CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 0.0
+            ELSE ROUND(c.n_common * 1.0 / (SELECT COUNT(*) FROM exact), 6)
+       END + 0.0 AS recall,
+       CASE WHEN (SELECT COUNT(*) FROM lsh) = 0 THEN 0.0
+            ELSE ROUND(c.n_common * 1.0 / (SELECT COUNT(*) FROM lsh), 6)
+       END + 0.0 AS prec
+FROM c
+"""
+
+
 def q_jaccard_neardup(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs (inverted shingle index;
     stages/dedup.ngram_jaccard_pairs) at threshold 0.8 — integer
@@ -8583,6 +8688,7 @@ REGISTRY: dict[str, tuple] = {
     "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "curation_report": (q_curation_report, SQL_CURATION_REPORT),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
+    "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
