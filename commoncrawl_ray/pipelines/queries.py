@@ -3208,6 +3208,116 @@ FROM read_parquet('{BPE_ENCODE_ORACLE_PATH}')
 """
 
 
+def q_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility evaluation by language: BPE tokens per
+    whitespace word and UTF-8 bytes per BPE token — the metric a
+    multilingual tokenizer is judged on (a vocab trained on one
+    language over-fragments the others; fertility spikes flag it
+    before any training run burns compute on a 3x token bill).
+
+    Scale shape: the encode actor pool streams (broadcast ranks,
+    per-actor word memo — the q_bpe_encode stage); per-doc word and
+    byte counts are zero-Python Arrow kernels; lang attaches with ONE
+    doc-scale merge_join and the rollup is one lang-scale groupby.
+    SQL oracle: documents joined to the sequential-encode oracle
+    parquet with the same integer formulas."""
+    import pyarrow.compute as pc
+
+    from ..stages.bpe import BpeEncodeStage
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_bpe_encode_table
+
+    oracle_bpe_encode_table(sf_dir)
+    ref = ray.put(_bpe_merges(sf_dir))
+    enc = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        BpeEncodeStage,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def meta(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+                ),
+                "n_bytes": pc.cast(pc.binary_length(text), pa.int64()),
+            }
+        )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=8)
+    joined = merge_join(
+        docs.map_batches(meta, batch_format="pyarrow"),
+        enc,
+        "doc_id",
+        "doc_id",
+        ["n_bpe_tokens"],
+        how="inner",
+    )
+    agg = joined.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_words", alias_name="n_words"),
+        Sum("n_bytes", alias_name="n_bytes"),
+        Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        w = t.column("n_words").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t.column("n_bytes").to_numpy(zero_copy_only=False).astype(np.float64)
+        k = (
+            t.column("n_bpe_tokens")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        fert = np.where(w > 0, np.round(k / np.maximum(w, 1), 6), 0.0)
+        bpt = np.where(k > 0, np.round(b / np.maximum(k, 1), 6), 0.0)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "n_words": t.column("n_words").cast(pa.int64()),
+                "n_bytes": t.column("n_bytes").cast(pa.int64()),
+                "n_bpe_tokens": t.column("n_bpe_tokens").cast(pa.int64()),
+                "fertility": pa.array(fert + 0.0, pa.float64()),
+                "bytes_per_token": pa.array(bpt + 0.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_BPE_FERTILITY = rf"""
+WITH e AS (
+  SELECT doc_id, n_bpe_tokens
+  FROM read_parquet('{BPE_ENCODE_ORACLE_PATH}')
+),
+m AS (
+  SELECT d.lang,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE length(string_split_regex(trim(d.text), '\s+')) END AS w,
+         strlen(d.text) AS b,
+         e.n_bpe_tokens AS k
+  FROM documents d JOIN e ON e.doc_id = d.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(b) AS BIGINT) AS n_bytes,
+       CAST(SUM(k) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN SUM(w) > 0
+            THEN ROUND(SUM(k) * 1.0 / SUM(w), 6) ELSE 0.0 END + 0.0
+         AS fertility,
+       CASE WHEN SUM(k) > 0
+            THEN ROUND(SUM(b) * 1.0 / SUM(k), 6) ELSE 0.0 END + 0.0
+         AS bytes_per_token
+FROM m GROUP BY lang
+"""
+
+
 def q_bpe_vocab(sf_dir: str):
     """Tokenizer vocabulary export (token, token_id): distributed word
     counts -> shared merge + vocab kernels. The shippable artifact of
@@ -8706,6 +8816,7 @@ REGISTRY: dict[str, tuple] = {
     "cdx_prefix_lookup": (q_cdx_prefix_lookup, SQL_CDX_PREFIX_LOOKUP),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
     "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
