@@ -1102,6 +1102,83 @@ def oracle_spam_mass_table(
     return _write_atomic(out, path, src_key)
 
 
+ROBOTS_AUDIT_ORACLE_PATH = "/tmp/ccray_oracle_robots_audit.parquet"
+
+
+def robots_body_for_host(host: str) -> str:
+    """Deterministic robots.txt BODY per host (shared by the audit
+    query and its oracle): real RFC 9309 text — wildcard `*` and `$`
+    patterns, an Allow overriding a broader Disallow (longest-match
+    precedence), Crawl-delay, and a `badbot` group that must NOT
+    apply — so the audit exercises the actual parser
+    (state/robots.parse_robots_txt), not a simulation."""
+    import hashlib
+
+    h = int(hashlib.md5(host.encode("utf-8")).hexdigest()[:8], 16)
+    lines = ["User-agent: *"]
+    if h & 1:
+        lines.append("Disallow: /page/")
+    if h & 2:
+        lines.append("Disallow: /*.html$")
+    if h & 4:
+        lines.append("Disallow: /dir")
+        lines.append("Allow: /dir5/")
+    if h & 8:
+        lines.append(f"Crawl-delay: {1 + h % 5}")
+    lines += ["", "User-agent: badbot", "Disallow: /"]
+    return "\n".join(lines) + "\n"
+
+
+def oracle_robots_audit_table(
+    sf_dir: str, path: str = ROBOTS_AUDIT_ORACLE_PATH
+) -> str:
+    """Sequential robots-compliance fold over the shared memoized
+    parse: per host, URLs blocked for our agent under the
+    deterministic robots.txt body, using the SAME RFC 9309 parser and
+    path matcher as the distributed side."""
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+    from ..state.robots import parse_robots_txt, path_of
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|robots_audit|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    parsed = _sequential_parse(pages_cache_dir(sf), sf)
+    rules_memo: dict[str, object] = {}
+    acc: dict[str, list] = {}
+    for h, cu in zip(
+        parsed.column("host").to_pylist(), parsed.column("canon_url").to_pylist()
+    ):
+        if not h or not cu:
+            continue
+        r = rules_memo.get(h)
+        if r is None:
+            r = parse_robots_txt(robots_body_for_host(h), agent="ccray")
+            rules_memo[h] = r
+        a = acc.setdefault(h, [0, 0])
+        a[0] += 1
+        if not r.allowed(path_of(cu)):
+            a[1] += 1
+    order = sorted(acc)
+    delays = [
+        rules_memo[h].crawl_delay
+        if rules_memo[h].crawl_delay is not None
+        else -1.0
+        for h in order
+    ]
+    out = pa.table(
+        {
+            "host": pa.array(order, pa.string()),
+            "n_urls": pa.array([acc[h][0] for h in order], pa.int64()),
+            "n_blocked": pa.array([acc[h][1] for h in order], pa.int64()),
+            "crawl_delay": pa.array(
+                [float(d) for d in delays], pa.float64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 FRESHNESS_ORACLE_PATH = "/tmp/ccray_oracle_freshness.parquet"
 
 

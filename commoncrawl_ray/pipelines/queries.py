@@ -4874,6 +4874,100 @@ FROM read_parquet('/tmp/ccray_oracle_host_index.parquet')
 """
 
 
+def q_robots_audit(sf_dir: str):
+    """Robots-compliance audit: per host, how many of its archived
+    URLs the host's robots.txt disallows for our agent, plus the
+    declared Crawl-delay — the report a crawl operator runs over an
+    EXISTING archive after a policy change ("which holdings would
+    today's robots have blocked?"). Exercises the real RFC 9309
+    parser (state/robots.parse_robots_txt: wildcard + $ patterns,
+    longest-match with Allow-wins tie, per-agent group selection
+    ignoring the badbot group) over a deterministic per-host
+    robots.txt BODY (oracle_sketch.robots_body_for_host).
+
+    Scale shape: pages reduce to (host, blocked) partials in the map
+    — rules parse ONCE per distinct host per batch behind a
+    worker-local memo (T1 singleton discipline), the per-URL check is
+    a compiled-regex match; ONE host-scale groupby; crawl_delay is a
+    pure function of host re-derived in finalize (never rides an
+    exchange). Hash-checked against the shared-kernel sequential
+    fold."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.parse_extract import parse_extract_batch
+    from ..state.robots import parse_robots_txt, path_of
+    from .oracle_sketch import oracle_robots_audit_table, robots_body_for_host
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_robots_audit_table(sf_dir)
+    _memo: dict[str, object] = {}
+
+    def rules_of(h: str):
+        r = _memo.get(h)
+        if r is None:
+            r = parse_robots_txt(robots_body_for_host(h), agent="ccray")
+            _memo[h] = r
+        return r
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = parse_extract_batch(t)
+        acc: dict[str, list] = {}
+        for h, cu in zip(
+            p.column("host").to_pylist(), p.column("canon_url").to_pylist()
+        ):
+            if not h or not cu:
+                continue
+            a = acc.setdefault(h, [0, 0])
+            a[0] += 1
+            if not rules_of(h).allowed(path_of(cu)):
+                a[1] += 1
+        hosts = list(acc)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n": pa.array([acc[h][0] for h in hosts], pa.int64()),
+                "blocked": pa.array([acc[h][1] for h in hosts], pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("host")
+        .aggregate(
+            Sum("n", alias_name="n_urls"),
+            Sum("blocked", alias_name="n_blocked"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        hosts = t.column("host").to_pylist()
+        delays = []
+        for h in hosts:
+            cd = rules_of(h).crawl_delay
+            delays.append(float(cd) if cd is not None else -1.0)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "n_urls": t.column("n_urls").cast(pa.int64()),
+                "n_blocked": t.column("n_blocked").cast(pa.int64()),
+                "crawl_delay": pa.array(delays, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ROBOTS_AUDIT = """
+SELECT host, n_urls, n_blocked, crawl_delay
+FROM read_parquet('/tmp/ccray_oracle_robots_audit.parquet')
+"""
+
+
 def q_cache_freshness(sf_dir: str):
     """HTTP cache-freshness census (RFC 9111): per host, how many
     responses are cacheable and their total/average freshness
@@ -8761,6 +8855,7 @@ REGISTRY: dict[str, tuple] = {
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "host_index": (q_host_index, SQL_HOST_INDEX),
     "cache_freshness": (q_cache_freshness, SQL_CACHE_FRESHNESS),
+    "robots_audit": (q_robots_audit, SQL_ROBOTS_AUDIT),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
