@@ -1358,25 +1358,29 @@ def oracle_lpa_table(
     sf_dir: str, path: str = LPA_ORACLE_PATH, iters: int = 5
 ) -> str:
     """Single-process synchronous label propagation (Raghavan et al.
-    2007, deterministic min-label tie-break) over the same undirected
-    host graph: neighbors = distinct non-self edge endpoints both
-    ways, every node starts as its own label, each round all nodes
-    simultaneously adopt the most frequent neighbor label (tie ->
-    lexicographically smallest). Fixed ``iters`` rounds — identical
-    semantics to stages/components.py label_propagation."""
+    2007) over the same undirected host graph with the SAME
+    deterministic tie-break as stages/components.label_propagation:
+    labels are FNV-1a host ids, ties go to the smallest id. Neighbors
+    = distinct non-self edge endpoints both ways, every node starts
+    as its own label, each round all nodes simultaneously adopt the
+    most frequent neighbor label. Fixed ``iters`` rounds."""
     from collections import Counter, defaultdict
 
-    src_key = f"{os.path.abspath(sf_dir)}|lpa|{iters}"
+    from ..functions.minhash import fnv1a_batch
+
+    src_key = f"{os.path.abspath(sf_dir)}|lpa-fnv|{iters}"
     if _is_fresh(path, src_key):
         return path
     nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    ids = fnv1a_batch(pa.array(nodes, pa.string())).view(np.int64)
+    host_of_id = {int(ids[i]): nodes[i] for i in range(len(nodes))}
     nbrs: dict[int, set] = defaultdict(set)
     for s, d in zip(src_i.tolist(), dst_i.tolist()):
         if s == d:
             continue
         nbrs[s].add(d)
         nbrs[d].add(s)
-    labels = {i: nodes[i] for i in nbrs}
+    labels = {i: int(ids[i]) for i in nbrs}
     for _ in range(iters):
         labels = {
             a: min(
@@ -1389,7 +1393,9 @@ def oracle_lpa_table(
     out = pa.table(
         {
             "host": pa.array([nodes[i] for i in order], pa.string()),
-            "community": pa.array([labels[i] for i in order], pa.string()),
+            "community": pa.array(
+                [host_of_id[labels[i]] for i in order], pa.string()
+            ),
         }
     )
     return _write_atomic(out, path, src_key)

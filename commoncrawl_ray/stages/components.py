@@ -167,26 +167,31 @@ def label_propagation(edge_ds, iters: int = 5, parts: int = 8):
     "Near linear time algorithm to detect community structures") over
     a raw directed (src, dst) string edge Dataset, viewed undirected:
     every node starts as its own label; each round every node adopts
-    the most frequent label among its distinct neighbors
-    (tie -> lexicographically smallest label — the deterministic
-    variant; the paper breaks ties uniformly at random). Fixed
-    ``iters`` rounds, no early exit — synchronous LPA can oscillate on
-    bipartite structures, and a fixed round count keeps the oracle
-    comparison exact.
+    the most frequent label among its distinct neighbors (tie ->
+    smallest FNV-1a label id — deterministic; the paper breaks ties
+    uniformly at random). Fixed ``iters`` rounds, no early exit —
+    synchronous LPA can oscillate on bipartite structures, and a
+    fixed round count keeps the oracle comparison exact.
 
-    Scale shape (the pagerank_edges discipline): the undirected
-    distinct neighbor table is built ONCE and materialized
-    (edge-scale, two string columns); each round moves it once
-    through the union+sort merge_join that attaches neighbor labels,
-    then a (node, label)-keyed groupby count and a sort(node)
-    co-partitioned block-local argmax (equal sort keys co-locate in
-    one block — the repo's standing guarantee). The loop-carried
-    label table is node-scale and re-materialized per round; the
-    driver never sees a node or edge table.
+    Scale shape (the pagerank_edges discipline, hash wire per the
+    dup_passages discipline): hosts are FNV-1a-hashed to int64 at the
+    edge build, so the loop carries ONLY int64 triples — no string
+    ever rides the per-round exchanges. The undirected distinct
+    neighbor table is built ONCE and materialized (edge-scale, two
+    int64 columns); each round moves it once through the union+sort
+    merge_join that attaches neighbor labels, then a (node,
+    label)-keyed groupby count and a sort(node) co-partitioned
+    block-local numpy argmax (equal sort keys co-locate in one block
+    — the repo's standing guarantee). The loop-carried label table is
+    node-scale and re-materialized per round; host strings come back
+    only in the final two node-scale translation joins. Collisions:
+    two hosts sharing an FNV-1a id would merge (~V^2/2^64,
+    negligible; the same bound every hash-wire op documents).
     """
     import pyarrow.compute as pc
     import ray.data as rd
 
+    from ..functions.minhash import fnv1a_batch
     from .joins import merge_join
     from .pagerank import _distinct_sorted
 
@@ -195,27 +200,46 @@ def label_propagation(edge_ds, iters: int = 5, parts: int = 8):
         d = t.column("dst")
         s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
         d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
         return pa.table(
             {
-                "u": pa.concat_arrays([s, d]),
-                "v": pa.concat_arrays([d, s]),
+                "u": pa.array(np.concatenate([si, di])),
+                "v": pa.array(np.concatenate([di, si])),
+                "u_host": pa.concat_arrays([s, d]),
             }
         )
 
     def drop_self(t: pa.Table) -> pa.Table:
         return t.filter(pc.not_equal(t.column("u"), t.column("v")))
 
+    hashed = edge_ds.map_batches(both_dirs, batch_format="pyarrow")
     und = (
         _distinct_sorted(
-            edge_ds.map_batches(both_dirs, batch_format="pyarrow"), ["u", "v"]
+            hashed.map_batches(
+                lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+            ),
+            ["u", "v"],
         )
         .map_batches(drop_self, batch_format="pyarrow")
         .repartition(parts)
         .materialize()
     )
-
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"host": t.column("u"), "label": t.column("u")})
+    # node-scale (id, host) map — strings leave the loop entirely and
+    # come back only in the final translation joins
+    id_host = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: pa.table(
+                    {"id": t.column("u"), "host": t.column("u_host")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["id"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
 
     labels = (
         _distinct_sorted(
@@ -224,26 +248,32 @@ def label_propagation(edge_ds, iters: int = 5, parts: int = 8):
             ),
             ["u"],
         )
-        .map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t.column("u"), "label": t.column("u")}
+            ),
+            batch_format="pyarrow",
+        )
         .materialize()
     )
 
     def pick(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(
-            ["u", "count()", "label"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        ).drop_duplicates("u", keep="first")
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lab, -c, u))  # u asc, count desc, label asc
+        u_s, l_s = u[order], lab[order]
+        first = np.ones(len(u_s), dtype=bool)
+        first[1:] = u_s[1:] != u_s[:-1]
         return pa.table(
             {
-                "host": pa.array(df["u"], pa.string()),
-                "label": pa.array(df["label"], pa.string()),
+                "node": pa.array(u_s[first]),
+                "label": pa.array(l_s[first]),
             }
         )
 
     for _ in range(iters):
-        votes = merge_join(und, labels, "v", "host", ["label"], how="inner")
+        votes = merge_join(und, labels, "v", "node", ["label"], how="inner")
         labels = (
             votes.groupby(["u", "label"])
             .count()
@@ -253,9 +283,20 @@ def label_propagation(edge_ds, iters: int = 5, parts: int = 8):
             .materialize()
         )
 
-    return labels.map_batches(
-        lambda t: pa.table(
-            {"host": t.column("host"), "community": t.column("label")}
+    named = merge_join(labels, id_host, "node", "id", ["host"], how="inner")
+    named = merge_join(
+        named,
+        id_host.map_batches(
+            lambda t: pa.table(
+                {"id": t.column("id"), "community": t.column("host")}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        "label",
+        "id",
+        ["community"],
+        how="inner",
+    )
+    return named.map_batches(
+        lambda t: t.select(["host", "community"]), batch_format="pyarrow"
     )

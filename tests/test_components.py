@@ -332,22 +332,24 @@ def test_reciprocal_link_stats(ray_session):
 
 def test_label_propagation_matches_sequential(ray_session):
     """Distributed synchronous LPA == the sequential Counter fold with
-    identical semantics (min-label tie-break, fixed rounds) on a
-    two-clique graph with a bridge; the two cliques must end up in
-    different communities."""
+    identical semantics (min-FNV-label-id tie-break, fixed rounds) on
+    two disjoint cliques; labels cannot cross components, so the two
+    cliques must end up in different communities."""
     from collections import Counter, defaultdict
 
     import pyarrow as pa
     import ray.data as rd
 
+    from commoncrawl_ray.functions.minhash import fnv1a_batch
     from commoncrawl_ray.stages.components import label_propagation
 
-    edges = [
-        ("a1.com", "a2.com"), ("a2.com", "a3.com"), ("a1.com", "a3.com"),
-        ("b1.com", "b2.com"), ("b2.com", "b3.com"), ("b1.com", "b3.com"),
-        ("a3.com", "b1.com"),  # bridge
-        ("solo.net", "a1.com"),
-    ]
+    a = [f"a{i}.com" for i in range(1, 5)]
+    b = [f"b{i}.com" for i in range(1, 5)]
+    edges = (
+        [(u, v) for i, u in enumerate(a) for v in a[i + 1 :]]  # K4
+        + [(u, v) for i, u in enumerate(b) for v in b[i + 1 :]]  # K4 (disjoint)
+        + [("solo.net", "a1.com")]
+    )
     t = pa.table(
         {
             "src": pa.array([e[0] for e in edges]),
@@ -360,11 +362,16 @@ def test_label_propagation_matches_sequential(ray_session):
         for r in label_propagation(rd.from_arrow(t), iters=iters).take_all()
     }
 
+    hosts = sorted({h for e in edges for h in e})
+    hid = dict(
+        zip(hosts, fnv1a_batch(pa.array(hosts)).view("int64").tolist())
+    )
+    host_of = {v: k for k, v in hid.items()}
     nbrs = defaultdict(set)
     for s, d in edges:
         nbrs[s].add(d)
         nbrs[d].add(s)
-    labels = {h: h for h in nbrs}
+    labels = {h: hid[h] for h in nbrs}
     for _ in range(iters):
         labels = {
             a: min(
@@ -373,6 +380,7 @@ def test_label_propagation_matches_sequential(ray_session):
             )[0]
             for a, ns in nbrs.items()
         }
+    labels = {h: host_of[v] for h, v in labels.items()}
     assert got == labels
     # the cliques settle on distinct communities
     assert len({got["a1.com"], got["a2.com"]} | {got["b2.com"], got["b3.com"]}) >= 2
