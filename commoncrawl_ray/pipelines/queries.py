@@ -2292,6 +2292,31 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_anchor_terms_table(sf_dir)
     oracle_host_components_table(sf_dir)
     oracle_sitemap_table(sf_dir)
+    # round-5 additions (every read_parquet-backed oracle must appear
+    # here so oracle_sql() resolves no matter which side runs first)
+    from .oracle_sketch import (
+        oracle_cdc_table,
+        oracle_crawl_trap_table,
+        oracle_freshness_table,
+        oracle_host_index_table,
+        oracle_lpa_table,
+        oracle_mirror_table,
+        oracle_recip_links_table,
+        oracle_robots_audit_table,
+        oracle_spam_mass_table,
+        oracle_trustrank_table,
+    )
+
+    oracle_trustrank_table(sf_dir)
+    oracle_spam_mass_table(sf_dir)
+    oracle_crawl_trap_table()
+    oracle_recip_links_table(sf_dir)
+    oracle_lpa_table(sf_dir)
+    oracle_mirror_table()
+    oracle_cdc_table(sf_dir)
+    oracle_host_index_table(sf_dir)
+    oracle_freshness_table(sf_dir)
+    oracle_robots_audit_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
