@@ -3046,6 +3046,101 @@ WHERE t.rn = 1
 """
 
 
+def q_cdx_collapse(sf_dir: str):
+    """CDX capture collapse (the wayback/pywb ``collapse=digest``
+    query feature): from a URL's capture history, keep only the
+    captures whose payload digest DIFFERS from the immediately
+    preceding capture — the canonical "unique captures" view replay
+    tooling paginates. Shares the snapshot_churn capture universe so
+    DuckDB rebuilds identical history with generate_series + LAG.
+
+    Scale shape: capture rows ride as TWO int64s (composite key
+    doc_id*16 + t, digest version); the previous-capture compare is
+    ONE LEFT sort-merge self-join on the +1-shifted key (first
+    capture keeps its null-prev row), then a stateless vectorized
+    filter — row-level output, no groupby at all. No per-URL group
+    ever needs one block."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import merge_join
+
+    T = 8
+    docs = _pq(sf_dir, "documents", ["doc_id"], min_blocks=4)
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "dig": pa.array([], pa.int64())}
+            )
+        first = d % 3
+        last = np.minimum(first + 2 + (d % 5), T - 1)
+        n = last - first + 1
+        reps = np.repeat(d, n)
+        starts = np.cumsum(n) - n
+        offs = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+        snap = np.repeat(first, n) + offs
+        chg = ((reps + snap * snap) % 4 == 0).astype(np.int64)
+        c = np.cumsum(chg)
+        dig = c - np.repeat(c[starts] - chg[starts], n)
+        return pa.table(
+            {
+                "k": pa.array(reps * 16 + snap),
+                "dig": pa.array(dig.astype(np.int64)),
+            }
+        )
+
+    caps = docs.map_batches(expand, batch_format="pyarrow")
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k1": pc.add(t.column("k"), 1), "dig": t.column("dig")}
+        )
+
+    prev = caps.map_batches(shift, batch_format="pyarrow")
+    joined = merge_join(
+        caps, prev, "k", "k1", ["dig"], how="left", suffix="_prev"
+    )
+
+    def keep_unique(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        dig = t.column("dig").to_numpy(zero_copy_only=False).astype(np.float64)
+        digp = (
+            t.column("dig_prev").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        pnull = pc.is_null(t.column("dig_prev")).to_numpy(zero_copy_only=False)
+        keep = pnull | (dig != digp)
+        return pa.table(
+            {
+                "url_id": pa.array((k[keep] // 16).astype(np.int64)),
+                "snapshot": pa.array((k[keep] % 16).astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(keep_unique, batch_format="pyarrow")
+
+
+SQL_CDX_COLLAPSE = """
+WITH caps AS (
+  SELECT d.doc_id AS url_id, g.t,
+         SUM(CASE WHEN (d.doc_id + g.t * g.t) % 4 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d.doc_id ORDER BY g.t) AS dig
+  FROM documents d
+  JOIN (SELECT UNNEST(generate_series(0, 7)) AS t) g
+    ON g.t >= d.doc_id % 3
+   AND g.t <= LEAST(d.doc_id % 3 + 2 + d.doc_id % 5, 7)
+),
+lagged AS (
+  SELECT url_id, t, dig,
+         LAG(dig) OVER (PARTITION BY url_id ORDER BY t) AS pdig
+  FROM caps
+)
+SELECT url_id, CAST(t AS BIGINT) AS snapshot
+FROM lagged
+WHERE pdig IS NULL OR dig <> pdig
+"""
+
+
 SQL_SNAPSHOT_CHURN = """
 WITH caps AS (
   SELECT d.doc_id AS url_id, g.t,
@@ -8929,6 +9024,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "snapshot_churn": (q_snapshot_churn, SQL_SNAPSHOT_CHURN),
+    "cdx_collapse": (q_cdx_collapse, SQL_CDX_COLLAPSE),
     "redirect_resolution": (q_redirect_resolution, SQL_REDIRECT_RESOLUTION),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
