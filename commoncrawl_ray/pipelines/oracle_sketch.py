@@ -1102,6 +1102,62 @@ def oracle_spam_mass_table(
     return _write_atomic(out, path, src_key)
 
 
+ORPHAN_ORACLE_PATH = "/tmp/ccray_oracle_orphans.parquet"
+
+
+def oracle_orphan_table(sf_dir: str, path: str = ORPHAN_ORACLE_PATH) -> str:
+    """Sequential orphan-page fold over the shared memoized parse:
+    a page is an orphan when NO page in the corpus (other than
+    itself) links to its canonical URL fingerprint — same
+    resolve+canonicalize+fp64 kernels as the distributed side."""
+    from ..pipelines.crawl import _canon_memo_lookup
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+    from ..stages.links import resolve_links
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    src_key = f"{os.path.abspath(sf_dir)}|orphans|{sf}"
+    if _is_fresh(path, src_key):
+        return path
+    parsed = _sequential_parse(pages_cache_dir(sf), sf)
+    urls = parsed.column("url").to_pylist()
+    anchors = parsed.column("anchors").to_pylist()
+    bases = parsed.column("base_url").to_pylist()
+    hosts = parsed.column("host").to_pylist()
+    own_fp = parsed.column("url_fp").to_pylist()
+    linked: set[int] = set()
+    for u, a, b, fp in zip(urls, anchors, bases, own_fp):
+        if not a:
+            continue
+        hrefs = a.split("\n")[0::2]
+        for link in resolve_links(u, hrefs, b):
+            hit = _canon_memo_lookup(link)
+            if hit == () or hit[2] == fp:  # self-links don't count
+                continue
+            linked.add(hit[2])
+    acc: dict[str, list] = {}
+    for h, fp in zip(hosts, own_fp):
+        if not h:
+            continue
+        a = acc.setdefault(h, [0, 0])
+        a[0] += 1
+        if fp not in linked:
+            a[1] += 1
+    order = sorted(acc)
+    n = np.array([acc[h][0] for h in order], dtype=np.int64)
+    o = np.array([acc[h][1] for h in order], dtype=np.int64)
+    out = pa.table(
+        {
+            "host": pa.array(order, pa.string()),
+            "n_pages": pa.array(n, pa.int64()),
+            "n_orphans": pa.array(o, pa.int64()),
+            "orphan_frac": pa.array(
+                np.round(o / np.maximum(n, 1), 6) + 0.0, pa.float64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 ROBOTS_AUDIT_ORACLE_PATH = "/tmp/ccray_oracle_robots_audit.parquet"
 
 

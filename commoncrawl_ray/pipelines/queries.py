@@ -2301,6 +2301,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_host_index_table,
         oracle_lpa_table,
         oracle_mirror_table,
+        oracle_orphan_table,
         oracle_recip_links_table,
         oracle_robots_audit_table,
         oracle_spam_mass_table,
@@ -2317,6 +2318,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_host_index_table(sf_dir)
     oracle_freshness_table(sf_dir)
     oracle_robots_audit_table(sf_dir)
+    oracle_orphan_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -4991,6 +4993,118 @@ def q_host_index(sf_dir: str):
 SQL_HOST_INDEX = """
 SELECT host, n_pages, n_ok, n_mimes, text_bytes
 FROM read_parquet('/tmp/ccray_oracle_host_index.parquet')
+"""
+
+
+def q_orphan_pages(sf_dir: str):
+    """Orphan-page detection: per host, how many of its pages NO
+    other page in the corpus links to (self-links don't count) — the
+    webgraph-hygiene census a site-health or crawl-completeness
+    review starts from (an orphan is only reachable via sitemap or
+    direct seed, never by following links).
+
+    Scale shape: pages reduce to slim (host, url_fp) rows; link
+    targets resolve through the crawl's memoized
+    canonicalize+fp64 parity kernel into a per-batch-distinct int64
+    fp stream; the orphan test is ONE ANTI sort-merge join on
+    url_fp (the J5 frontier-minus-seen operator re-aimed at the link
+    graph), then two host-scale groupbys merged with a left join.
+    Hash-checked against the shared-kernel sequential fold."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.joins import merge_join
+    from ..stages.links import resolve_links
+    from ..stages.parse_extract import parse_extract_batch
+    from .crawl import _canon_memo_lookup
+    from .oracle_sketch import oracle_orphan_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_orphan_table(sf_dir)
+
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url", "host", "url_fp"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # slim parse projection feeds BOTH sides below
+    )
+    pages = parsed.map_batches(
+        lambda t: t.select(["host", "url_fp"]), batch_format="pyarrow"
+    )
+
+    def target_fps(t: pa.Table) -> pa.Table:
+        out: set[int] = set()
+        for u, a, b, fp in zip(
+            t.column("url").to_pylist(),
+            t.column("anchors").to_pylist(),
+            t.column("base_url").to_pylist(),
+            t.column("url_fp").to_pylist(),
+        ):
+            if not a:
+                continue
+            hrefs = a.split("\n")[0::2]
+            for link in resolve_links(u, hrefs, b):
+                hit = _canon_memo_lookup(link)
+                if hit == () or hit[2] == fp:  # self-links don't count
+                    continue
+                out.add(hit[2])
+        return pa.table({"tfp": pa.array(sorted(out), pa.int64())})
+
+    targets = parsed.map_batches(target_fps, batch_format="pyarrow")
+    orphans = merge_join(pages, targets, "url_fp", "tfp", [], how="anti")
+
+    def count_col(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "host": t.column("host"),
+                    name: t.column("count()").cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    per_host = pages.groupby("host").count().map_batches(
+        count_col("n_pages"), batch_format="pyarrow"
+    )
+    per_orph = orphans.groupby("host").count().map_batches(
+        count_col("n_orphans"), batch_format="pyarrow"
+    )
+    joined = merge_join(
+        per_host, per_orph, "host", "host", ["n_orphans"], how="left"
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_pages").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.nan_to_num(
+            t.column("n_orphans").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ),
+            nan=0.0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "n_pages": pa.array(n, pa.int64()),
+                "n_orphans": pa.array(o, pa.int64()),
+                "orphan_frac": pa.array(
+                    np.round(o / np.maximum(n, 1), 6) + 0.0, pa.float64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ORPHAN_PAGES = """
+SELECT host, n_pages, n_orphans, orphan_frac
+FROM read_parquet('/tmp/ccray_oracle_orphans.parquet')
 """
 
 
@@ -8976,6 +9090,7 @@ REGISTRY: dict[str, tuple] = {
     "host_index": (q_host_index, SQL_HOST_INDEX),
     "cache_freshness": (q_cache_freshness, SQL_CACHE_FRESHNESS),
     "robots_audit": (q_robots_audit, SQL_ROBOTS_AUDIT),
+    "orphan_pages": (q_orphan_pages, SQL_ORPHAN_PAGES),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "source_contamination": (q_source_contamination, SQL_SOURCE_CONTAMINATION),
     "docs_reservoir_per_lang": (q_docs_reservoir_per_lang, SQL_DOCS_RESERVOIR_PER_LANG),
