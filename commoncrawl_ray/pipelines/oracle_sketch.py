@@ -2160,3 +2160,55 @@ def oracle_compress_table(sf_dir: str, level: int = 6,
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+KCORE_ORACLE_PATH = "/tmp/ccray_oracle_kcore.parquet"
+
+
+def oracle_kcore_table(sf_dir: str, path: str = KCORE_ORACLE_PATH) -> str:
+    """Sequential exact k-core decomposition over the same distinct
+    host edge set the graph queries use, viewed undirected with
+    self-loops dropped: classic peeling (Batagelj & Zaversnik 2003,
+    "An O(m) Algorithm for Cores Decomposition of Networks") — process
+    nodes in increasing current-degree order; a node's coreness is its
+    degree at removal time, clamped to never drop below the previous
+    removal. Plain Python adjacency sets."""
+    import heapq
+
+    src_key = f"{os.path.abspath(sf_dir)}|kcore"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(src_i.tolist(), dst_i.tolist()):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(dv, v) for v, dv in deg.items()]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    core: dict[int, int] = {}
+    k = 0
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if v in removed or dv != deg[v]:
+            continue  # stale heap entry
+        k = max(k, dv)
+        core[v] = k
+        removed.add(v)
+        for w in adj[v]:
+            if w not in removed:
+                deg[w] -= 1
+                heapq.heappush(heap, (deg[w], w))
+    order = sorted(core)
+    out = pa.table(
+        {
+            "host": pa.array([nodes[i] for i in order], pa.string()),
+            "core": pa.array(
+                np.array([core[i] for i in order], dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)

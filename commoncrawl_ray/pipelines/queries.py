@@ -1757,6 +1757,52 @@ FROM read_parquet('/tmp/ccray_oracle_recip_links.parquet')
 """
 
 
+def q_kcore_hosts(sf_dir: str):
+    """Coreness (k-core decomposition) per host over the crawl's link
+    graph viewed undirected: core(v) = largest k such that v survives
+    repeatedly deleting all nodes of degree < k — the standard web-graph
+    density/robustness signal (dense link-farm cores score high, the
+    periphery scores 1).
+
+    Shape: stages/pagerank.py k_core_hosts — the h-index fixpoint
+    (Lu et al. 2016): int64 FNV-1a hash wire (no string rides the
+    loop), the undirected distinct edge table built ONCE and
+    materialized, each round ONE union+sort merge_join shipping
+    current values to neighbors plus a sort(u) co-partitioned
+    block-local vectorized h-index; integer monotone values make the
+    node-scale sum a sound fixpoint test. Hash-checked against a
+    sequential Batagelj-Zaversnik peel over the identical edge set."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_host_edges_batch, k_core_hosts
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_kcore_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_kcore_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return k_core_hosts(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_KCORE_HOSTS = """
+SELECT host, core
+FROM read_parquet('/tmp/ccray_oracle_kcore.parquet')
+"""
+
+
 def q_lpa_communities(sf_dir: str):
     """Host communities via synchronous label propagation
     (stages/components.py label_propagation — Raghavan et al. 2007
@@ -2299,6 +2345,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_crawl_trap_table,
         oracle_freshness_table,
         oracle_host_index_table,
+        oracle_kcore_table,
         oracle_lpa_table,
         oracle_mirror_table,
         oracle_orphan_table,
@@ -2312,6 +2359,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_spam_mass_table(sf_dir)
     oracle_crawl_trap_table()
     oracle_recip_links_table(sf_dir)
+    oracle_kcore_table(sf_dir)
     oracle_lpa_table(sf_dir)
     oracle_mirror_table()
     oracle_cdc_table(sf_dir)
@@ -9026,6 +9074,7 @@ REGISTRY: dict[str, tuple] = {
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "spam_mass_hosts": (q_spam_mass_hosts, SQL_SPAM_MASS_HOSTS),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
+    "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),

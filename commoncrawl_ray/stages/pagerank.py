@@ -771,3 +771,168 @@ def reciprocal_link_stats(edge_ds):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def _h_index_block(t: pa.Table) -> pa.Table:
+    """Block-local per-node h-index over (u, val) rows: for each u,
+    the largest h such that >= h of its vals are >= h. Requires all
+    rows of one u in the block (sort(u) co-partition guarantee).
+    Vectorized: lexsort by (u, -val), 1-based rank within group,
+    h = segmented max of min(rank, val)."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+            }
+        )
+    u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-v, u))
+    u_s, v_s = u[order], v[order]
+    starts = np.ones(len(u_s), dtype=bool)
+    starts[1:] = u_s[1:] != u_s[:-1]
+    idx = np.arange(len(u_s), dtype=np.int64)
+    grp_start = np.maximum.accumulate(np.where(starts, idx, 0))
+    rank = idx - grp_start + 1  # 1-based within group, val descending
+    cand = np.minimum(rank, v_s)
+    bounds = np.flatnonzero(starts)
+    h = np.maximum.reduceat(cand, bounds)
+    return pa.table(
+        {
+            "node": pa.array(u_s[bounds], pa.int64()),
+            "h": pa.array(h, pa.int64()),
+        }
+    )
+
+
+def k_core_hosts(edge_ds, max_iters: int = 64, parts: int = 8):
+    """Coreness (k-core decomposition) of every host in a raw directed
+    (src, dst) string edge Dataset, viewed undirected: core(v) is the
+    largest k such that v survives repeatedly deleting all nodes of
+    degree < k. Implemented as the h-index fixpoint (Lu, Zhou, Zhang &
+    Stanley 2016, "The H-index of a network node and its relation to
+    degree and coreness", Nature Communications 7:10168): start every
+    node at its degree; each round replace c(v) with the h-index of
+    its neighbors' current values; the sequence decreases monotonically
+    to exact coreness on every finite graph.
+
+    Scale shape (the label_propagation discipline): hosts are
+    FNV-1a-hashed to int64 at the edge build so the loop carries ONLY
+    int64 pairs; the undirected distinct non-self neighbor table is
+    built ONCE and materialized (edge-scale, two int64 columns). Each
+    round is ONE union+sort merge_join shipping current values to
+    neighbors plus a sort(u) co-partitioned block-local vectorized
+    h-index (partitioning assumption: one node's neighbor rows fit a
+    block — max-degree bound, same as LPA/hash-to-min). Fixpoint test
+    is a node-scale dataset sum: values are integer and monotone
+    non-increasing, so an unchanged sum IS elementwise convergence —
+    no fingerprint needed. Host strings come back only in the final
+    node-scale translation join. Collisions: ~V^2/2^64, negligible
+    (the standing hash-wire bound)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.minhash import fnv1a_batch
+    from .joins import merge_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([si, di])),
+                "v": pa.array(np.concatenate([di, si])),
+                "u_host": pa.concat_arrays([s, d]),
+            }
+        )
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("u"), t.column("v")))
+
+    hashed = edge_ds.map_batches(both_dirs, batch_format="pyarrow")
+    und = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+            ),
+            ["u", "v"],
+        )
+        .map_batches(drop_self, batch_format="pyarrow")
+        .repartition(parts)
+        .materialize()
+    )
+    id_host = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: pa.table(
+                    {"id": t.column("u"), "host": t.column("u_host")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["id"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+
+    # c_0 = degree over the undirected distinct non-self edge set
+    core = (
+        und.groupby("u")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("u"),
+                    "core": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if und.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "core": pa.array([], pa.int64()),
+                }
+            )
+        )
+    prev_sum = core.sum("core")
+    for _ in range(max_iters):
+        nb = merge_join(und, core, "v", "node", ["core"], how="inner")
+        core = (
+            nb.map_batches(
+                lambda t: pa.table(
+                    {"u": t.column("u"), "val": t.column("core")}
+                ),
+                batch_format="pyarrow",
+            )
+            .sort("u")
+            .map_batches(_h_index_block, batch_format="pyarrow", batch_size=None)
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "core": t.column("h")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = core.sum("core")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = merge_join(core, id_host, "node", "id", ["host"], how="inner")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"host": t.column("host"), "core": t.column("core")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -458,3 +458,83 @@ def test_phrase_search_three_terms(ray_session):
         for r in q_phrase_search(sf_dir, phrase=phrase).take_all()
     }
     assert got == want and len(want) >= 1
+
+
+def test_kcore_known_graph(ray_session):
+    """Hand-built graph: a 4-clique (coreness 3), a pendant hanging
+    off it (coreness 1), a triangle (coreness 2), a self-loop and a
+    duplicate edge that must be ignored; direction must not matter."""
+    from commoncrawl_ray.stages.pagerank import k_core_hosts
+
+    edges = [
+        # 4-clique c1..c4 (one direction only — viewed undirected)
+        ("c1.com", "c2.com"), ("c1.com", "c3.com"), ("c1.com", "c4.com"),
+        ("c2.com", "c3.com"), ("c2.com", "c4.com"), ("c3.com", "c4.com"),
+        # pendant off the clique
+        ("p.com", "c1.com"),
+        # separate triangle
+        ("t1.net", "t2.net"), ("t2.net", "t3.net"), ("t3.net", "t1.net"),
+        # noise: self-loop and duplicate edge
+        ("c1.com", "c1.com"), ("c1.com", "c2.com"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    rows = {r["host"]: r["core"] for r in k_core_hosts(rd.from_arrow(t)).take_all()}
+    assert rows == {
+        "c1.com": 3, "c2.com": 3, "c3.com": 3, "c4.com": 3,
+        "p.com": 1,
+        "t1.net": 2, "t2.net": 2, "t3.net": 2,
+    }
+
+
+def test_kcore_matches_sequential_random(ray_session):
+    """Random graph cross-check: distributed h-index fixpoint == the
+    sequential Batagelj-Zaversnik peel on the same undirected edge
+    set."""
+    import heapq
+
+    from commoncrawl_ray.stages.pagerank import k_core_hosts
+
+    rng = np.random.default_rng(7)
+    n = 60
+    m = 240
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    names = [f"h{i}.com" for i in range(n)]
+    t = pa.table(
+        {
+            "src": pa.array([names[i] for i in src]),
+            "dst": pa.array([names[i] for i in dst]),
+        }
+    )
+    # sequential peel
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(dv, v) for v, dv in deg.items()]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    core: dict[int, int] = {}
+    k = 0
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if v in removed or dv != deg[v]:
+            continue
+        k = max(k, dv)
+        core[v] = k
+        removed.add(v)
+        for w in adj[v]:
+            if w not in removed:
+                deg[w] -= 1
+                heapq.heappush(heap, (deg[w], w))
+    expect = {names[v]: c for v, c in core.items()}
+    rows = {r["host"]: r["core"] for r in k_core_hosts(rd.from_arrow(t)).take_all()}
+    assert rows == expect
