@@ -2212,3 +2212,82 @@ def oracle_kcore_table(sf_dir: str, path: str = KCORE_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+DIVERSITY_ORACLE_PATH = "/tmp/ccray_oracle_diversity.parquet"
+
+
+def oracle_diversity_sample_table(
+    sf_dir: str,
+    path: str = DIVERSITY_ORACLE_PATH,
+    n: int = 120,
+    k: int = 16,
+    iters: int = 4,
+    mode: str = "prototypes",
+) -> str:
+    """Sequential cluster-balanced diversity sample sharing only the
+    numeric kernels with stages/semdedup.py diversity_sample: the
+    identical integer-unit k-means trajectory (see oracle_semdedup's
+    exactness argument), then a plain per-cluster sort picking the
+    ceil(n/k) most (or least, mode='edges') prototypical members,
+    ties to the lowest id, sims rounded to 6 dp."""
+    import math
+
+    from ..functions.sketches import knuth32
+    from ..functions.vec import list_to_matrix
+    from ..stages.semdedup import (
+        _norm_rows,
+        assign_rounded,
+        centroids_from_sums,
+        quantize,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|diversity|{n}|{k}|{iters}|{mode}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    xn = _norm_rows(list_to_matrix(t.column("embedding")))
+    dim = xn.shape[1]
+    if len(ids) > k:
+        thresh = np.uint64(min(1 << 32, int(np.ceil((1 << 32) * 2.0 * k / len(ids)))))
+        sel = np.sort(ids[knuth32(ids) < thresh])[:k]
+    else:
+        sel = np.sort(ids)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    centroids = xn[[pos[int(s)] for s in sel]].copy()
+    q = quantize(xn)
+    for _ in range(iters):
+        cl = assign_rounded(xn, centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(counts, cl, 1)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cl, q)
+        centroids = centroids_from_sums(sums, counts, centroids)
+    scores = np.round(xn @ centroids.T, 6)
+    cl = np.argmax(scores, axis=1).astype(np.int64)
+    sim = scores[np.arange(len(cl)), cl]
+    quota = max(1, math.ceil(n / k))
+    proto = mode == "prototypes"
+    out_id, out_cl, out_sim, out_rank = [], [], [], []
+    for c in np.unique(cl):
+        members = np.nonzero(cl == c)[0]
+        order = members[
+            np.lexsort((ids[members], -sim[members] if proto else sim[members]))
+        ][:quota]
+        for r, i in enumerate(order, start=1):
+            out_id.append(int(ids[i]))
+            out_cl.append(int(c))
+            out_sim.append(float(sim[i]))
+            out_rank.append(r)
+    out = pa.table(
+        {
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cluster": pa.array(out_cl, pa.int64()),
+            "sim": pa.array(out_sim, pa.float64()),
+            "rank": pa.array(out_rank, pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

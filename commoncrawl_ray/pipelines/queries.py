@@ -2344,6 +2344,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_cdc_table,
         oracle_crawl_trap_table,
         oracle_freshness_table,
+        oracle_diversity_sample_table,
         oracle_host_index_table,
         oracle_kcore_table,
         oracle_lpa_table,
@@ -2360,6 +2361,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_crawl_trap_table()
     oracle_recip_links_table(sf_dir)
     oracle_kcore_table(sf_dir)
+    oracle_diversity_sample_table(sf_dir)
     oracle_lpa_table(sf_dir)
     oracle_mirror_table()
     oracle_cdc_table(sf_dir)
@@ -7591,6 +7593,34 @@ FROM read_parquet('/tmp/ccray_oracle_semdedup.parquet')
 """
 
 
+def q_diversity_sample(sf_dir: str):
+    """Cluster-balanced diversity sampling (the keep-easy end of
+    Sorscher et al. 2022's prototypicality pruning): distributed
+    spherical k-means over the embeddings table, then per cluster the
+    ceil(n/k) most prototypical vectors (cosine to own centroid, 6 dp,
+    ties to lowest vec_id) with a 1-based within-cluster rank — the
+    balanced-across-clusters training-subset selector.
+
+    Shape: stages/semdedup.py diversity_sample — NO corpus-scale
+    exchange: one streaming assign pass emits <= k x quota candidate
+    rows per batch (pre-shuffle top-k combiner), the only all-to-all
+    is a sort of the sample-budget-scale candidate table. Hash-checked
+    against a sequential fit+select oracle sharing only the numeric
+    kernels (oracle_sketch.oracle_diversity_sample_table)."""
+    from ..stages.semdedup import diversity_sample
+    from .oracle_sketch import oracle_diversity_sample_table
+
+    oracle_diversity_sample_table(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], min_blocks=4)
+    return diversity_sample(ds, dim=64, n=120, k=16, iters=4)
+
+
+SQL_DIVERSITY_SAMPLE = """
+SELECT vec_id, cluster, sim, rank
+FROM read_parquet('/tmp/ccray_oracle_diversity.parquet')
+"""
+
+
 def q_events_hourly_outer(sf_dir: str):
     """FULL OUTER sort-merge join (stages/joins.merge_join
     how='outer'): high-value signup counts per hour joined with
@@ -9165,6 +9195,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
+    "diversity_sample": (q_diversity_sample, SQL_DIVERSITY_SAMPLE),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "dup_passage_strip": (q_dup_passage_strip, SQL_DUP_PASSAGE_STRIP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

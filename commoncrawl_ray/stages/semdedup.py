@@ -346,3 +346,110 @@ def semdedup(
     return assigned.sort("cluster").map_batches(
         prune_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def _top_quota_block(
+    t: pa.Table, quota: int, id_col: str, proto: bool, with_rank: bool
+) -> pa.Table:
+    """Block-local per-cluster top-``quota`` selection over (id,
+    cluster, sim) rows: prototypes (sim desc) or edges (sim asc), ties
+    to the lowest id. Vectorized lexsort + group-rank; emits a 1-based
+    ``rank`` column when ``with_rank``."""
+    fields = [
+        (id_col, pa.int64()),
+        ("cluster", pa.int64()),
+        ("sim", pa.float64()),
+    ] + ([("rank", pa.int64())] if with_rank else [])
+    if len(t) == 0:
+        return pa.schema(fields).empty_table()
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    cl = t.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+    sim = t.column("sim").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((ids, -sim if proto else sim, cl))
+    cl_s = cl[order]
+    starts = np.ones(len(cl_s), dtype=bool)
+    starts[1:] = cl_s[1:] != cl_s[:-1]
+    idx = np.arange(len(cl_s), dtype=np.int64)
+    grp_start = np.maximum.accumulate(np.where(starts, idx, 0))
+    rank = idx - grp_start + 1
+    keep = rank <= quota
+    sel = order[keep]
+    cols = {
+        id_col: pa.array(ids[sel], pa.int64()),
+        "cluster": pa.array(cl[sel], pa.int64()),
+        "sim": pa.array(sim[sel], pa.float64()),
+    }
+    if with_rank:
+        cols["rank"] = pa.array(rank[keep], pa.int64())
+    return pa.table(cols)
+
+
+def diversity_sample(
+    ds,
+    dim: int,
+    n: int,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "prototypes",
+):
+    """Cluster-balanced diversity sampling: fit the distributed
+    spherical k-means above, then select a ~``n``-row sample balanced
+    across clusters — per cluster the ``ceil(n/k)`` rows ranked by
+    cosine to their own centroid (``mode="prototypes"``: most
+    prototypical first — the keep-easy end of Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning", which ranks examples by distance to their cluster
+    centroid; ``mode="edges"``: least prototypical first — the
+    keep-hard end that maximizes diversity). Ties break to the lowest
+    id; sims round to 6 dp (the assign discipline), so the pick is
+    exact-deterministic and oracle-checkable.
+
+    Scale shape: NO corpus-scale exchange. One streaming assign pass
+    emits per batch at most k x quota candidate rows (the pre-shuffle
+    top-k combiner rule); the only all-to-all is a sort("cluster") of
+    the CANDIDATE table (<= blocks x k x quota rows — sample-budget
+    scale, so its low key cardinality is harmless), then one block
+    pass takes the global per-cluster top-quota with a 1-based rank.
+    Clusters smaller than the quota contribute what they have, so the
+    result can be < n rows (counted by the caller if needed —
+    deterministic, never silent)."""
+    import math
+
+    import ray
+
+    if mode not in ("prototypes", "edges"):
+        raise ValueError(f"mode must be 'prototypes' or 'edges', got {mode!r}")
+    proto = mode == "prototypes"
+    quota = max(1, math.ceil(n / k))
+    centroids = kmeans_fit_distributed(
+        ds, dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    ref = ray.put(centroids)
+
+    def candidates(t: pa.Table, _ref=ref) -> pa.Table:
+        cent = ray.get(_ref)
+        if len(t) == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("cluster", pa.int64()), ("sim", pa.float64())]
+            ).empty_table()
+        xn = _norm_rows(list_to_matrix(t.column(vec_col)))
+        scores = np.round(xn @ cent.T, 6)
+        cl = np.argmax(scores, axis=1).astype(np.int64)
+        sim = scores[np.arange(len(cl)), cl]
+        part = pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(cl),
+                "sim": pa.array(sim, pa.float64()),
+            }
+        )
+        return _top_quota_block(part, quota, id_col, proto, with_rank=False)
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    return cand.sort("cluster").map_batches(
+        lambda t: _top_quota_block(t, quota, id_col, proto, with_rank=True),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -129,3 +129,93 @@ def test_semdedup_megacluster_never_enters_prune_exchange(ray_session):
     assert mega["keep"].all()  # kept whole, bypassed the exchange
     assert small["keep"].sum() == 1 and bool(small.loc[100, "keep"])
     assert ctr.snapshot().get("semdedup.skipped_buckets", 0) == 1
+
+
+def test_diversity_sample_balanced_and_deterministic(ray_session):
+    """Three well-separated blobs of unequal size, k=3, budget 6 ->
+    quota 2 per cluster: the sample is cluster-balanced regardless of
+    blob size, picks the most prototypical members, and the
+    distributed result equals a sequential per-cluster fold over the
+    same fit."""
+    import math
+
+    import ray.data as rd
+
+    from commoncrawl_ray.functions.vec import list_to_matrix
+    from commoncrawl_ray.stages.semdedup import (
+        diversity_sample,
+        kmeans_fit_distributed,
+    )
+
+    rs = np.random.RandomState(11)
+    centers = np.array(
+        [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    )
+    sizes = [30, 12, 5]
+    rows, ids = [], []
+    vid = 0
+    for c, s in zip(centers, sizes):
+        for _ in range(s):
+            rows.append(c + rs.normal(scale=0.5, size=3))
+            ids.append(vid)
+            vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in rows]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    out = diversity_sample(ds, dim=3, n=6, k=3, iters=3).take_all()
+    assert len(out) == 6
+    per_cluster: dict[int, list] = {}
+    for r in out:
+        per_cluster.setdefault(r["cluster"], []).append(r)
+    assert sorted(len(v) for v in per_cluster.values()) == [2, 2, 2]
+    for members in per_cluster.values():
+        assert sorted(m["rank"] for m in members) == [1, 2]
+
+    # sequential oracle over the SAME distributed fit
+    cent = kmeans_fit_distributed(ds, dim=3, k=3, iters=3)
+    xn = _norm_rows(np.array(rows))
+    scores = np.round(xn @ cent.T, 6)
+    cl = np.argmax(scores, axis=1)
+    sim = scores[np.arange(len(cl)), cl]
+    quota = math.ceil(6 / 3)
+    expect = set()
+    idarr = np.array(ids)
+    for c in np.unique(cl):
+        m = np.nonzero(cl == c)[0]
+        order = m[np.lexsort((idarr[m], -sim[m]))][:quota]
+        for rank, i in enumerate(order, start=1):
+            expect.add((int(idarr[i]), int(c), round(float(sim[i]), 6), rank))
+    got = {
+        (r["vec_id"], r["cluster"], round(r["sim"], 6), r["rank"]) for r in out
+    }
+    assert got == expect
+
+
+def test_diversity_sample_edges_mode_picks_outliers(ray_session):
+    """mode='edges' ranks the least prototypical first: with one tight
+    blob plus one far outlier assigned to it, the outlier must be
+    rank 1."""
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.semdedup import diversity_sample
+
+    rs = np.random.RandomState(5)
+    rows = [list(map(float, np.array([5.0, 0.0]) + rs.normal(scale=0.05, size=2)))
+            for _ in range(20)]
+    rows.append([5.0, 4.0])  # outlier, still nearest the blob centroid
+    ids = list(range(len(rows)))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(rows),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    out = diversity_sample(ds, dim=2, n=2, k=1, iters=2, mode="edges").take_all()
+    assert len(out) == 2
+    top = min(out, key=lambda r: r["rank"])
+    assert top["vec_id"] == 20
