@@ -2291,3 +2291,40 @@ def oracle_diversity_sample_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+IP_COLOC_ORACLE_PATH = "/tmp/ccray_oracle_ip_coloc.parquet"
+
+
+def oracle_ip_colocation_table(
+    sf_dir: str, path: str = IP_COLOC_ORACLE_PATH
+) -> str:
+    """Sequential IP-colocation census over the same host universe the
+    graph oracles use: the deterministic fingerprint resolver model
+    (state/dns.py _resolve_host: ip = 10.x.x.x from the low 24 bits of
+    fp64(host)), then a plain Counter of hosts per IP."""
+    from collections import Counter
+
+    from ..functions.fingerprint import fp64_batch
+
+    src_key = f"{os.path.abspath(sf_dir)}|ip_coloc"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, _, _ = _sequential_host_edges(sf_dir)
+    fps = fp64_batch(nodes).view(np.uint64)
+    ips = (np.uint64(10 << 24) | (fps & np.uint64(0xFFFFFF))).astype(np.int64)
+    quads = [
+        f"{(v >> 24) & 0xFF}.{(v >> 16) & 0xFF}.{(v >> 8) & 0xFF}.{v & 0xFF}"
+        for v in ips.tolist()
+    ]
+    per_ip = Counter(quads)
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "ip": pa.array(quads, pa.string()),
+            "n_shared": pa.array(
+                np.array([per_ip[q] for q in quads], dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)

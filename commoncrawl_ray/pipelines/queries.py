@@ -1803,6 +1803,49 @@ FROM read_parquet('/tmp/ccray_oracle_kcore.parquet')
 """
 
 
+def q_ip_colocation(sf_dir: str):
+    """IP-colocation census: every host in the crawl's link graph
+    resolved to IPv4 (the deterministic fingerprint resolver model
+    the DNS cache pool serves — state/dns.py), with the number of
+    hosts sharing that IP. Heavy co-hosting is the classic spam-farm
+    aggregation signal (Fetterly, Manasse & Najork 2004).
+
+    Shape: stages/pagerank.py ip_colocation_stats — node-scale only:
+    distinct host table, one vectorized fp64 resolve pass, a
+    groupby(ip) count joined back with ONE merge_join. Hash-checked
+    against a sequential Counter fold over the identical host
+    universe."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_host_edges_batch, ip_colocation_stats
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_ip_colocation_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_ip_colocation_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return ip_colocation_stats(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_IP_COLOCATION = """
+SELECT host, ip, n_shared
+FROM read_parquet('/tmp/ccray_oracle_ip_coloc.parquet')
+"""
+
+
 def q_lpa_communities(sf_dir: str):
     """Host communities via synchronous label propagation
     (stages/components.py label_propagation — Raghavan et al. 2007
@@ -2346,6 +2389,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_freshness_table,
         oracle_diversity_sample_table,
         oracle_host_index_table,
+        oracle_ip_colocation_table,
         oracle_kcore_table,
         oracle_lpa_table,
         oracle_mirror_table,
@@ -2361,6 +2405,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_crawl_trap_table()
     oracle_recip_links_table(sf_dir)
     oracle_kcore_table(sf_dir)
+    oracle_ip_colocation_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_lpa_table(sf_dir)
     oracle_mirror_table()
@@ -9105,6 +9150,7 @@ REGISTRY: dict[str, tuple] = {
     "spam_mass_hosts": (q_spam_mass_hosts, SQL_SPAM_MASS_HOSTS),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
+    "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),

@@ -936,3 +936,72 @@ def k_core_hosts(edge_ds, max_iters: int = 64, parts: int = 8):
         ),
         batch_format="pyarrow",
     )
+
+
+def ip_colocation_stats(edge_ds):
+    """IP-colocation census over the link graph's host universe:
+    every host resolved to its IPv4 (the same deterministic
+    fingerprint resolver model the DNS cache pool serves —
+    state/dns.py _resolve_host; a real deployment resolves live and
+    the shapes below are unchanged), then per host the number of
+    hosts sharing its IP. Many-hosts-one-IP is the classic
+    shared-hosting / spam-farm aggregation signal (Fetterly,
+    Manasse & Najork 2004, "Spam, damn spam, and statistics":
+    heavily co-hosted IPs are dominated by machine-generated spam).
+
+    Shape: node-scale only — distinct host table from the edge set,
+    one vectorized fp64 resolve pass, a groupby(ip) count and ONE
+    merge_join attaching the share-count back. Output (host, ip,
+    n_shared), n_shared >= 1."""
+    from ..functions.fingerprint import fp64_batch
+    from .joins import merge_join
+
+    def nodes_of(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"host": t.column(col)})
+
+        return f
+
+    hosts = _distinct_sorted(
+        edge_ds.map_batches(nodes_of("src"), batch_format="pyarrow").union(
+            edge_ds.map_batches(nodes_of("dst"), batch_format="pyarrow")
+        ),
+        ["host"],
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "ip": pa.array([], pa.string()),
+                }
+            )
+        hs = t.column("host").to_pylist()
+        fps = fp64_batch(hs).view(np.uint64)
+        ips = (np.uint64(10 << 24) | (fps & np.uint64(0xFFFFFF))).astype(np.int64)
+        quads = [
+            f"{(v >> 24) & 0xFF}.{(v >> 16) & 0xFF}.{(v >> 8) & 0xFF}.{v & 0xFF}"
+            for v in ips.tolist()
+        ]
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "ip": pa.array(quads, pa.string()),
+            }
+        )
+
+    resolved = hosts.map_batches(resolve, batch_format="pyarrow").materialize()
+    counts = resolved.groupby("ip").count().map_batches(
+        lambda t: pa.table(
+            {
+                "ip": t.column("ip"),
+                "n_shared": t.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = merge_join(resolved, counts, "ip", "ip", ["n_shared"], how="inner")
+    return out.map_batches(
+        lambda t: t.select(["host", "ip", "n_shared"]), batch_format="pyarrow"
+    )

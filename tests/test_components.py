@@ -538,3 +538,34 @@ def test_kcore_matches_sequential_random(ray_session):
     expect = {names[v]: c for v, c in core.items()}
     rows = {r["host"]: r["core"] for r in k_core_hosts(rd.from_arrow(t)).take_all()}
     assert rows == expect
+
+
+def test_ip_colocation_shared_ip_counts(ray_session):
+    """Hosts resolve via the deterministic fingerprint model; the
+    census must report, for every host, how many hosts share its IP —
+    cross-checked against a sequential Counter over the same set."""
+    from collections import Counter
+
+    from commoncrawl_ray.functions.fingerprint import fp64_batch
+    from commoncrawl_ray.stages.pagerank import ip_colocation_stats
+
+    hosts = [f"site{i}.example" for i in range(40)]
+    # edges: a simple chain so every host appears in the universe
+    t = pa.table(
+        {
+            "src": pa.array(hosts),
+            "dst": pa.array(hosts[1:] + hosts[:1]),
+        }
+    )
+    rows = {r["host"]: r for r in ip_colocation_stats(rd.from_arrow(t)).take_all()}
+    assert set(rows) == set(hosts)
+    fps = fp64_batch(hosts).view(np.uint64)
+    ips = (np.uint64(10 << 24) | (fps & np.uint64(0xFFFFFF))).astype(np.int64)
+    quads = [
+        f"{(v >> 24) & 0xFF}.{(v >> 16) & 0xFF}.{(v >> 8) & 0xFF}.{v & 0xFF}"
+        for v in ips.tolist()
+    ]
+    per_ip = Counter(quads)
+    for h, q in zip(hosts, quads):
+        assert rows[h]["ip"] == q
+        assert rows[h]["n_shared"] == per_ip[q]
