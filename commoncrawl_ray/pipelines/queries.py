@@ -1846,6 +1846,98 @@ FROM read_parquet('/tmp/ccray_oracle_ip_coloc.parquet')
 """
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law fit over the corpus token frequency distribution:
+    least-squares slope of log(frequency) on log(rank) over the top-256
+    tokens — freq ~ rank^(-alpha) with alpha ~ 1 for natural language
+    (Zipf 1949; Piantadosi 2014 review). A corpus whose alpha drifts
+    far from ~1 is a template/boilerplate red flag, so this is a cheap
+    corpus-health gauge for training-data pipelines.
+
+    Shape: per-batch vectorized token-count partials (np.unique over
+    the whitespace split — the pre-shuffle combiner rule), ONE
+    vocab-scale groupby(token) sum, a vocab-scale sort to the top-256
+    (count desc, token asc — deterministic ties), then the regression
+    over 256 rows in a single final block. The only all-to-alls touch
+    vocab-scale rows, never the corpus. REAL SQL oracle: DuckDB
+    regr_slope/regr_intercept over the identically-ranked top-256
+    (both sides round to 6 dp; the regression inputs are exact
+    integer counts and exact ranks, so ulp drift is ~1e-15 against a
+    1e-6 grid)."""
+    import pyarrow.compute as pc
+
+    K = 256
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        flat = flat[flat != ""]
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(u, pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        _pq(sf_dir, "documents", ["text"], min_blocks=8)
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "token": t.column("token"),
+                    "n": t.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(K)
+
+    def fit(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        # re-derive rank in-block (count desc, token asc) rather than
+        # trusting block concatenation order end-to-end
+        n = n[np.lexsort((tok, -n))]
+        r = np.arange(1, len(n) + 1, dtype=np.float64)
+        x, y = np.log(r), np.log(n)
+        xc, yc = x - x.mean(), y - y.mean()
+        slope = float((xc * yc).sum() / (xc * xc).sum())
+        intercept = float(y.mean() - slope * x.mean())
+        return pa.table(
+            {
+                "k": pa.array([len(n)], pa.int64()),
+                "alpha": pa.array([round(-slope, 6)], pa.float64()),
+                "intercept": pa.array([round(intercept, 6)], pa.float64()),
+            }
+        )
+
+    return top.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_ZIPF_FIT = r"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+  FROM cnt ORDER BY n DESC, token LIMIT 256
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       ROUND(-regr_slope(ln(n), ln(r)), 6) AS alpha,
+       ROUND(regr_intercept(ln(n), ln(r)), 6) AS intercept
+FROM top
+"""
+
+
 def q_lpa_communities(sf_dir: str):
     """Host communities via synchronous label propagation
     (stages/components.py label_propagation — Raghavan et al. 2007
@@ -9151,6 +9243,7 @@ REGISTRY: dict[str, tuple] = {
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
     "simhash_docs": (q_simhash_docs, SQL_SIMHASH_DOCS),

@@ -121,3 +121,40 @@ def test_dup_passage_gram_key_modes_agree(ray_session):
         got_hash = _normalize(_to_pandas(fn(SF_DIR)))
         got_str = _normalize(_to_pandas(fn(SF_DIR, gram_key="str")))
         pd.testing.assert_frame_equal(got_hash, got_str)
+
+
+def test_zipf_fit_recovers_planted_exponent(ray_session):
+    """A corpus whose token counts are constructed to follow
+    freq(rank) = C * rank^(-1.2) exactly must fit alpha ~ 1.2."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawl_ray.pipelines.queries import q_zipf_fit
+
+    V, alpha, C = 300, 1.2, 5000.0
+    counts = np.maximum(1, np.round(C * np.arange(1, V + 1) ** (-alpha))).astype(int)
+    words = []
+    for i, c in enumerate(counts):
+        words.extend([f"w{i:04d}"] * int(c))
+    rs = np.random.RandomState(0)
+    rs.shuffle(words)
+    docs, B = [], 500
+    for off in range(0, len(words), B):
+        docs.append(" ".join(words[off:off + B]))
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        row = q_zipf_fit(d).take_all()[0]
+    assert row["k"] == 256
+    assert abs(row["alpha"] - alpha) < 0.05
