@@ -2328,3 +2328,73 @@ def oracle_ip_colocation_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+TOKEN_SHARDS_ORACLE_PATH = "/tmp/ccray_oracle_token_shards.parquet"
+
+
+def oracle_token_shards_table(
+    sf_dir: str, path: str = TOKEN_SHARDS_ORACLE_PATH, n_shards: int = 8
+) -> str:
+    """Sequential token-shard export oracle: sequentially-counted
+    words -> shared merge/vocab/encode kernels -> per-doc uint32 id
+    streams (EOD-terminated), grouped by doc_id % n_shards in doc_id
+    order and packed little-endian — the identical bytes the
+    distributed packer must produce, digest and all."""
+    import hashlib
+
+    from ..stages.bpe import encode_word_ids, learn_bpe, pretokenize, vocab_table
+
+    src_key = f"{os.path.abspath(sf_dir)}|token_shards|{n_shards}"
+    if _is_fresh(path, src_key):
+        return path
+    wc = _bpe_seq_word_counts(sf_dir)
+    merges = learn_bpe(wc, BPE_N_MERGES)
+    vt = vocab_table(wc, merges)
+    vocab_id = dict(
+        zip(vt.column("token").to_pylist(), vt.column("token_id").to_pylist())
+    )
+    ranks = {m: i for i, m in enumerate(merges)}
+    unk_id = len(vocab_id)
+    eod_id = len(vocab_id) + 1
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    order = np.argsort(
+        np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64), kind="mergesort"
+    )
+    doc_ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)[order]
+    texts = [t.column("text").to_pylist()[int(i)] for i in order]
+    memo: dict[str, tuple] = {}
+    per_shard: dict[int, list] = {}
+    n_docs: dict[int, int] = {}
+    for did, txt in zip(doc_ids.tolist(), texts):
+        ids: list[int] = []
+        for w in pretokenize(txt or ""):
+            k = memo.get(w)
+            if k is None:
+                k = tuple(encode_word_ids(w, ranks, vocab_id, unk_id))
+                memo[w] = k
+            ids.extend(k)
+        ids.append(eod_id)
+        s = did % n_shards
+        per_shard.setdefault(s, []).extend(ids)
+        n_docs[s] = n_docs.get(s, 0) + 1
+    rows = {"shard": [], "n_docs": [], "n_tokens": [], "nbytes": [], "digest_hex": []}
+    for s in sorted(per_shard):
+        blob = np.asarray(per_shard[s], dtype="<u4").tobytes()
+        rows["shard"].append(s)
+        rows["n_docs"].append(n_docs[s])
+        rows["n_tokens"].append(len(blob) // 4)
+        rows["nbytes"].append(len(blob))
+        rows["digest_hex"].append(hashlib.md5(blob).hexdigest())
+    out = pa.table(
+        {
+            "shard": pa.array(rows["shard"], pa.int64()),
+            "n_docs": pa.array(rows["n_docs"], pa.int64()),
+            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+            "nbytes": pa.array(rows["nbytes"], pa.int64()),
+            "digest_hex": pa.array(rows["digest_hex"], pa.string()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

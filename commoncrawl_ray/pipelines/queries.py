@@ -2488,6 +2488,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_orphan_table,
         oracle_recip_links_table,
         oracle_robots_audit_table,
+        oracle_token_shards_table,
         oracle_spam_mass_table,
         oracle_trustrank_table,
     )
@@ -2499,6 +2500,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_kcore_table(sf_dir)
     oracle_ip_colocation_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
+    oracle_token_shards_table(sf_dir)
     oracle_lpa_table(sf_dir)
     oracle_mirror_table()
     oracle_cdc_table(sf_dir)
@@ -3646,6 +3648,62 @@ def q_bpe_vocab(sf_dir: str):
 SQL_BPE_VOCAB = f"""
 SELECT token, token_id
 FROM read_parquet('{BPE_VOCAB_ORACLE_PATH}')
+"""
+
+
+def q_token_shard_export(sf_dir: str):
+    """Token-shard binary export — the pipeline's last mile to a
+    training job: BPE-encode the corpus to uint32 id streams
+    (EOD-terminated per doc) and pack them into flat little-endian
+    binary shard files, the Megatron-LM `.bin` layout trainers mmap.
+    Returns per-shard (shard, n_docs, n_tokens, nbytes, digest_hex) —
+    the digest locks the exact shard BYTES against the sequential
+    oracle, so the whole train->encode->pack path is value-checked,
+    not just row counts.
+
+    Shape: stages/bpe.py TokenIdEncodeStage (ranks+vocab ray.put
+    broadcast, per-actor word memo) -> pack_token_shards (ONE
+    sort(shard) exchange carrying the ~4 B/token id stream — text
+    never rides it; atomic tmp+rename writes keep retries
+    idempotent). Shard count scales with the corpus
+    (corpus_tokens/n_shards * 4 B per block); n_shards=8 is the test
+    configuration."""
+    from .oracle_sketch import (
+        BPE_MAX_WORDS,
+        BPE_N_MERGES,
+        oracle_token_shards_table,
+    )
+    from ..stages.bpe import (
+        TokenIdEncodeStage,
+        corpus_word_counts,
+        learn_bpe,
+        pack_token_shards,
+        vocab_table,
+    )
+
+    oracle_token_shards_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8)
+    wc = corpus_word_counts(docs, max_words=BPE_MAX_WORDS)
+    counts = dict(
+        zip(wc.column("word").to_pylist(), wc.column("count").to_pylist())
+    )
+    merges = learn_bpe(counts, BPE_N_MERGES)
+    vt = vocab_table(counts, merges)
+    vocab_id = dict(
+        zip(vt.column("token").to_pylist(), vt.column("token_id").to_pylist())
+    )
+    enc = docs.map_batches(
+        TokenIdEncodeStage,
+        fn_constructor_args=(ray.put(merges), ray.put(vocab_id), 8),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return pack_token_shards(enc, out_dir="/tmp/ccray_token_shards")
+
+
+SQL_TOKEN_SHARD_EXPORT = """
+SELECT shard, n_docs, n_tokens, nbytes, digest_hex
+FROM read_parquet('/tmp/ccray_oracle_token_shards.parquet')
 """
 
 
@@ -9369,5 +9427,6 @@ REGISTRY: dict[str, tuple] = {
     "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
     "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "token_shard_export": (q_token_shard_export, SQL_TOKEN_SHARD_EXPORT),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }

@@ -266,3 +266,141 @@ class BpeEncodeStage:
                 "n_bpe_tokens": pa.array(out, pa.int64()),
             }
         )
+
+
+def encode_word_ids(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    vocab_id: dict[str, int],
+    unk_id: int,
+) -> list[int]:
+    """Shared pure kernel: one word -> BPE token ids via the greedy
+    encode; symbols outside the vocabulary (chars seen only in
+    cap-dropped words) map to ``unk_id``."""
+    return [vocab_id.get(s, unk_id) for s in encode_word(word, ranks)]
+
+
+class TokenIdEncodeStage:
+    """Actor-pool id-encode stage for the token-shard export: merges
+    and vocabulary arrive once per actor via object-store refs; a
+    word -> id-tuple memo exploits the Zipf distribution. Emits
+    (shard, doc_id, ids list<uint32>) — doc text leaves the pipeline
+    here; only the ~4 B/token id stream rides the shard exchange."""
+
+    def __init__(self, merges_ref, vocab_ref, n_shards: int):
+        import ray
+
+        merges = (
+            ray.get(merges_ref) if not isinstance(merges_ref, list) else merges_ref
+        )
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, dict) else vocab_ref
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.vocab_id = vocab
+        self.unk_id = len(vocab)
+        self.eod_id = len(vocab) + 1
+        self.n_shards = n_shards
+        self.memo: dict[str, tuple] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        all_ids, offsets = [], [0]
+        for t in batch.column("text").to_pylist():
+            ids: list[int] = []
+            for w in pretokenize(t or ""):
+                k = self.memo.get(w)
+                if k is None:
+                    k = tuple(
+                        encode_word_ids(w, self.ranks, self.vocab_id, self.unk_id)
+                    )
+                    self.memo[w] = k
+                ids.extend(k)
+            ids.append(self.eod_id)  # Megatron-style end-of-document
+            all_ids.extend(ids)
+            offsets.append(len(all_ids))
+        shards = np.asarray(doc_ids, dtype=np.int64) % self.n_shards
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "ids": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(np.asarray(all_ids, dtype=np.uint32), pa.uint32()),
+                ),
+            }
+        )
+
+
+def pack_token_shards(encoded_ds, out_dir: str):
+    """Pack (shard, doc_id, ids) rows into flat little-endian uint32
+    binary shard files — the Megatron-LM `.bin` layout (one contiguous
+    token stream per shard, docs in doc_id order, EOD-separated) — and
+    return per-shard stats (shard, n_docs, n_tokens, nbytes,
+    digest_hex). Files are written atomically (tmp+rename), so task
+    retries re-produce identical bytes — the idempotent side-write
+    rule. ONE all-to-all: sort(shard) co-partitions each shard into a
+    block (shard count scales with the corpus — size shards so
+    corpus_tokens/n_shards * 4 B fits a block; cardinality is high, so
+    the sort never degenerates to few blocks)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def pack_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [
+                    ("shard", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("nbytes", pa.int64()),
+                    ("digest_hex", pa.string()),
+                ]
+            ).empty_table()
+        sh = t.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_out = {"shard": [], "n_docs": [], "n_tokens": [], "nbytes": [], "digest_hex": []}
+        order = np.lexsort((did, sh))
+        ts = t.take(pa.array(order, pa.int64()))
+        sh_s = sh[order]
+        starts = np.flatnonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])
+        ends = np.r_[starts[1:], len(sh_s)]
+        ids_col = ts.column("ids")
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        if isinstance(ids_col, pa.ChunkedArray):  # older pyarrow keeps the wrapper
+            ids_col = (
+                ids_col.chunk(0) if ids_col.num_chunks else pa.array([], ids_col.type)
+            )
+        flat = ids_col.values.to_numpy(zero_copy_only=False).astype(np.uint32)
+        offs = ids_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        for s, e in zip(starts, ends):
+            blob = flat[offs[s] : offs[e]].astype("<u4").tobytes()
+            shard = int(sh_s[s])
+            path = os.path.join(out_dir, f"shard_{shard:05d}.bin")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            rows_out["shard"].append(shard)
+            rows_out["n_docs"].append(int(e - s))
+            rows_out["n_tokens"].append(len(blob) // 4)
+            rows_out["nbytes"].append(len(blob))
+            rows_out["digest_hex"].append(hashlib.md5(blob).hexdigest())
+        return pa.table(
+            {
+                "shard": pa.array(rows_out["shard"], pa.int64()),
+                "n_docs": pa.array(rows_out["n_docs"], pa.int64()),
+                "n_tokens": pa.array(rows_out["n_tokens"], pa.int64()),
+                "nbytes": pa.array(rows_out["nbytes"], pa.int64()),
+                "digest_hex": pa.array(rows_out["digest_hex"], pa.string()),
+            }
+        )
+
+    return encoded_ds.sort("shard").map_batches(
+        pack_block, batch_format="pyarrow", batch_size=None
+    )

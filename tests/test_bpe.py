@@ -129,3 +129,30 @@ def test_distributed_counts_match_sequential(ray_session):
         zip(wc2.column("word").to_pylist(), wc2.column("count").to_pylist())
     )
     assert got2 == kept
+
+
+def test_token_shard_export_files_match_digests(ray_session):
+    """The packer's stats rows must describe the bytes actually on
+    disk: re-read each shard_NNNNN.bin, check md5/size/token count,
+    and check the id stream decodes back to per-doc EOD-terminated
+    runs (n_docs EOD markers per shard)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from commoncrawl_ray.pipelines.queries import q_token_shard_export
+
+    rows = q_token_shard_export("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 8
+    out_dir = "/tmp/ccray_token_shards"
+    for r in rows:
+        path = os.path.join(out_dir, f"shard_{r['shard']:05d}.bin")
+        blob = open(path, "rb").read()
+        assert len(blob) == r["nbytes"]
+        assert len(blob) // 4 == r["n_tokens"]
+        assert hashlib.md5(blob).hexdigest() == r["digest_hex"]
+        ids = np.frombuffer(blob, dtype="<u4")
+        eod = ids.max()  # eod_id is the largest id by construction
+        assert int((ids == eod).sum()) == r["n_docs"]
+        assert ids[-1] == eod
