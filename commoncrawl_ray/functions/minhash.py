@@ -237,3 +237,42 @@ def char_shingle_jaccard(a: str, b: str, size: int = 4) -> float:
     sa = {a[i : i + size] for i in range(max(0, len(a) - size + 1))}
     sb = {b[i : i + size] for i in range(max(0, len(b) - size + 1))}
     return jaccard(sa, sb)
+
+
+_WINNOW_MIX = 0x100000001B3  # FNV prime as the char-gram polynomial base
+
+
+def winnow_hashes(text: str, k: int = 16, w: int = 8) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every char k-gram of the UTF-8 byte
+    stream, then keep the minimum of each window of w consecutive
+    gram hashes. Guarantee: any substring match of length >= w+k-1
+    chars shares at least one selected fingerprint; density ~= 2/(w+1)
+    of all positions. Returns the DISTINCT selected hashes (uint64) —
+    the set is what pair detection needs; in-window tie positions
+    don't change the value set.
+
+    Vectorized: one (n, k) uint64 window multiply (wrapping mod 2^64;
+    memory 8k bytes/char per batch row — fine for document-sized
+    texts) + one sliding-window min. Shorter-than-k texts fold to one
+    whole-text hash so every non-empty doc fingerprints."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, np.uint64)
+    mix = _WINNOW_MIX
+    if b.size < k:
+        h = _FNV_BASIS
+        for v in b.tolist():
+            h = ((h ^ v) * mix) & 0xFFFFFFFFFFFFFFFF
+        return np.array([h], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = np.array(
+        [pow(mix, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        h = (win * powers).sum(axis=1)
+    if h.size <= w:
+        return np.unique(h.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(mins)

@@ -2398,3 +2398,68 @@ def oracle_token_shards_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+WINNOW_ORACLE_PATH = "/tmp/ccray_oracle_winnow.parquet"
+
+
+def oracle_winnow_table(
+    sf_dir: str,
+    path: str = WINNOW_ORACLE_PATH,
+    k: int = 16,
+    w: int = 8,
+    min_common: int = 3,
+    max_gram_docs: int = 256,
+) -> str:
+    """Sequential winnowing near-dup fold sharing only the pure
+    winnow_hashes kernel: per-doc distinct fingerprint sets, a plain
+    dict posting index with the SAME ultra-frequent-fingerprint cap
+    rule, exact shared-fingerprint counts per pair."""
+    from collections import Counter
+
+    from ..functions.minhash import winnow_hashes
+
+    src_key = f"{os.path.abspath(sf_dir)}|winnow|{k}|{w}|{min_common}|{max_gram_docs}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    postings: dict[int, list[int]] = {}
+    sizes: dict[int, int] = {}
+    for i, txt in zip(ids, texts):
+        g = winnow_hashes(txt or "", k=k, w=w)
+        if g.size == 0:
+            continue
+        sizes[i] = int(g.size)
+        for h in g.view(np.int64).tolist():
+            postings.setdefault(h, []).append(i)
+    pair_counts: Counter = Counter()
+    for h, docs in postings.items():
+        if len(docs) < 2 or len(docs) > max_gram_docs:
+            continue
+        docs = sorted(docs)
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                pair_counts[(docs[x], docs[y])] += 1
+    rows = {"id_a": [], "id_b": [], "n_common": [], "sz_a": [], "sz_b": []}
+    for (a, b), n in sorted(pair_counts.items()):
+        if n < min_common:
+            continue
+        rows["id_a"].append(a)
+        rows["id_b"].append(b)
+        rows["n_common"].append(n)
+        rows["sz_a"].append(sizes[a])
+        rows["sz_b"].append(sizes[b])
+    out = pa.table(
+        {
+            "id_a": pa.array(rows["id_a"], pa.int64()),
+            "id_b": pa.array(rows["id_b"], pa.int64()),
+            "n_common": pa.array(rows["n_common"], pa.int64()),
+            "sz_a": pa.array(rows["sz_a"], pa.int64()),
+            "sz_b": pa.array(rows["sz_b"], pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1184,6 +1184,33 @@ FROM c
 """
 
 
+def q_winnow_neardup(sf_dir: str):
+    """Winnowing fingerprint near-dup pairs (Schleimer et al. 2003 —
+    the MOSS detector; stages/dedup.winnow_neardup_pairs): docs
+    sharing >= 3 winnowed char-16-gram fingerprints (window 8 — any
+    shared verbatim substring of >= 23 chars is guaranteed a shared
+    fingerprint), with exact shared counts and per-doc fingerprint
+    totals for containment scoring. Catches passage-level verbatim
+    overlap whole-doc resemblance detectors dilute away. Hash-checked
+    against a sequential posting-dict fold over the same kernel and
+    cap rule."""
+    from ..stages.dedup import winnow_neardup_pairs
+    from .oracle_sketch import oracle_winnow_table
+
+    oracle_winnow_table(sf_dir)
+    return winnow_neardup_pairs(
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+SQL_WINNOW_NEARDUP = """
+SELECT id_a, id_b, n_common, sz_a, sz_b
+FROM read_parquet('/tmp/ccray_oracle_winnow.parquet')
+"""
+
+
 def q_jaccard_neardup(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs (inverted shingle index;
     stages/dedup.ngram_jaccard_pairs) at threshold 0.8 — integer
@@ -2489,6 +2516,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_recip_links_table,
         oracle_robots_audit_table,
         oracle_token_shards_table,
+        oracle_winnow_table,
         oracle_spam_mass_table,
         oracle_trustrank_table,
     )
@@ -2501,6 +2529,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_ip_colocation_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
+    oracle_winnow_table(sf_dir)
     oracle_lpa_table(sf_dir)
     oracle_mirror_table()
     oracle_cdc_table(sf_dir)
@@ -9405,6 +9434,7 @@ REGISTRY: dict[str, tuple] = {
     "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "curation_report": (q_curation_report, SQL_CURATION_REPORT),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
+    "winnow_neardup": (q_winnow_neardup, SQL_WINNOW_NEARDUP),
     "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -762,3 +762,139 @@ def build_bloom_distributed(ds, col: str, num_elements: int,
         pa.table({"blob": pa.array([r["blob"] for r in blobs], pa.large_binary())})
     )
     return BloomFilter.from_bytes(final.column("blob")[0].as_py())
+
+
+def winnow_neardup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+    min_common: int = 3,
+    max_gram_docs: int | None = 256,
+):
+    """Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS detector): each doc contributes its DISTINCT
+    winnowed char-k-gram hashes (density ~2/(w+1) of positions, with
+    the guarantee that any shared substring of >= w+k-1 chars shares a
+    fingerprint); pairs sharing >= ``min_common`` fingerprints are
+    reported with exact counts. This catches verbatim PASSAGE overlap
+    (quotations, boilerplate, partial copies) that resemblance
+    detectors (MinHash/SimHash — whole-doc similarity) dilute away,
+    at ~2/(w+1) of the exact-substring index cost.
+
+    Shape: identical to ngram_jaccard_pairs — one pass emits
+    (fp, doc_id, n_fps) rows, sort(fp) co-locates posting lists, a
+    block pass emits co-occurring pairs (``max_gram_docs`` caps
+    boilerplate fingerprints with skip counters — no silent
+    quadratics), one hash aggregate counts shared fingerprints.
+    Shuffle volume = selected fingerprints ~= chars * 2/(w+1) * 8 B —
+    int64s only, text never rides the exchange. Output
+    (id_a, id_b, n_common, sz_a, sz_b): sz enables containment
+    (n_common/sz_a), the Broder measure resemblance misses."""
+    from ..functions.minhash import winnow_hashes
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_g, out_id, out_sz = [], [], []
+        for i, t in zip(ids, texts):
+            g = winnow_hashes(t or "", k=k, w=w)
+            if g.size == 0:
+                continue
+            out_g.append(g.view(np.int64))
+            out_id.append(np.full(g.size, i, dtype=np.int64))
+            out_sz.append(np.full(g.size, g.size, dtype=np.int64))
+        if not out_g:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(out_g)),
+                "doc": pa.array(np.concatenate(out_id)),
+                "sz": pa.array(np.concatenate(out_sz)),
+            }
+        )
+
+    def posting_pairs(df: pd.DataFrame) -> pa.Table:
+        a_out, b_out, sa_out, sb_out = [], [], [], []
+        if len(df):
+            df = df.sort_values(["gram", "doc"], kind="mergesort")
+            grams = df["gram"].to_numpy()
+            docs = df["doc"].to_numpy()
+            szs = df["sz"].to_numpy()
+            starts, counts = _group_slices(grams)
+            skipped_b = skipped_r = avoided = 0
+            for s, c in zip(starts[counts > 1], counts[counts > 1]):
+                if max_gram_docs is not None and c > max_gram_docs:
+                    skipped_b += 1
+                    skipped_r += int(c)
+                    avoided += int(c) * (int(c) - 1) // 2
+                    continue
+                gd = docs[s : s + c]
+                gs = szs[s : s + c]
+                iu, ju = np.triu_indices(int(c), k=1)
+                a_out.append(gd[iu])
+                b_out.append(gd[ju])
+                sa_out.append(gs[iu])
+                sb_out.append(gs[ju])
+            if skipped_b:
+                from ..state.counters import count_skip
+
+                count_skip(
+                    "winnow_neardup_pairs",
+                    buckets=skipped_b,
+                    rows=skipped_r,
+                    pairs_avoided=avoided,
+                )
+        if not a_out:
+            return pa.schema(
+                [
+                    ("id_a", pa.int64()),
+                    ("id_b", pa.int64()),
+                    ("sz_a", pa.int64()),
+                    ("sz_b", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out)),
+                "id_b": pa.array(np.concatenate(b_out)),
+                "sz_a": pa.array(np.concatenate(sa_out)),
+                "sz_b": pa.array(np.concatenate(sb_out)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    co = (
+        ds.map_batches(fp_rows, batch_format="pyarrow", batch_size=512)
+        .sort("gram")
+        .map_batches(arrow_out(posting_pairs), batch_format="pandas", batch_size=None)
+        .groupby(["id_a", "id_b"])
+        .aggregate(
+            Count(alias_name="n_common"),
+            Min("sz_a", alias_name="sz_a"),  # constant per doc: pure pick-one
+            Min("sz_b", alias_name="sz_b"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_common").to_numpy()
+        keep = nc >= min_common
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "n_common": pa.array(nc[keep].astype(np.int64)),
+                "sz_a": batch.column("sz_a").filter(pa.array(keep)).cast(pa.int64()),
+                "sz_b": batch.column("sz_b").filter(pa.array(keep)).cast(pa.int64()),
+            }
+        )
+
+    return co.map_batches(finalize, batch_format="pyarrow")

@@ -760,3 +760,68 @@ def test_build_bloom_distributed_matches_sequential(ray_session):
     seq.add_batch(keys)
     assert dist.to_bytes() == seq.to_bytes()
     assert dist.maybe_present_batch(keys).all()
+
+
+def test_winnow_guarantee_shared_substring():
+    """Winnowing's core guarantee: two texts sharing a verbatim
+    substring of >= w+k-1 chars share at least one selected
+    fingerprint; unrelated random texts share none."""
+    import numpy as np
+
+    from commoncrawl_ray.functions.minhash import winnow_hashes
+
+    k, w = 16, 8
+    common = "the quick brown fox jumped over the lazy dog tonight"  # 53 chars
+    a = "AAAA xyzzy " + common + " plugh BBBB"
+    b = "completely different lead-in text: " + common + " and a different tail"
+    fa = set(winnow_hashes(a, k=k, w=w).tolist())
+    fb = set(winnow_hashes(b, k=k, w=w).tolist())
+    assert fa & fb, "shared >= w+k-1 substring must share a fingerprint"
+
+    rs = np.random.RandomState(0)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    r1 = "".join(rs.choice(alpha, 400))
+    r2 = "".join(rs.choice(alpha, 400))
+    f1 = set(winnow_hashes(r1, k=k, w=w).tolist())
+    f2 = set(winnow_hashes(r2, k=k, w=w).tolist())
+    assert not (f1 & f2)
+    # density: ~2/(w+1) of positions, never more than all windows
+    assert 0 < len(f1) <= 400 - k + 1
+    assert len(f1) < 2 * (400 / (w + 1))
+
+
+def test_winnow_neardup_pairs_finds_planted_overlap(ray_session):
+    """Docs with a planted long verbatim passage pair up; unrelated
+    docs don't. Distributed output == sequential posting fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.functions.minhash import winnow_hashes
+    from commoncrawl_ray.stages.dedup import winnow_neardup_pairs
+
+    rs = np.random.RandomState(7)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    passage = "".join(rs.choice(alpha, 200))
+    docs = {
+        0: "intro " + passage + " outro",
+        1: "different framing here " + passage + " closing words",
+        2: "".join(rs.choice(alpha, 300)),
+        3: "".join(rs.choice(alpha, 300)),
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    out = winnow_neardup_pairs(
+        rd.from_arrow(t).repartition(2), min_common=3
+    ).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["n_common"] for r in out}
+    assert set(pairs) == {(0, 1)}
+    f0 = set(winnow_hashes(docs[0]).tolist())
+    f1 = set(winnow_hashes(docs[1]).tolist())
+    assert pairs[(0, 1)] == len(f0 & f1)
+    row = next(r for r in out)
+    assert row["sz_a"] == len(f0) and row["sz_b"] == len(f1)
