@@ -1184,6 +1184,97 @@ FROM c
 """
 
 
+def q_lang_temperature_sampling(sf_dir: str):
+    """Temperature-based language sampling weights — the multilingual
+    mixture knob (Conneau et al. 2020 XLM-R / Xue et al. 2021 mT5:
+    sample language l with p_l ~ (n_l / N)^alpha, alpha=0.3): per
+    language, doc and token mass, the raw share, the temperature-
+    flattened sampling share, and the resulting up/down-sampling
+    factor low-resource languages get.
+
+    Shape: one in-batch token-count pass (Arrow RE2 kernel) with
+    per-(batch,lang) pre-aggregation, ONE lang-scale groupby; the
+    weight arithmetic is a fixed double chain over exact integer
+    masses, rounded to 6 dp. REAL SQL oracle (DuckDB POWER + window
+    sums over the identical integer masses)."""
+    import pyarrow.compute as pc
+
+    ALPHA = 0.3
+
+    def partials(t: pa.Table) -> pa.Table:
+        n_words = pc.count_substring_regex(t.column("text"), pattern=r"\S+")
+        df_ = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pylist(),
+                "n_words": n_words.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df_.groupby("lang", sort=True).agg(
+            n_docs=("n_words", "size"), n_tokens=("n_words", "sum")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g.index.tolist(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        _pq(sf_dir, "documents", ["lang", "text"], min_blocks=8)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_docs", "n_tokens"])
+    )
+
+    def weights(t: pa.Table) -> pa.Table:
+        nd = t.column("sum(n_docs)").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = t.column("sum(n_tokens)").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = float(nt.sum())
+        p_raw = nt.astype(np.float64) / total
+        p_pow = p_raw**ALPHA
+        p_alpha = p_pow / p_pow.sum()
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "p_raw": pa.array(np.round(p_raw, 6), pa.float64()),
+                "p_alpha": pa.array(np.round(p_alpha, 6), pa.float64()),
+                "boost": pa.array(np.round(p_alpha / p_raw, 6), pa.float64()),
+            }
+        )
+
+    # lang-scale (a handful of rows): one block computes the shares
+    return agg.repartition(1).map_batches(
+        weights, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_LANG_TEMPERATURE_SAMPLING = r"""
+WITH m2 AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(array_length(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+), shares AS (
+  SELECT lang, n_docs, n_tokens,
+         n_tokens / SUM(n_tokens) OVER () AS praw
+  FROM m2
+), flat AS (
+  SELECT *, POWER(praw, 0.3) / SUM(POWER(praw, 0.3)) OVER () AS palpha
+  FROM shares
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(praw, 6) AS p_raw,
+       ROUND(palpha, 6) AS p_alpha,
+       ROUND(palpha / praw, 6) AS boost
+FROM flat
+"""
+
+
 def q_winnow_neardup(sf_dir: str):
     """Winnowing fingerprint near-dup pairs (Schleimer et al. 2003 —
     the MOSS detector; stages/dedup.winnow_neardup_pairs): docs
@@ -9435,6 +9526,10 @@ REGISTRY: dict[str, tuple] = {
     "curation_report": (q_curation_report, SQL_CURATION_REPORT),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "winnow_neardup": (q_winnow_neardup, SQL_WINNOW_NEARDUP),
+    "lang_temperature_sampling": (
+        q_lang_temperature_sampling,
+        SQL_LANG_TEMPERATURE_SAMPLING,
+    ),
     "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
