@@ -389,3 +389,24 @@ class KLLSketch:
         if not sk.levels:
             sk.levels, sk.parity = [np.empty(0, dtype=np.float64)], [0]
         return sk
+
+
+def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate over an (n, m) uint8 register matrix —
+    the HyperLogLog.estimate formula vectorized across rows (same
+    alpha, same linear-counting switch), shared by the HyperBall
+    stage and its sequential oracle so both sides walk identical
+    float trajectories."""
+    regs = np.asarray(regs, dtype=np.uint8)
+    if regs.ndim == 1:
+        regs = regs[None, :]
+    m = float(regs.shape[1])
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(
+        np.float64(2.0) ** -regs.astype(np.float64), axis=1
+    )
+    zeros = np.count_nonzero(regs == 0, axis=1)
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(m / np.maximum(zeros, 1))
+    use_lc = (est <= 2.5 * m) & (zeros > 0)
+    return np.where(use_lc, lc, est)

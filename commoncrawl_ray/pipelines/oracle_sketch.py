@@ -2463,3 +2463,77 @@ def oracle_winnow_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+HYPERBALL_ORACLE_PATH = "/tmp/ccray_oracle_hyperball.parquet"
+
+
+def oracle_hyperball_table(
+    sf_dir: str,
+    path: str = HYPERBALL_ORACLE_PATH,
+    p: int = 8,
+    max_rounds: int = 32,
+) -> str:
+    """Sequential HyperBall (Boldi & Vigna 2013) over the same host
+    edge set, sharing only the pure kernels (fnv1a node hashing,
+    splitmix64 register insert, hll_estimate_rows): a dense (V, 2^p)
+    uint8 register matrix, per round an elementwise-max fold of each
+    node's in-neighbors' registers, per-node harmonic accumulation
+    inc/t with the >= 0 clamp, until the register sum fixes. The
+    register merge is order-free max and the estimate/accumulate
+    arithmetic is the identical numpy expression, so the distributed
+    loop walks bit-identical floats."""
+    from ..functions.minhash import fnv1a_batch
+    from ..functions.sketches import hll_estimate_rows, splitmix64
+
+    src_key = f"{os.path.abspath(sf_dir)}|hyperball|{p}|{max_rounds}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    m = 1 << p
+    V = len(nodes)
+    ids = fnv1a_batch(pa.array(nodes, pa.string())).view(np.int64)
+    # distinct directed non-self edges in node-index space
+    pairs = sorted({(int(s), int(d)) for s, d in zip(src_i, dst_i) if s != d})
+    src = np.array([a for a, _ in pairs], dtype=np.int64)
+    dst = np.array([b for _, b in pairs], dtype=np.int64)
+    regs = np.zeros((V, m), dtype=np.uint8)
+    h = splitmix64(ids)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) & np.uint64((1 << 64) - 1)
+    from ..functions.sketches import _clz64
+
+    rank = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+    regs[np.arange(V), idx] = rank
+    prev = hll_estimate_rows(regs)
+    harm = np.zeros(V, dtype=np.float64)
+    prev_total = int(regs.astype(np.int64).sum())
+    for t_round in range(1, max_rounds + 1):
+        new = regs.copy()
+        # fold every in-edge (u -> v): new[v] = max(new[v], regs[u])
+        order = np.argsort(dst, kind="mergesort")
+        d_s, s_s = dst[order], src[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        ends = np.r_[starts[1:], len(d_s)]
+        for a, b in zip(starts, ends):
+            v = d_s[a]
+            new[v] = np.maximum(
+                np.maximum.reduce(regs[s_s[a:b]], axis=0), new[v]
+            )
+        regs = new
+        est = hll_estimate_rows(regs)
+        inc = np.maximum(est - prev, 0.0)
+        harm = harm + inc / float(t_round)
+        prev = est
+        cur_total = int(regs.astype(np.int64).sum())
+        if cur_total == prev_total:
+            break
+        prev_total = cur_total
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "harmonic": pa.array(np.round(harm, 6), pa.float64()),
+            "reach_in": pa.array(np.round(prev, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1921,6 +1921,50 @@ FROM read_parquet('/tmp/ccray_oracle_kcore.parquet')
 """
 
 
+def q_hyperball_harmonic(sf_dir: str):
+    """HyperBall harmonic centrality over the crawl's host graph
+    (Boldi & Vigna 2013 — the algorithm that ranked the full
+    hundred-billion-node web graph): per host, the harmonic
+    centrality estimated by iterated HLL ball counters, plus the
+    final in-ball size (hosts that can reach it).
+
+    Shape: stages/pagerank.py hyperball_harmonic — int64 hash wire,
+    one edge-scale register ship + sort(node) max-fold + node-scale
+    accumulator join per round, integer-monotone register sum as the
+    fixpoint test. Hash-checked against a sequential dense-matrix
+    HyperBall sharing only the pure hash/estimate kernels (identical
+    float trajectories by construction)."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_host_edges_batch, hyperball_harmonic
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_hyperball_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_hyperball_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return hyperball_harmonic(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_HYPERBALL_HARMONIC = """
+SELECT host, harmonic, reach_in
+FROM read_parquet('/tmp/ccray_oracle_hyperball.parquet')
+"""
+
+
 def q_ip_colocation(sf_dir: str):
     """IP-colocation census: every host in the crawl's link graph
     resolved to IPv4 (the deterministic fingerprint resolver model
@@ -2599,6 +2643,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_freshness_table,
         oracle_diversity_sample_table,
         oracle_host_index_table,
+        oracle_hyperball_table,
         oracle_ip_colocation_table,
         oracle_kcore_table,
         oracle_lpa_table,
@@ -2618,6 +2663,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_recip_links_table(sf_dir)
     oracle_kcore_table(sf_dir)
     oracle_ip_colocation_table(sf_dir)
+    oracle_hyperball_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -9421,6 +9467,7 @@ REGISTRY: dict[str, tuple] = {
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
+    "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -922,6 +922,10 @@ def k_core_hosts(edge_ds, max_iters: int = 64, parts: int = 8):
                 ),
                 batch_format="pyarrow",
             )
+            # clamp the loop-carried block count (the hyperball rule:
+            # union/sort grows blocks every round; node-scale rows in
+            # ever-more tiny blocks turn task overhead superlinear)
+            .repartition(parts)
             .materialize()
         )
         cur_sum = core.sum("core")
@@ -1004,4 +1008,279 @@ def ip_colocation_stats(edge_ds):
     out = merge_join(resolved, counts, "ip", "ip", ["n_shared"], how="inner")
     return out.map_batches(
         lambda t: t.select(["host", "ip", "n_shared"]), batch_format="pyarrow"
+    )
+
+
+def hyperball_harmonic(edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8):
+    """HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall: A Hundred
+    Billion Nodes and Beyond"): per host, harmonic centrality
+    H(v) = sum over u != v of 1/d(u, v) estimated by iterating HLL
+    counters — B_t(v) = B_{t-1}(v) merged with B_{t-1}(u) for every
+    in-edge (u, v); the per-round estimate increment approximates the
+    number of nodes at distance exactly t, contributing inc/t. Also
+    returns the final ball size (nodes that can REACH v).
+
+    Scale shape (the pagerank/LPA loop discipline): int64 FNV-1a hash
+    wire; the distinct directed edge table is built ONCE and
+    materialized. Per round: ONE edge-scale merge_join ships each
+    node's 2^p-byte register blob along its out-edges, a sort(node)
+    co-partitioned block pass folds them with np.maximum.reduceat
+    (elementwise-max register merge — associative, order-free), and
+    one node-scale merge_join re-attaches the running harmonic
+    accumulator. Register sums are integer and monotone
+    non-decreasing, so an unchanged dataset sum IS convergence (the
+    k-core argument, flipped to max). Wire cost: edges x 2^p bytes
+    per round — HyperBall's own cost model (p=8 -> 256 B, rse ~6.5%).
+    Estimates use the shared hll_estimate_rows kernel; per-round
+    increments clamp at >= 0 (the HyperANF monotonicity fix for the
+    linear-counting/raw estimator switch). Deterministic end-to-end:
+    splitmix64 node hashing, order-free register folds, per-node
+    float accumulation in round order — the sequential oracle walks
+    identical floats."""
+    import ray.data as rd
+
+    from ..functions.minhash import fnv1a_batch
+    from ..functions.sketches import HyperLogLog, hll_estimate_rows, splitmix64
+    from .joins import merge_join
+
+    m = 1 << p
+
+    def hash_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(si),
+                "v": pa.array(di),
+                "u_host": s,
+                "v_host": d,
+            }
+        )
+
+    hashed = edge_ds.map_batches(hash_edges, batch_format="pyarrow")
+    edges = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+            ),
+            ["u", "v"],
+        )
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("u"), t.column("v"))),
+            batch_format="pyarrow",
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    id_host = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: pa.table(
+                    {
+                        "id": pa.array(
+                            np.concatenate(
+                                [
+                                    t.column("u").to_numpy(zero_copy_only=False),
+                                    t.column("v").to_numpy(zero_copy_only=False),
+                                ]
+                            )
+                        ),
+                        "host": pa.concat_arrays(
+                            [
+                                t.column("u_host").combine_chunks()
+                                if isinstance(t.column("u_host"), pa.ChunkedArray)
+                                else t.column("u_host"),
+                                t.column("v_host").combine_chunks()
+                                if isinstance(t.column("v_host"), pa.ChunkedArray)
+                                else t.column("v_host"),
+                            ]
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["id"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+
+    def init_state(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for i in ids.tolist():
+            h = HyperLogLog(p=p).add_hashes(
+                splitmix64(np.array([i], dtype=np.int64))
+            )
+            blobs.append(h.registers.tobytes())
+        est = hll_estimate_rows(
+            np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, m)
+        ) if blobs else np.empty(0)
+        return pa.table(
+            {
+                "node": pa.array(ids),
+                "regs": pa.array(blobs, pa.binary()),
+                "harm": pa.array(np.zeros(len(ids)), pa.float64()),
+                "prev": pa.array(est, pa.float64()),
+            }
+        )
+
+    state = (
+        id_host.map_batches(
+            lambda t: pa.table({"id": t.column("id")}), batch_format="pyarrow"
+        )
+        .map_batches(init_state, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def reg_sum(t: pa.Table) -> pa.Table:
+        blobs = t.column("regs").to_pylist()
+        tot = (
+            int(
+                np.frombuffer(b"".join(blobs), dtype=np.uint8)
+                .astype(np.int64)
+                .sum()
+            )
+            if blobs
+            else 0
+        )
+        return pa.table({"s": pa.array([tot], pa.int64())})
+
+    def total_regs(st) -> int:
+        return st.map_batches(reg_sum, batch_format="pyarrow").sum("s")
+
+    def fold_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("node", pa.int64()), ("regs", pa.binary())]
+            ).empty_table()
+        nodes = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t.column("regs").to_pylist()
+        mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, m)
+        order = np.argsort(nodes, kind="mergesort")
+        nodes_s, mat_s = nodes[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, nodes_s[1:] != nodes_s[:-1]])
+        merged = np.maximum.reduceat(mat_s, starts, axis=0)
+        return pa.table(
+            {
+                "node": pa.array(nodes_s[starts]),
+                "regs": pa.array(
+                    [merged[i].tobytes() for i in range(len(starts))], pa.binary()
+                ),
+            }
+        )
+
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("CCRAY_HYPERBALL_DEBUG"))
+    prev_total = total_regs(state)
+    for t_round in range(1, max_rounds + 1):
+        _t0 = _time.time()
+        shipped = merge_join(
+            edges,
+            state.map_batches(
+                lambda t: t.select(["node", "regs"]), batch_format="pyarrow"
+            ),
+            "u",
+            "node",
+            ["regs"],
+            how="inner",
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("v"), "regs": t.column("regs")}),
+            batch_format="pyarrow",
+        )
+        own = state.map_batches(
+            lambda t: t.select(["node", "regs"]), batch_format="pyarrow"
+        )
+        new_regs = (
+            own.union(shipped)
+            .sort("node")
+            .map_batches(fold_block, batch_format="pyarrow", batch_size=None)
+        )
+        joined = merge_join(
+            new_regs,
+            state.map_batches(
+                lambda t: t.select(["node", "harm", "prev"]),
+                batch_format="pyarrow",
+            ),
+            "node",
+            "node",
+            ["harm", "prev"],
+            how="inner",
+        )
+
+        def advance(t: pa.Table, _t=t_round) -> pa.Table:
+            if len(t) == 0:
+                return pa.schema(
+                    [
+                        ("node", pa.int64()),
+                        ("regs", pa.binary()),
+                        ("harm", pa.float64()),
+                        ("prev", pa.float64()),
+                    ]
+                ).empty_table()
+            blobs = t.column("regs").to_pylist()
+            mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, m)
+            est = hll_estimate_rows(mat)
+            prev = t.column("prev").to_numpy(zero_copy_only=False)
+            harm = t.column("harm").to_numpy(zero_copy_only=False)
+            inc = np.maximum(est - prev, 0.0)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "regs": t.column("regs"),
+                    "harm": pa.array(harm + inc / float(_t), pa.float64()),
+                    "prev": pa.array(est, pa.float64()),
+                }
+            )
+
+        _t1 = _time.time()
+        # repartition clamps the loop-carried block count: the round's
+        # join/union/sort pipeline multiplies blocks (~3x/round), and
+        # node-scale rows spread over thousands of tiny blocks turn
+        # per-block task overhead into quadratic round times
+        state = (
+            joined.map_batches(advance, batch_format="pyarrow")
+            .repartition(parts)
+            .materialize()
+        )
+        _t2 = _time.time()
+        cur_total = total_regs(state)
+        if _dbg:
+            print(
+                f"[hyperball] round {t_round}: {_time.time() - _t0:.1f}s "
+                f"(mat {_t2 - _t1:.1f}s, regsum {_time.time() - _t2:.1f}s, "
+                f"nblocks {state.num_blocks()}) reg_sum {cur_total}",
+                flush=True,
+            )
+        if cur_total == prev_total:
+            break
+        prev_total = cur_total
+
+    out = merge_join(state, id_host, "node", "id", ["host"], how="inner")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("host"),
+                "harmonic": pa.array(
+                    np.round(
+                        t.column("harm").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+                "reach_in": pa.array(
+                    np.round(
+                        t.column("prev").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )

@@ -569,3 +569,61 @@ def test_ip_colocation_shared_ip_counts(ray_session):
     for h, q in zip(hosts, quads):
         assert rows[h]["ip"] == q
         assert rows[h]["n_shared"] == per_ip[q]
+
+
+def test_hyperball_matches_exact_bfs_on_path(ray_session):
+    """Small directed path a->b->c->d: with p=8 (256 registers) and
+    only 4 nodes, linear counting is exact, so the HLL 'estimates'
+    equal the true ball sizes and harmonic centrality equals the
+    exact sum of 1/d over in-paths: harm(d)=1/1+1/2+1/3, etc."""
+    from commoncrawl_ray.stages.pagerank import hyperball_harmonic
+
+    t = pa.table(
+        {
+            "src": pa.array(["a.com", "b.com", "c.com"]),
+            "dst": pa.array(["b.com", "c.com", "d.com"]),
+        }
+    )
+    rows = {
+        r["host"]: r
+        for r in hyperball_harmonic(rd.from_arrow(t), p=8).take_all()
+    }
+    expect_harm = {
+        "a.com": 0.0,
+        "b.com": 1.0,
+        "c.com": 1.0 + 0.5,
+        "d.com": 1.0 + 0.5 + 1.0 / 3.0,
+    }
+    expect_reach = {"a.com": 1, "b.com": 2, "c.com": 3, "d.com": 4}
+    # linear counting is near-exact at this density but not an exact
+    # identity (est of 1 item = m*ln(m/(m-1)) ~ 1.002); 2% tolerance
+    assert rows["a.com"]["harmonic"] == 0.0
+    for h, e in expect_harm.items():
+        if e > 0:
+            assert abs(rows[h]["harmonic"] - e) / e < 0.02, (h, rows[h])
+    for h, e in expect_reach.items():
+        assert abs(rows[h]["reach_in"] - e) / e < 0.02, (h, rows[h])
+
+
+def test_hyperball_estimates_reach_on_star(ray_session):
+    """200 leaves all pointing at one hub: reach_in(hub) ~ 201 within
+    HLL p=8 error (~6.5% rse); every leaf has reach_in ~ 1 and
+    harmonic 0... the hub's harmonic ~ 200 (all at distance 1)."""
+    from commoncrawl_ray.stages.pagerank import hyperball_harmonic
+
+    leaves = [f"l{i}.net" for i in range(200)]
+    t = pa.table(
+        {
+            "src": pa.array(leaves),
+            "dst": pa.array(["hub.net"] * len(leaves)),
+        }
+    )
+    rows = {
+        r["host"]: r
+        for r in hyperball_harmonic(rd.from_arrow(t), p=8).take_all()
+    }
+    hub = rows["hub.net"]
+    assert abs(hub["reach_in"] - 201) / 201 < 0.2
+    assert abs(hub["harmonic"] - 200) / 200 < 0.2
+    for l in leaves[:5]:
+        assert rows[l]["harmonic"] == 0.0
