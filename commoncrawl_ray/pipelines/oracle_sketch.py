@@ -2537,3 +2537,73 @@ def oracle_hyperball_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+HYPERANF_ORACLE_PATH = "/tmp/ccray_oracle_hyperanf.parquet"
+
+
+def oracle_hyperanf_table(
+    sf_dir: str,
+    path: str = HYPERANF_ORACLE_PATH,
+    p: int = 8,
+    max_rounds: int = 32,
+) -> str:
+    """Sequential HyperANF neighborhood function over the same host
+    edge set: the oracle_hyperball loop, collecting after init and
+    after every round the exact integer-unit global sum
+    rint(est * 1e6) — the identical order-free quantity the
+    distributed loop collects, so (t, nreach, frac) match bit-for-bit."""
+    from ..functions.minhash import fnv1a_batch
+    from ..functions.sketches import _clz64, hll_estimate_rows, splitmix64
+
+    src_key = f"{os.path.abspath(sf_dir)}|hyperanf|{p}|{max_rounds}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    m = 1 << p
+    V = len(nodes)
+    ids = fnv1a_batch(pa.array(nodes, pa.string())).view(np.int64)
+    pairs = sorted({(int(s), int(d)) for s, d in zip(src_i, dst_i) if s != d})
+    src = np.array([a for a, _ in pairs], dtype=np.int64)
+    dst = np.array([b for _, b in pairs], dtype=np.int64)
+    regs = np.zeros((V, m), dtype=np.uint8)
+    h = splitmix64(ids)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) & np.uint64((1 << 64) - 1)
+    rank = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+    regs[np.arange(V), idx] = rank
+
+    def units(r):
+        return int(np.rint(hll_estimate_rows(r) * 1e6).astype(np.int64).sum())
+
+    collected = [(0, units(regs))]
+    prev_total = int(regs.astype(np.int64).sum())
+    for t_round in range(1, max_rounds + 1):
+        new = regs.copy()
+        order = np.argsort(dst, kind="mergesort")
+        d_s, s_s = dst[order], src[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        ends = np.r_[starts[1:], len(d_s)]
+        for a, b in zip(starts, ends):
+            v = d_s[a]
+            new[v] = np.maximum(np.maximum.reduce(regs[s_s[a:b]], axis=0), new[v])
+        regs = new
+        collected.append((t_round, units(regs)))
+        cur_total = int(regs.astype(np.int64).sum())
+        if cur_total == prev_total:
+            break
+        prev_total = cur_total
+    final = collected[-1][1] if collected else 0
+    out = pa.table(
+        {
+            "t": pa.array([t for t, _ in collected], pa.int64()),
+            "nreach": pa.array(
+                [round(u / 1e6, 6) for _, u in collected], pa.float64()
+            ),
+            "frac": pa.array(
+                [round(u / final, 6) if final else 0.0 for _, u in collected],
+                pa.float64(),
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)

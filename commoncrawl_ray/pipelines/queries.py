@@ -2100,6 +2100,51 @@ FROM read_parquet('/tmp/ccray_oracle_hyperball.parquet')
 """
 
 
+def q_distance_distribution(sf_dir: str):
+    """HyperANF distance distribution of the host graph (Boldi, Rosa
+    & Vigna 2011): per BFS radius t, the estimated number of (u, v)
+    pairs within distance t and its fraction of the final reachable
+    count — the effective diameter is the first t with frac >= 0.9.
+
+    Shape: the hyperball_harmonic loop with per-round global sums
+    collected in exact rint(est*1e6) integer units (order-free, so
+    the sequential dense-matrix oracle reproduces every row
+    bit-for-bit). One edge-scale exchange per round, output is
+    rounds-scale (a handful of rows)."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import (
+        extract_host_edges_batch,
+        hyperanf_distance_distribution,
+    )
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_hyperanf_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_hyperanf_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return hyperanf_distance_distribution(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_DISTANCE_DISTRIBUTION = """
+SELECT t, nreach, frac
+FROM read_parquet('/tmp/ccray_oracle_hyperanf.parquet')
+"""
+
+
 def q_ip_colocation(sf_dir: str):
     """IP-colocation census: every host in the crawl's link graph
     resolved to IPv4 (the deterministic fingerprint resolver model
@@ -2778,6 +2823,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_freshness_table,
         oracle_diversity_sample_table,
         oracle_host_index_table,
+        oracle_hyperanf_table,
         oracle_hyperball_table,
         oracle_ip_colocation_table,
         oracle_kcore_table,
@@ -2799,6 +2845,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_kcore_table(sf_dir)
     oracle_ip_colocation_table(sf_dir)
     oracle_hyperball_table(sf_dir)
+    oracle_hyperanf_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -9604,6 +9651,7 @@ REGISTRY: dict[str, tuple] = {
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    "distance_distribution": (q_distance_distribution, SQL_DISTANCE_DISTRIBUTION),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -1011,7 +1011,13 @@ def ip_colocation_stats(edge_ds):
     )
 
 
-def hyperball_harmonic(edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8):
+def hyperball_harmonic(
+    edge_ds,
+    p: int = 8,
+    max_rounds: int = 32,
+    parts: int = 8,
+    round_units: list | None = None,
+):
     """HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
     Computation of Geometric Centralities with HyperBall: A Hundred
     Billion Nodes and Beyond"): per host, harmonic centrality
@@ -1037,7 +1043,14 @@ def hyperball_harmonic(edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8
     linear-counting/raw estimator switch). Deterministic end-to-end:
     splitmix64 node hashing, order-free register folds, per-node
     float accumulation in round order — the sequential oracle walks
-    identical floats."""
+    identical floats.
+
+    ``round_units``: pass a list to ALSO collect the HyperANF
+    neighborhood function — after init and after every round it
+    appends (t, sum over nodes of rint(est * 1e6) as int) — exact
+    integer units, so the sum is order-free and the distance
+    distribution is oracle-checkable (hyperanf_distance_distribution
+    builds on this)."""
     import ray.data as rd
 
     from ..functions.minhash import fnv1a_batch
@@ -1154,6 +1167,19 @@ def hyperball_harmonic(edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8
     def total_regs(st) -> int:
         return st.map_batches(reg_sum, batch_format="pyarrow").sum("s")
 
+    def units_row(t: pa.Table) -> pa.Table:
+        est = t.column("prev").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(
+                    [int(np.rint(est * 1e6).astype(np.int64).sum())], pa.int64()
+                )
+            }
+        )
+
+    def units_sum(st) -> int:
+        return int(st.map_batches(units_row, batch_format="pyarrow").sum("s"))
+
     def fold_block(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.schema(
@@ -1179,6 +1205,8 @@ def hyperball_harmonic(edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8
     import time as _time
 
     _dbg = bool(_os.environ.get("CCRAY_HYPERBALL_DEBUG"))
+    if round_units is not None:
+        round_units.append((0, units_sum(state)))
     prev_total = total_regs(state)
     for t_round in range(1, max_rounds + 1):
         _t0 = _time.time()
@@ -1252,6 +1280,8 @@ def hyperball_harmonic(edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8
         )
         _t2 = _time.time()
         cur_total = total_regs(state)
+        if round_units is not None:
+            round_units.append((t_round, units_sum(state)))
         if _dbg:
             print(
                 f"[hyperball] round {t_round}: {_time.time() - _t0:.1f}s "
@@ -1283,4 +1313,45 @@ def hyperball_harmonic(edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def hyperanf_distance_distribution(
+    edge_ds, p: int = 8, max_rounds: int = 32, parts: int = 8
+):
+    """HyperANF distance distribution (Boldi, Rosa & Vigna 2011,
+    "HyperANF: Approximating the Neighbourhood Function of Very Large
+    Graphs on a Budget"): the neighborhood function N(t) = number of
+    (u, v) pairs with d(u, v) <= t (self-pairs included), per round of
+    the HyperBall iteration, as a fraction of the final reachable
+    count. The effective diameter is the first t with frac >= 0.9 —
+    directly derivable from the output rows.
+
+    Built ON the hyperball_harmonic loop (same wire, same exchanges):
+    the per-round global sum is collected in exact rint(est * 1e6)
+    integer units, so it is order-free and the sequential oracle
+    reproduces it bit-for-bit. Output rows: (t, nreach, frac), one per
+    executed round including round 0."""
+    import ray.data as rd
+
+    units: list[tuple[int, int]] = []
+    # the loop runs eagerly (each round materializes); the returned
+    # dataset itself is not needed, only the collected sums
+    hyperball_harmonic(
+        edge_ds, p=p, max_rounds=max_rounds, parts=parts, round_units=units
+    )
+    final = units[-1][1] if units else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "t": pa.array([t for t, _ in units], pa.int64()),
+                "nreach": pa.array(
+                    [round(u / 1e6, 6) for _, u in units], pa.float64()
+                ),
+                "frac": pa.array(
+                    [round(u / final, 6) if final else 0.0 for _, u in units],
+                    pa.float64(),
+                ),
+            }
+        )
     )

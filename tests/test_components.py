@@ -692,3 +692,29 @@ def test_degree_assortativity_sign(ray_session):
         }
     )
     assert assort(ring) == 0.0
+
+
+def test_distance_distribution_path_graph(ray_session):
+    """Directed 4-path: N(0)=4 self-pairs, N(1)=4+3, N(2)=4+3+2,
+    N(3)=4+3+2+1=10 — with p=8 linear counting is near-exact, so the
+    per-round fractions are within 2% of the exact neighborhood
+    function, monotone, and end at 1.0."""
+    from commoncrawl_ray.stages.pagerank import hyperanf_distance_distribution
+
+    t = pa.table(
+        {
+            "src": pa.array(["a.com", "b.com", "c.com"]),
+            "dst": pa.array(["b.com", "c.com", "d.com"]),
+        }
+    )
+    rows = sorted(
+        hyperanf_distance_distribution(rd.from_arrow(t), p=8).take_all(),
+        key=lambda r: r["t"],
+    )
+    exact = {0: 4, 1: 7, 2: 9, 3: 10}
+    for r in rows:
+        if r["t"] in exact:
+            assert abs(r["nreach"] - exact[r["t"]]) / exact[r["t"]] < 0.02, r
+    assert rows[-1]["frac"] == 1.0
+    fr = [r["frac"] for r in rows]
+    assert fr == sorted(fr)
