@@ -1921,6 +1921,68 @@ FROM read_parquet('/tmp/ccray_oracle_kcore.parquet')
 """
 
 
+def q_clustering_coefficients(sf_dir: str):
+    """Per-host local clustering coefficient (Watts & Strogatz 1998)
+    over the crawl's link graph viewed undirected: connected
+    neighbor-pair fraction — dense link cliques score near 1, the
+    hub-periphery web near 0. Shape:
+    stages/pagerank.clustering_coefficients (per-apex wedge emission
+    with the max-degree cap, ONE semi merge_join closure, node-scale
+    degree join). REAL SQL oracle: DuckDB self-joins over the shared
+    host-edges parquet computing the identical tri/deg integers and
+    the same fixed double expression."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import clustering_coefficients, extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_edges_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_edges_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return clustering_coefficients(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_CLUSTERING_COEFFICIENTS = """
+WITH raw AS (
+  SELECT DISTINCT src AS s, dst AS d
+  FROM read_parquet('/tmp/ccray_oracle_host_edges.parquet')
+  WHERE src <> dst
+), und AS (
+  SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw
+), adj AS (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+), deg AS (
+  SELECT a AS host, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY a
+), tri AS (
+  SELECT x.a AS host, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM adj x
+  JOIN adj y ON x.a = y.a AND x.b < y.b
+  JOIN und e ON e.u = x.b AND e.v = y.b
+  GROUP BY x.a
+)
+SELECT deg.host, deg.deg,
+       COALESCE(tri.n_tri, 0) AS n_tri,
+       ROUND(CASE WHEN deg.deg >= 2
+                  THEN 2.0 * COALESCE(tri.n_tri, 0) / (deg.deg * (deg.deg - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN tri ON deg.host = tri.host
+"""
+
+
 def q_degree_assortativity(sf_dir: str):
     """Degree assortativity of the host link graph (Newman 2002,
     "Assortative mixing in networks"): Pearson correlation of
@@ -9652,6 +9714,10 @@ REGISTRY: dict[str, tuple] = {
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "distance_distribution": (q_distance_distribution, SQL_DISTANCE_DISTRIBUTION),
+    "clustering_coefficients": (
+        q_clustering_coefficients,
+        SQL_CLUSTERING_COEFFICIENTS,
+    ),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -1355,3 +1355,146 @@ def hyperanf_distance_distribution(
             }
         )
     )
+
+
+def clustering_coefficients(edge_ds, max_degree: int | None = 4096):
+    """Per-host local clustering coefficient (Watts & Strogatz 1998)
+    over the undirected distinct non-self edge set: C(v) =
+    2 * tri(v) / (deg(v) * (deg(v) - 1)), where tri(v) counts
+    CONNECTED neighbor pairs of v. High-C dense neighborhoods flag
+    link cliques; the hub-periphery web sits near 0.
+
+    Shape (the triangle_count discipline, per-apex variant): ONE
+    distinct canonical edge build; a sort(apex) block pass emits each
+    node's neighbor-pair wedges (apexes wider than ``max_degree`` are
+    skipped and counted — wedge volume is sum(deg^2)); ONE semi
+    merge_join closes wedges against the edge set; survivors count per
+    apex (every triangle counts once at EACH of its three vertices —
+    exactly tri(v)); degrees are one node-scale groupby over both
+    directions; a final left merge_join computes the coefficient in a
+    fixed double expression, 6 dp. Wedge keys are the same bounded
+    "b|c" strings the triangle op uses (hash-at-scale note there)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..state.counters import count_skip
+    from .joins import merge_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table(
+            {"u": pa.array(lo, pa.string()), "v": pa.array(hi, pa.string())}
+        )
+
+    edges = _distinct_sorted(
+        edge_ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t.column("u")
+        v = t.column("v")
+        u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        return pa.table(
+            {
+                "a": pa.concat_arrays([u, v]),
+                "b": pa.concat_arrays([v, u]),
+            }
+        )
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def wedges_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("apex", pa.string()), ("key", pa.string())]
+            ).empty_table()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        apexes: list[str] = []
+        keys: list[str] = []
+        skipped = 0
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            if max_degree is not None and k > max_degree:
+                skipped += 1
+                continue
+            nb = b[s:e]  # sorted by the lexsort secondary key
+            ii, jj = np.triu_indices(k, 1)
+            apexes.extend([a[s]] * len(ii))
+            keys.extend(x + "|" + y for x, y in zip(nb[ii], nb[jj]))
+        if skipped:
+            count_skip("clustering_coeff", buckets=skipped)
+        return pa.table(
+            {
+                "apex": pa.array(apexes, pa.string()),
+                "key": pa.array(keys, pa.string()),
+            }
+        )
+
+    wedges = adj.sort("a").map_batches(
+        wedges_block, batch_format="pyarrow", batch_size=None
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pc.binary_join_element_wise(t.column("u"), t.column("v"), "|")}
+        )
+
+    closed = merge_join(
+        wedges,
+        edges.map_batches(edge_keys, batch_format="pyarrow"),
+        left_on="key",
+        right_on="key",
+        right_cols=[],
+        how="semi",
+    )
+    tri = closed.groupby("apex").count().map_batches(
+        lambda t: pa.table(
+            {
+                "h": t.column("apex"),
+                "n_tri": t.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    deg = adj.groupby("a").count().map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("a"),
+                "deg": t.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = merge_join(deg, tri, "host", "h", ["n_tri"], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.nan_to_num(
+            t.column("n_tri").to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+        denom = d * (d - 1)
+        c = np.where(d >= 2, 2.0 * nt / np.maximum(denom, 1), 0.0)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "deg": pa.array(d, pa.int64()),
+                "n_tri": pa.array(nt, pa.int64()),
+                "clustering": pa.array(np.round(c, 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

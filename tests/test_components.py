@@ -718,3 +718,33 @@ def test_distance_distribution_path_graph(ray_session):
     assert rows[-1]["frac"] == 1.0
     fr = [r["frac"] for r in rows]
     assert fr == sorted(fr)
+
+
+def test_clustering_coefficients_known_graph(ray_session):
+    """K4 plus a pendant: clique members have C=1 except the one
+    carrying the pendant (extra unconnected neighbor), the pendant
+    itself has deg 1 -> C=0; direction/duplicates must not matter."""
+    from commoncrawl_ray.stages.pagerank import clustering_coefficients
+
+    k4 = ["c1.com", "c2.com", "c3.com", "c4.com"]
+    edges = [(u, v) for i, u in enumerate(k4) for v in k4[i + 1 :]]
+    edges += [("p.com", "c1.com"), ("c1.com", "c2.com"), ("c3.com", "c3.com")]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    rows = {
+        r["host"]: r
+        for r in clustering_coefficients(rd.from_arrow(t)).take_all()
+    }
+    assert rows["p.com"]["deg"] == 1 and rows["p.com"]["clustering"] == 0.0
+    # c1: neighbors c2,c3,c4,p -> 3 connected pairs of 6 -> 0.5
+    assert rows["c1.com"]["deg"] == 4
+    assert rows["c1.com"]["n_tri"] == 3
+    assert rows["c1.com"]["clustering"] == 0.5
+    for h in ("c2.com", "c3.com", "c4.com"):
+        assert rows[h]["deg"] == 3
+        assert rows[h]["n_tri"] == 3
+        assert rows[h]["clustering"] == 1.0
