@@ -2607,3 +2607,56 @@ def oracle_hyperanf_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+WINNOW_DUP_FRAC_ORACLE_PATH = "/tmp/ccray_oracle_winnow_dupfrac.parquet"
+
+
+def oracle_winnow_dup_frac_table(
+    sf_dir: str,
+    path: str = WINNOW_DUP_FRAC_ORACLE_PATH,
+    k: int = 16,
+    w: int = 8,
+) -> str:
+    """Sequential soft-dedup fold sharing only the winnow_hashes
+    kernel: per-doc distinct fingerprint sets, a global Counter of
+    docs per fingerprint, then per doc the shared count and
+    fraction."""
+    from collections import Counter
+
+    from ..functions.minhash import winnow_hashes
+
+    src_key = f"{os.path.abspath(sf_dir)}|winnow_dupfrac|{k}|{w}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    fps: dict[int, np.ndarray] = {}
+    occ: Counter = Counter()
+    for i, txt in zip(ids, texts):
+        g = winnow_hashes(txt or "", k=k, w=w)
+        if g.size == 0:
+            continue
+        fps[i] = g.view(np.int64)
+        occ.update(fps[i].tolist())
+    rows = {"doc_id": [], "n_fps": [], "n_shared": [], "dup_frac": []}
+    for i in sorted(fps):
+        g = fps[i]
+        n = int(g.size)
+        s = int(sum(1 for h in g.tolist() if occ[h] >= 2))
+        rows["doc_id"].append(i)
+        rows["n_fps"].append(n)
+        rows["n_shared"].append(s)
+        rows["dup_frac"].append(round(s / max(n, 1), 6))
+    out = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_fps": pa.array(rows["n_fps"], pa.int64()),
+            "n_shared": pa.array(rows["n_shared"], pa.int64()),
+            "dup_frac": pa.array(rows["dup_frac"], pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

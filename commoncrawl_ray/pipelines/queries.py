@@ -1302,6 +1302,30 @@ FROM read_parquet('/tmp/ccray_oracle_winnow.parquet')
 """
 
 
+def q_winnow_dup_fraction(sf_dir: str):
+    """Soft-dedup duplication score per document: the fraction of its
+    winnowed fingerprints shared with at least one other doc — the
+    graded weight-instead-of-drop alternative to hard dedup
+    (SlimPajama-style duplication-ratio reporting). Shape:
+    stages/dedup.winnow_dup_fractions — ONE sort(fp) co-partition
+    where the posting count and the shared-mark happen in the same
+    block pass, then a doc-scale groupby. Hash-checked against a
+    sequential Counter fold over the same kernel."""
+    from ..stages.dedup import winnow_dup_fractions
+    from .oracle_sketch import oracle_winnow_dup_frac_table
+
+    oracle_winnow_dup_frac_table(sf_dir)
+    return winnow_dup_fractions(
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32)
+    )
+
+
+SQL_WINNOW_DUP_FRACTION = """
+SELECT doc_id, n_fps, n_shared, dup_frac
+FROM read_parquet('/tmp/ccray_oracle_winnow_dupfrac.parquet')
+"""
+
+
 def q_jaccard_neardup(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs (inverted shingle index;
     stages/dedup.ngram_jaccard_pairs) at threshold 0.8 — integer
@@ -2895,6 +2919,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_recip_links_table,
         oracle_robots_audit_table,
         oracle_token_shards_table,
+        oracle_winnow_dup_frac_table,
         oracle_winnow_table,
         oracle_spam_mass_table,
         oracle_trustrank_table,
@@ -2911,6 +2936,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
+    oracle_winnow_dup_frac_table(sf_dir)
     oracle_lpa_table(sf_dir)
     oracle_mirror_table()
     oracle_cdc_table(sf_dir)
@@ -9823,6 +9849,7 @@ REGISTRY: dict[str, tuple] = {
     "curation_report": (q_curation_report, SQL_CURATION_REPORT),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
     "winnow_neardup": (q_winnow_neardup, SQL_WINNOW_NEARDUP),
+    "winnow_dup_fraction": (q_winnow_dup_fraction, SQL_WINNOW_DUP_FRACTION),
     "lang_temperature_sampling": (
         q_lang_temperature_sampling,
         SQL_LANG_TEMPERATURE_SAMPLING,

@@ -898,3 +898,102 @@ def winnow_neardup_pairs(
         )
 
     return co.map_batches(finalize, batch_format="pyarrow")
+
+
+def winnow_dup_fractions(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+):
+    """Soft-dedup duplication score per document: the fraction of a
+    doc's winnowed fingerprints (winnow_neardup_pairs' selection) that
+    occur in at least one OTHER document — a graded duplication signal
+    for weighting instead of dropping (the soft-dedup alternative to
+    hard removal, cf. SlimPajama's duplication-ratio reporting): 0 =
+    fully unique text, ~1 = wholly boilerplate/copied.
+
+    Shape: one pass emits per-doc DISTINCT (fp, doc) rows; ONE
+    sort(fp) co-partition marks each row shared iff its fingerprint's
+    posting has >= 2 docs (equal keys co-locate — no second exchange,
+    the count and the mark happen in the same block pass); one
+    doc-scale groupby sums (n_fps, n_shared). Output
+    (doc_id, n_fps, n_shared, dup_frac[6dp]) for every doc with >= 1
+    fingerprint. Int64-only wire."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.minhash import winnow_hashes
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_g, out_id = [], []
+        for i, t in zip(ids, texts):
+            g = winnow_hashes(t or "", k=k, w=w)
+            if g.size == 0:
+                continue
+            out_g.append(g.view(np.int64))
+            out_id.append(np.full(g.size, i, dtype=np.int64))
+        if not out_g:
+            return pa.table(
+                {
+                    "fp": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(out_g)),
+                "doc": pa.array(np.concatenate(out_id)),
+            }
+        )
+
+    def mark_shared(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "shared": pa.array([], pa.int64()),
+                }
+            )
+        fp = t.column("fp").to_numpy(zero_copy_only=False)
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        order = np.argsort(fp, kind="mergesort")
+        fp_s = fp[order]
+        starts = np.flatnonzero(np.r_[True, fp_s[1:] != fp_s[:-1]])
+        counts = np.diff(np.r_[starts, len(fp_s)])
+        shared_sorted = np.repeat(counts >= 2, counts)
+        shared = np.empty(len(fp), dtype=np.int64)
+        shared[order] = shared_sorted.astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(doc, pa.int64()),
+                "shared": pa.array(shared, pa.int64()),
+            }
+        )
+
+    marked = (
+        ds.map_batches(fp_rows, batch_format="pyarrow", batch_size=512)
+        .sort("fp")
+        .map_batches(mark_shared, batch_format="pyarrow", batch_size=None)
+    )
+    agg = marked.groupby("doc").aggregate(
+        Count(alias_name="n_fps"), Sum("shared", alias_name="n_shared")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_fps").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("n_shared").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc"),
+                "n_fps": pa.array(n, pa.int64()),
+                "n_shared": pa.array(s, pa.int64()),
+                "dup_frac": pa.array(
+                    np.round(s / np.maximum(n, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -825,3 +825,32 @@ def test_winnow_neardup_pairs_finds_planted_overlap(ray_session):
     assert pairs[(0, 1)] == len(f0 & f1)
     row = next(r for r in out)
     assert row["sz_a"] == len(f0) and row["sz_b"] == len(f1)
+
+
+def test_winnow_dup_fraction_planted(ray_session):
+    """A doc that is an exact copy scores dup_frac 1.0; a unique
+    random doc scores 0.0; a half-copied doc lands in between."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.dedup import winnow_dup_fractions
+
+    rs = np.random.RandomState(3)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    orig = "".join(rs.choice(alpha, 400))
+    unique = "".join(rs.choice(alpha, 400))
+    half = orig[:200] + "".join(rs.choice(alpha, 200))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([orig, orig, unique, half], pa.string()),
+        }
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in winnow_dup_fractions(rd.from_arrow(t).repartition(2)).take_all()
+    }
+    assert rows[0]["dup_frac"] == 1.0 and rows[1]["dup_frac"] == 1.0
+    assert rows[2]["dup_frac"] == 0.0
+    assert 0.2 < rows[3]["dup_frac"] < 0.8
