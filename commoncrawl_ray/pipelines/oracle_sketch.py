@@ -2660,3 +2660,58 @@ def oracle_winnow_dup_frac_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+BOWTIE_ORACLE_PATH = "/tmp/ccray_oracle_bowtie.parquet"
+
+
+def oracle_bowtie_table(sf_dir: str, path: str = BOWTIE_ORACLE_PATH) -> str:
+    """Sequential pivot-based bow-tie decomposition over the same
+    host edge set: max-(in+out)-degree pivot (host-string tiebreak),
+    two plain BFS reachability sets, SCC/IN/OUT/OTHER labels."""
+    from collections import deque
+
+    src_key = f"{os.path.abspath(sf_dir)}|bowtie"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    pairs = sorted({(int(s), int(d)) for s, d in zip(src_i, dst_i) if s != d})
+    fwd: dict[int, list[int]] = {}
+    bwd: dict[int, list[int]] = {}
+    deg: dict[int, int] = {}
+    for s, d in pairs:
+        fwd.setdefault(s, []).append(d)
+        bwd.setdefault(d, []).append(s)
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    pivot = min(deg, key=lambda v: (-deg[v], nodes[v]))
+
+    def bfs(adj):
+        seen = {pivot}
+        q = deque([pivot])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        return seen
+
+    F, B = bfs(fwd), bfs(bwd)
+    labs = []
+    for i in range(len(nodes)):
+        if i in F and i in B:
+            labs.append("SCC")
+        elif i in F:
+            labs.append("OUT")
+        elif i in B:
+            labs.append("IN")
+        else:
+            labs.append("OTHER")
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "bowtie": pa.array(labs, pa.string()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

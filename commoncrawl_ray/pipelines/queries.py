@@ -1945,6 +1945,46 @@ FROM read_parquet('/tmp/ccray_oracle_kcore.parquet')
 """
 
 
+def q_bowtie_decomposition(sf_dir: str):
+    """Bow-tie decomposition of the crawl's host graph (Broder et al.
+    2000): every host labeled SCC / IN / OUT / OTHER relative to the
+    hub pivot's strongly connected component — the classic web-census
+    macrostructure. Shape: stages/pagerank.bowtie_decomposition (two
+    reachability fixpoints on the int64 hash wire, one edge-scale
+    semi merge_join per round, monotone reached-count fixpoint).
+    Hash-checked against a sequential BFS oracle with the identical
+    pivot rule."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import bowtie_decomposition, extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_bowtie_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_bowtie_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return bowtie_decomposition(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_BOWTIE_DECOMPOSITION = """
+SELECT host, bowtie
+FROM read_parquet('/tmp/ccray_oracle_bowtie.parquet')
+"""
+
+
 def q_clustering_coefficients(sf_dir: str):
     """Per-host local clustering coefficient (Watts & Strogatz 1998)
     over the crawl's link graph viewed undirected: connected
@@ -2904,6 +2944,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # round-5 additions (every read_parquet-backed oracle must appear
     # here so oracle_sql() resolves no matter which side runs first)
     from .oracle_sketch import (
+        oracle_bowtie_table,
         oracle_cdc_table,
         oracle_crawl_trap_table,
         oracle_freshness_table,
@@ -2933,6 +2974,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_ip_colocation_table(sf_dir)
     oracle_hyperball_table(sf_dir)
     oracle_hyperanf_table(sf_dir)
+    oracle_bowtie_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -9744,6 +9786,7 @@ REGISTRY: dict[str, tuple] = {
         q_clustering_coefficients,
         SQL_CLUSTERING_COEFFICIENTS,
     ),
+    "bowtie_decomposition": (q_bowtie_decomposition, SQL_BOWTIE_DECOMPOSITION),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -1498,3 +1498,190 @@ def clustering_coefficients(edge_ds, max_degree: int | None = 4096):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def bowtie_decomposition(edge_ds, max_rounds: int = 64, parts: int = 8):
+    """Bow-tie decomposition of the directed host graph (Broder et
+    al. 2000, "Graph structure in the Web"): pick the hub pivot
+    (max in+out degree, ties to the lexicographically smallest
+    host), compute its forward set F and backward set B by two
+    reachability fixpoints, and label every host SCC (F and B — the
+    pivot's strongly connected component), OUT (F only), IN (B
+    only), or OTHER (tendrils/tubes/disconnected relative to the
+    pivot component) — the pivot-based decomposition the paper's
+    web-census popularized.
+
+    Shape: the k-core loop discipline — int64 hash wire, distinct
+    directed edge table built once; each reachability round is ONE
+    edge-scale merge_join (semi: which edges leave the reached set)
+    + a node-scale distinct-union, block-clamped and materialized,
+    with the monotone reached-count as the fixpoint test. Labels are
+    two node-scale semi/anti merge_joins. Host strings return only
+    in the final translation join."""
+    import ray.data as rd
+
+    from ..functions.minhash import fnv1a_batch
+    from .joins import merge_join
+
+    def hash_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        return pa.table(
+            {"u": pa.array(si), "v": pa.array(di), "u_host": s, "v_host": d}
+        )
+
+    hashed = edge_ds.map_batches(hash_edges, batch_format="pyarrow")
+    edges = (
+        _distinct_sorted(
+            hashed.map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
+            ["u", "v"],
+        )
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("u"), t.column("v"))),
+            batch_format="pyarrow",
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    rev = edges.map_batches(
+        lambda t: pa.table({"u": t.column("v"), "v": t.column("u")}),
+        batch_format="pyarrow",
+    ).materialize()
+    id_host = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: pa.table(
+                    {
+                        "id": pa.array(
+                            np.concatenate(
+                                [
+                                    t.column("u").to_numpy(zero_copy_only=False),
+                                    t.column("v").to_numpy(zero_copy_only=False),
+                                ]
+                            )
+                        ),
+                        "host": pa.concat_arrays(
+                            [
+                                t.column("u_host").combine_chunks()
+                                if isinstance(t.column("u_host"), pa.ChunkedArray)
+                                else t.column("u_host"),
+                                t.column("v_host").combine_chunks()
+                                if isinstance(t.column("v_host"), pa.ChunkedArray)
+                                else t.column("v_host"),
+                            ]
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["id"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+
+    # pivot: max total degree over the distinct edge set, host tiebreak
+    def deg_rows(ds_, col):
+        return ds_.groupby(col).count().map_batches(
+            lambda t, _c=col: pa.table(
+                {
+                    "id": t.column(_c),
+                    "deg": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    total_deg = (
+        deg_rows(edges, "u")
+        .union(deg_rows(edges, "v"))
+        .groupby("id")
+        .sum("deg")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t.column("id"),
+                    "deg": t.column("sum(deg)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    top = (
+        merge_join(total_deg, id_host, "id", "id", ["host"], how="inner")
+        .sort(["deg", "host"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    if not top:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "bowtie": pa.array([], pa.string()),
+                }
+            )
+        )
+    pivot = int(top[0]["id"])
+
+    def reach(adj) -> "rd.Dataset":
+        reached = rd.from_arrow(
+            pa.table({"node": pa.array([pivot], pa.int64())})
+        ).materialize()
+        prev_n = 1
+        for _ in range(max_rounds):
+            new = merge_join(adj, reached, "u", "node", [], how="semi").map_batches(
+                lambda t: pa.table({"node": t.column("v")}), batch_format="pyarrow"
+            )
+            reached = (
+                _distinct_sorted(reached.union(new), ["node"])
+                .repartition(parts)
+                .materialize()
+            )
+            n = reached.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        return reached
+
+    F = reach(edges)
+    B = reach(rev)
+    in_f = merge_join(id_host, F, "id", "node", [], how="semi")
+    labeled_f = in_f.map_batches(
+        lambda t: pa.table({"id": t.column("id"), "f": pa.array(np.ones(len(t), dtype=np.int64))}),
+        batch_format="pyarrow",
+    )
+    in_b = merge_join(id_host, B, "id", "node", [], how="semi")
+    labeled_b = in_b.map_batches(
+        lambda t: pa.table({"id": t.column("id"), "b": pa.array(np.ones(len(t), dtype=np.int64))}),
+        batch_format="pyarrow",
+    )
+    both = merge_join(
+        merge_join(id_host, labeled_f, "id", "id", ["f"], how="left"),
+        labeled_b,
+        "id",
+        "id",
+        ["b"],
+        how="left",
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        f = np.nan_to_num(
+            t.column("f").to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        ).astype(bool)
+        b = np.nan_to_num(
+            t.column("b").to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        ).astype(bool)
+        lab = np.where(f & b, "SCC", np.where(f, "OUT", np.where(b, "IN", "OTHER")))
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "bowtie": pa.array(lab.tolist(), pa.string()),
+            }
+        )
+
+    return both.map_batches(label, batch_format="pyarrow")

@@ -748,3 +748,33 @@ def test_clustering_coefficients_known_graph(ray_session):
         assert rows[h]["deg"] == 3
         assert rows[h]["n_tri"] == 3
         assert rows[h]["clustering"] == 1.0
+
+
+def test_bowtie_decomposition_known_graph(ray_session):
+    """Textbook bow-tie: a 3-cycle core (s1->s2->s3->s1), an IN node
+    feeding it, an OUT node fed by it, and a disconnected island.
+    The pivot (max in+out degree) lands in the cycle, so labels are
+    exact."""
+    from commoncrawl_ray.stages.pagerank import bowtie_decomposition
+
+    edges = [
+        ("s1.com", "s2.com"), ("s2.com", "s3.com"), ("s3.com", "s1.com"),
+        ("in.com", "s1.com"),
+        ("s2.com", "out.com"),
+        ("isl1.com", "isl2.com"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    rows = {
+        r["host"]: r["bowtie"]
+        for r in bowtie_decomposition(rd.from_arrow(t)).take_all()
+    }
+    assert rows == {
+        "s1.com": "SCC", "s2.com": "SCC", "s3.com": "SCC",
+        "in.com": "IN", "out.com": "OUT",
+        "isl1.com": "OTHER", "isl2.com": "OTHER",
+    }
