@@ -2715,3 +2715,52 @@ def oracle_bowtie_table(sf_dir: str, path: str = BOWTIE_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+SEED_DISTANCE_ORACLE_PATH = "/tmp/ccray_oracle_seed_distance.parquet"
+
+
+def oracle_seed_distance_table(
+    sf_dir: str, path: str = SEED_DISTANCE_ORACLE_PATH
+) -> str:
+    """Sequential multi-source BFS from the crawl seed hosts over the
+    same host edge set: dist 0 at seeds present in the graph, -1 for
+    unreachable hosts."""
+    from collections import deque
+
+    from ..sources.synth import get_universe, sf_from_dir
+    from ..stages.pagerank import _host_of
+
+    src_key = f"{os.path.abspath(sf_dir)}|seed_distance"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    seed_hosts = sorted(
+        {h for h in (_host_of(u) for u in get_universe(sf).seed_urls()) if h}
+    )
+    idx = {h: i for i, h in enumerate(nodes)}
+    fwd: dict[int, list[int]] = {}
+    for s, d in zip(src_i, dst_i):
+        if s != d:
+            fwd.setdefault(int(s), []).append(int(d))
+    dist = [-1] * len(nodes)
+    q = deque()
+    for h in seed_hosts:
+        i = idx.get(h)
+        if i is not None and dist[i] < 0:
+            dist[i] = 0
+            q.append(i)
+    while q:
+        x = q.popleft()
+        for y in fwd.get(x, ()):
+            if dist[y] < 0:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "dist": pa.array(dist, pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -1985,6 +1985,60 @@ FROM read_parquet('/tmp/ccray_oracle_bowtie.parquet')
 """
 
 
+def q_seed_distance(sf_dir: str):
+    """Crawl-depth census: minimum link-hop distance from the crawl's
+    seed host list to every host in the link graph (0 = seed, -1 =
+    unreachable from any seed) — the frontier-depth curve that tells
+    a crawl operator how many BFS rounds unlock how much of the web.
+    Shape: stages/pagerank.seed_distance_hosts (layered multi-source
+    BFS on the int64 hash wire: per layer ONE edge-scale semi
+    merge_join + node-scale anti vs the reached set; empty frontier is
+    the exact fixpoint). Hash-checked against a sequential BFS oracle
+    from the identical seed list."""
+    import os
+
+    from ..sources.synth import (
+        get_universe,
+        pages_cache_dir,
+        sf_from_dir,
+        write_pages_parquet_ray,
+    )
+    from ..stages.pagerank import (
+        _host_of,
+        extract_host_edges_batch,
+        seed_distance_hosts,
+    )
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_seed_distance_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_seed_distance_table(sf_dir)
+    seed_hosts = sorted(
+        {h for h in (_host_of(u) for u in get_universe(sf).seed_urls()) if h}
+    )
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return seed_distance_hosts(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        seed_hosts,
+    )
+
+
+SQL_SEED_DISTANCE = """
+SELECT host, dist
+FROM read_parquet('/tmp/ccray_oracle_seed_distance.parquet')
+"""
+
+
 def q_clustering_coefficients(sf_dir: str):
     """Per-host local clustering coefficient (Watts & Strogatz 1998)
     over the crawl's link graph viewed undirected: connected
@@ -2946,6 +3000,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from .oracle_sketch import (
         oracle_bowtie_table,
         oracle_cdc_table,
+        oracle_seed_distance_table,
         oracle_crawl_trap_table,
         oracle_freshness_table,
         oracle_diversity_sample_table,
@@ -2975,6 +3030,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_hyperball_table(sf_dir)
     oracle_hyperanf_table(sf_dir)
     oracle_bowtie_table(sf_dir)
+    oracle_seed_distance_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -9787,6 +9843,7 @@ REGISTRY: dict[str, tuple] = {
         SQL_CLUSTERING_COEFFICIENTS,
     ),
     "bowtie_decomposition": (q_bowtie_decomposition, SQL_BOWTIE_DECOMPOSITION),
+    "seed_distance": (q_seed_distance, SQL_SEED_DISTANCE),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

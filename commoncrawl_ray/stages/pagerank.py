@@ -1685,3 +1685,156 @@ def bowtie_decomposition(edge_ds, max_rounds: int = 64, parts: int = 8):
         )
 
     return both.map_batches(label, batch_format="pyarrow")
+
+
+def seed_distance_hosts(edge_ds, seed_hosts: list, max_rounds: int = 64, parts: int = 8):
+    """Multi-source BFS hop distance from the crawl's seed hosts over
+    the directed host graph — the crawl-depth census: dist(v) = the
+    minimum number of link hops a frontier starting at the seed list
+    needs to reach host v (0 for seeds themselves, -1 for hosts no
+    crawl from those seeds can ever reach). The classic frontier-depth
+    curve (how much of the web each additional crawl round unlocks)
+    reads straight off ``GROUP BY dist``.
+
+    Shape: the bow-tie reach() discipline specialised to layered BFS —
+    int64 FNV-1a hash wire, distinct edge table built once and
+    materialized; each layer is ONE edge-scale semi merge_join (edges
+    leaving the current frontier) + a node-scale distinct + ONE
+    node-scale anti merge_join against the reached set, so a layer
+    ships edges touching the frontier, never the whole reached
+    history. The frontier count hitting zero is the exact fixpoint.
+    Host strings ride only the final translation join."""
+    import ray.data as rd
+
+    from ..functions.minhash import fnv1a_batch
+    from .joins import merge_join
+
+    def hash_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        return pa.table(
+            {"u": pa.array(si), "v": pa.array(di), "u_host": s, "v_host": d}
+        )
+
+    hashed = edge_ds.map_batches(hash_edges, batch_format="pyarrow")
+    edges = (
+        _distinct_sorted(
+            hashed.map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
+            ["u", "v"],
+        )
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("u"), t.column("v"))),
+            batch_format="pyarrow",
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    id_host = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: pa.table(
+                    {
+                        "id": pa.array(
+                            np.concatenate(
+                                [
+                                    t.column("u").to_numpy(zero_copy_only=False),
+                                    t.column("v").to_numpy(zero_copy_only=False),
+                                ]
+                            )
+                        ),
+                        "host": pa.concat_arrays(
+                            [
+                                t.column("u_host").combine_chunks()
+                                if isinstance(t.column("u_host"), pa.ChunkedArray)
+                                else t.column("u_host"),
+                                t.column("v_host").combine_chunks()
+                                if isinstance(t.column("v_host"), pa.ChunkedArray)
+                                else t.column("v_host"),
+                            ]
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["id"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+
+    # seed ids present in the graph (dead seed hosts have no edges)
+    seed_arr = pa.array(sorted(set(seed_hosts)), pa.string())
+    seed_ids = np.unique(fnv1a_batch(seed_arr).view(np.int64))
+    seeds_ds = rd.from_arrow(pa.table({"node": pa.array(seed_ids, pa.int64())}))
+    frontier = (
+        merge_join(seeds_ds, id_host, "node", "id", [], how="semi")
+        .materialize()
+    )
+    if frontier.count() == 0:
+        # no seed host exists in the graph: everything is unreachable
+        return id_host.map_batches(
+            lambda t: pa.table(
+                {
+                    "host": t.column("host"),
+                    "dist": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    reached = frontier.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "dist": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for d in range(1, max_rounds + 1):
+        cand = _distinct_sorted(
+            merge_join(edges, frontier, "u", "node", [], how="semi").map_batches(
+                lambda t: pa.table({"node": t.column("v")}), batch_format="pyarrow"
+            ),
+            ["node"],
+        ).materialize()
+        if cand.count() == 0:
+            # frontier has no outgoing edges: exact fixpoint (an empty
+            # sorted dataset also carries no schema for the anti join)
+            break
+        new = (
+            merge_join(cand, reached, "node", "node", [], how="anti")
+            .repartition(parts)
+            .materialize()
+        )
+        if new.count() == 0:
+            break
+        reached = (
+            reached.union(
+                new.map_batches(
+                    lambda t, _d=d: pa.table(
+                        {
+                            "node": t.column("node"),
+                            "dist": pa.array(np.full(len(t), _d, dtype=np.int64)),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .repartition(parts)
+            .materialize()
+        )
+        frontier = new
+
+    joined = merge_join(id_host, reached, "id", "node", ["dist"], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        dist = t.column("dist").to_numpy(zero_copy_only=False)
+        dist = np.where(np.isnan(dist.astype(np.float64)), -1, dist).astype(np.int64)
+        return pa.table({"host": t.column("host"), "dist": pa.array(dist)})
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

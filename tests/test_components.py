@@ -778,3 +778,43 @@ def test_bowtie_decomposition_known_graph(ray_session):
         "in.com": "IN", "out.com": "OUT",
         "isl1.com": "OTHER", "isl2.com": "OTHER",
     }
+
+
+def test_seed_distance_known_graph(ray_session):
+    """Chain a->b->c->d plus island x->y; seeds {a, x, ghost.com}:
+    a=0, b=1, c=2, d=3, x=0, y=1; ghost absent from the graph."""
+    from commoncrawl_ray.stages.pagerank import seed_distance_hosts
+
+    edges = [
+        ("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "d.com"),
+        ("x.com", "y.com"),
+        ("d.com", "b.com"),  # back edge must not lower b's dist
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    rows = {
+        r["host"]: r["dist"]
+        for r in seed_distance_hosts(
+            rd.from_arrow(t), ["a.com", "x.com", "ghost.com"]
+        ).take_all()
+    }
+    assert rows == {
+        "a.com": 0, "b.com": 1, "c.com": 2, "d.com": 3,
+        "x.com": 0, "y.com": 1,
+    }
+
+
+def test_seed_distance_unreachable(ray_session):
+    """No seeds in the graph -> every host dist -1."""
+    from commoncrawl_ray.stages.pagerank import seed_distance_hosts
+
+    t = pa.table({"src": pa.array(["p.com"]), "dst": pa.array(["q.com"])})
+    rows = {
+        r["host"]: r["dist"]
+        for r in seed_distance_hosts(rd.from_arrow(t), ["nope.com"]).take_all()
+    }
+    assert rows == {"p.com": -1, "q.com": -1}
