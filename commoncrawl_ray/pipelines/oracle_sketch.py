@@ -2764,3 +2764,81 @@ def oracle_seed_distance_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+SCC_ORACLE_PATH = "/tmp/ccray_oracle_scc.parquet"
+
+
+def oracle_scc_table(sf_dir: str, path: str = SCC_ORACLE_PATH) -> str:
+    """Sequential iterative Tarjan SCC over the same host edge set;
+    each component labeled by its lexicographically smallest host."""
+    src_key = f"{os.path.abspath(sf_dir)}|scc"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    n = len(nodes)
+    fwd: dict[int, list[int]] = {}
+    for s, d in zip(src_i, dst_i):
+        if s != d:
+            fwd.setdefault(int(s), []).append(int(d))
+
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list[int] = []
+    comp = [-1] * n
+    counter = 0
+    n_comp = 0
+    for root in range(n):
+        if index[root] >= 0:
+            continue
+        # iterative Tarjan: (node, iterator position) work stack
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            adv = False
+            nbrs = fwd.get(v, ())
+            for j in range(pi, len(nbrs)):
+                w = nbrs[j]
+                if index[w] < 0:
+                    work[-1] = (v, j + 1)
+                    work.append((w, 0))
+                    adv = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if adv:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp[w] = n_comp
+                    if w == v:
+                        break
+                n_comp += 1
+
+    reps: dict[int, str] = {}
+    sizes: dict[int, int] = {}
+    for i in range(n):
+        c = comp[i]
+        sizes[c] = sizes.get(c, 0) + 1
+        if c not in reps or nodes[i] < reps[c]:
+            reps[c] = nodes[i]
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "scc": pa.array([reps[comp[i]] for i in range(n)], pa.string()),
+            "scc_size": pa.array([sizes[comp[i]] for i in range(n)], pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -2039,6 +2039,49 @@ FROM read_parquet('/tmp/ccray_oracle_seed_distance.parquet')
 """
 
 
+def q_scc_hosts(sf_dir: str):
+    """Full strongly-connected-component labeling of the crawl's host
+    graph: every host tagged with its SCC's lexicographically smallest
+    member and the component size — the exact decomposition the
+    bow-tie census classifies against its pivot component, here for
+    EVERY component (link rings, mirror clusters and isolated cliques
+    all surface as their own labeled SCCs). Shape:
+    stages/pagerank.scc_hosts — the distributed coloring algorithm
+    (Orzan 2004): per outer peel one delta-propagated forward
+    min-label fixpoint + one multi-source backward sweep, all on the
+    int64 hash wire with explicit convergence caps. Hash-checked
+    against a sequential iterative Tarjan oracle."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_host_edges_batch, scc_hosts
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_scc_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_scc_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return scc_hosts(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_SCC_HOSTS = """
+SELECT host, scc, scc_size
+FROM read_parquet('/tmp/ccray_oracle_scc.parquet')
+"""
+
+
 def q_clustering_coefficients(sf_dir: str):
     """Per-host local clustering coefficient (Watts & Strogatz 1998)
     over the crawl's link graph viewed undirected: connected
@@ -3000,6 +3043,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from .oracle_sketch import (
         oracle_bowtie_table,
         oracle_cdc_table,
+        oracle_scc_table,
         oracle_seed_distance_table,
         oracle_crawl_trap_table,
         oracle_freshness_table,
@@ -3031,6 +3075,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_hyperanf_table(sf_dir)
     oracle_bowtie_table(sf_dir)
     oracle_seed_distance_table(sf_dir)
+    oracle_scc_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -9844,6 +9889,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "bowtie_decomposition": (q_bowtie_decomposition, SQL_BOWTIE_DECOMPOSITION),
     "seed_distance": (q_seed_distance, SQL_SEED_DISTANCE),
+    "scc_hosts": (q_scc_hosts, SQL_SCC_HOSTS),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -1500,28 +1500,15 @@ def clustering_coefficients(edge_ds, max_degree: int | None = 4096):
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
-def bowtie_decomposition(edge_ds, max_rounds: int = 64, parts: int = 8):
-    """Bow-tie decomposition of the directed host graph (Broder et
-    al. 2000, "Graph structure in the Web"): pick the hub pivot
-    (max in+out degree, ties to the lexicographically smallest
-    host), compute its forward set F and backward set B by two
-    reachability fixpoints, and label every host SCC (F and B — the
-    pivot's strongly connected component), OUT (F only), IN (B
-    only), or OTHER (tendrils/tubes/disconnected relative to the
-    pivot component) — the pivot-based decomposition the paper's
-    web-census popularized.
-
-    Shape: the k-core loop discipline — int64 hash wire, distinct
-    directed edge table built once; each reachability round is ONE
-    edge-scale merge_join (semi: which edges leave the reached set)
-    + a node-scale distinct-union, block-clamped and materialized,
-    with the monotone reached-count as the fixpoint test. Labels are
-    two node-scale semi/anti merge_joins. Host strings return only
-    in the final translation join."""
-    import ray.data as rd
-
+def _hashed_host_graph(edge_ds, parts: int = 8):
+    """Shared hash-wire graph build for the reachability-family ops
+    (bow-tie, seed distance, SCC): (src, dst) host-string edges ->
+    (edges, id_host) where ``edges`` is the distinct self-loop-free
+    directed edge table on int64 FNV-1a ids and ``id_host`` the
+    id -> host translation table, both repartitioned and materialized
+    so every downstream fixpoint iterates over settled blocks without
+    re-running the parse lineage."""
     from ..functions.minhash import fnv1a_batch
-    from .joins import merge_join
 
     def hash_edges(t: pa.Table) -> pa.Table:
         s = t.column("src")
@@ -1547,10 +1534,6 @@ def bowtie_decomposition(edge_ds, max_rounds: int = 64, parts: int = 8):
         .repartition(parts)
         .materialize()
     )
-    rev = edges.map_batches(
-        lambda t: pa.table({"u": t.column("v"), "v": t.column("u")}),
-        batch_format="pyarrow",
-    ).materialize()
     id_host = (
         _distinct_sorted(
             hashed.map_batches(
@@ -1583,6 +1566,36 @@ def bowtie_decomposition(edge_ds, max_rounds: int = 64, parts: int = 8):
         .repartition(parts)
         .materialize()
     )
+    return edges, id_host
+
+
+def bowtie_decomposition(edge_ds, max_rounds: int = 64, parts: int = 8):
+    """Bow-tie decomposition of the directed host graph (Broder et
+    al. 2000, "Graph structure in the Web"): pick the hub pivot
+    (max in+out degree, ties to the lexicographically smallest
+    host), compute its forward set F and backward set B by two
+    reachability fixpoints, and label every host SCC (F and B — the
+    pivot's strongly connected component), OUT (F only), IN (B
+    only), or OTHER (tendrils/tubes/disconnected relative to the
+    pivot component) — the pivot-based decomposition the paper's
+    web-census popularized.
+
+    Shape: the k-core loop discipline — int64 hash wire, distinct
+    directed edge table built once; each reachability round is ONE
+    edge-scale merge_join (semi: which edges leave the reached set)
+    + a node-scale distinct-union, block-clamped and materialized,
+    with the monotone reached-count as the fixpoint test. Labels are
+    two node-scale semi/anti merge_joins. Host strings return only
+    in the final translation join."""
+    import ray.data as rd
+
+    from .joins import merge_join
+
+    edges, id_host = _hashed_host_graph(edge_ds, parts)
+    rev = edges.map_batches(
+        lambda t: pa.table({"u": t.column("v"), "v": t.column("u")}),
+        batch_format="pyarrow",
+    ).materialize()
 
     # pivot: max total degree over the distinct edge set, host tiebreak
     def deg_rows(ds_, col):
@@ -1709,62 +1722,7 @@ def seed_distance_hosts(edge_ds, seed_hosts: list, max_rounds: int = 64, parts: 
     from ..functions.minhash import fnv1a_batch
     from .joins import merge_join
 
-    def hash_edges(t: pa.Table) -> pa.Table:
-        s = t.column("src")
-        d = t.column("dst")
-        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
-        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
-        si = fnv1a_batch(s).view(np.int64)
-        di = fnv1a_batch(d).view(np.int64)
-        return pa.table(
-            {"u": pa.array(si), "v": pa.array(di), "u_host": s, "v_host": d}
-        )
-
-    hashed = edge_ds.map_batches(hash_edges, batch_format="pyarrow")
-    edges = (
-        _distinct_sorted(
-            hashed.map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
-            ["u", "v"],
-        )
-        .map_batches(
-            lambda t: t.filter(pc.not_equal(t.column("u"), t.column("v"))),
-            batch_format="pyarrow",
-        )
-        .repartition(parts)
-        .materialize()
-    )
-    id_host = (
-        _distinct_sorted(
-            hashed.map_batches(
-                lambda t: pa.table(
-                    {
-                        "id": pa.array(
-                            np.concatenate(
-                                [
-                                    t.column("u").to_numpy(zero_copy_only=False),
-                                    t.column("v").to_numpy(zero_copy_only=False),
-                                ]
-                            )
-                        ),
-                        "host": pa.concat_arrays(
-                            [
-                                t.column("u_host").combine_chunks()
-                                if isinstance(t.column("u_host"), pa.ChunkedArray)
-                                else t.column("u_host"),
-                                t.column("v_host").combine_chunks()
-                                if isinstance(t.column("v_host"), pa.ChunkedArray)
-                                else t.column("v_host"),
-                            ]
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            ),
-            ["id"],
-        )
-        .repartition(parts)
-        .materialize()
-    )
+    edges, id_host = _hashed_host_graph(edge_ds, parts)
 
     # seed ids present in the graph (dead seed hosts have no edges)
     seed_arr = pa.array(sorted(set(seed_hosts)), pa.string())
@@ -1838,3 +1796,240 @@ def seed_distance_hosts(edge_ds, seed_hosts: list, max_rounds: int = 64, parts: 
         return pa.table({"host": t.column("host"), "dist": pa.array(dist)})
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def scc_hosts(edge_ds, max_outer: int = 32, max_inner: int = 256, parts: int = 8):
+    """Full strongly-connected-component labeling of the directed host
+    graph via the distributed coloring algorithm (Orzan 2004; the
+    Pregel/graph-frame SCC of Slota et al.): repeat { (1) propagate the
+    minimum node id forward to a fixpoint over the still-active
+    subgraph — color(v) = min id over v's active ancestors (and v);
+    (2) nodes with color(v) == v are roots, and the SCC of root r is
+    exactly the set of nodes colored r that can reach r, found by one
+    multi-source BACKWARD reachability fixpoint from all roots at once,
+    restricted to same-colored nodes; (3) retire those SCCs and their
+    incident edges } until no active node remains. Isolated-by-removal
+    nodes label themselves on the next outer round (their color is
+    their own id and they are their own root).
+
+    Output: (host, scc, scc_size) where ``scc`` is the
+    lexicographically smallest host of the component — hash-order free,
+    so a sequential Tarjan oracle reproduces it exactly.
+
+    Scale shape: int64 FNV-1a hash wire end to end; the forward pass is
+    DELTA propagation (each inner round ships only edges leaving nodes
+    whose color changed — one edge-scale merge_join — plus node-scale
+    sort-min and change-detection joins); the backward pass grows
+    per-root frontiers the same way with a same-color filter join. The
+    active subgraph shrinks monotonically (each outer round retires at
+    least every current root), and on web graphs the giant SCC falls in
+    outer round 1, leaving small periphery components. ``max_outer`` /
+    ``max_inner`` are explicit convergence caps — hitting one raises
+    (never a silently partial labeling)."""
+    import ray.data as rd
+
+    from .joins import merge_join
+
+    edges_all, id_host = _hashed_host_graph(edge_ds, parts)
+
+    def _min_by_node(ds_, val: str):
+        # (node, val) rows -> per-node min(val): ONE sort + block scan
+        # (equal keys never split across sort blocks)
+        def block_min(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.schema(
+                    [("node", pa.int64()), (val, pa.int64())]
+                ).empty_table()
+            n = t.column("node").to_numpy(zero_copy_only=False)
+            c = t.column(val).to_numpy(zero_copy_only=False)
+            order = np.lexsort((c, n))
+            n, c = n[order], c[order]
+            starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+            return pa.table(
+                {"node": pa.array(n[starts]), val: pa.array(c[starts])}
+            )
+
+        return ds_.sort("node").map_batches(
+            block_min, batch_format="pyarrow", batch_size=None
+        )
+
+    assigned = None  # (node, scc) rows, grown per outer round
+    active_nodes = id_host.map_batches(
+        lambda t: pa.table({"node": t.column("id")}), batch_format="pyarrow"
+    ).materialize()
+    edges = edges_all
+
+    for outer in range(max_outer):
+        if active_nodes.count() == 0:
+            break
+
+        # ---- forward min-label fixpoint (delta propagation) --------
+        color = active_nodes.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "color": t.column("node")}),
+            batch_format="pyarrow",
+        ).materialize()
+        frontier = color
+        for _ in range(max_inner):
+            if frontier.count() == 0:
+                break
+            msgs = merge_join(
+                edges, frontier, "u", "node", ["color"], how="inner"
+            ).map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("v"), "color": t.column("color")}
+                ),
+                batch_format="pyarrow",
+            )
+            new_color = (
+                _min_by_node(color.union(msgs), "color")
+                .repartition(parts)
+                .materialize()
+            )
+            changed = merge_join(
+                new_color, color, "node", "node", ["color"], suffix="_old"
+            ).map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t.column("color"), t.column("color_old"))
+                ).select(["node", "color"]),
+                batch_format="pyarrow",
+            ).materialize()
+            color = new_color
+            frontier = changed
+        else:
+            raise RuntimeError(
+                f"scc_hosts: forward pass did not converge in {max_inner} rounds"
+            )
+
+        # ---- backward sweep from all roots at once ------------------
+        roots = color.map_batches(
+            lambda t: t.filter(pc.equal(t.column("node"), t.column("color"))),
+            batch_format="pyarrow",
+        ).materialize()
+        scc = roots.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "scc": t.column("color")}),
+            batch_format="pyarrow",
+        ).materialize()
+        frontier = scc
+        for _ in range(max_inner):
+            if frontier.count() == 0:
+                break
+            # reverse step: edge u->v, walk v -> u, keep same-color u
+            cand = merge_join(
+                edges, frontier, "v", "node", ["scc"], how="inner"
+            ).map_batches(
+                lambda t: pa.table({"node": t.column("u"), "scc": t.column("scc")}),
+                batch_format="pyarrow",
+            )
+            cand = merge_join(
+                _min_by_node(cand, "scc"), color, "node", "node", ["color"]
+            ).map_batches(
+                lambda t: t.filter(
+                    pc.equal(t.column("scc"), t.column("color"))
+                ).select(["node", "scc"]),
+                batch_format="pyarrow",
+            ).materialize()
+            if cand.count() == 0:
+                break
+            new = (
+                merge_join(cand, scc, "node", "node", [], how="anti")
+                .repartition(parts)
+                .materialize()
+            )
+            if new.count() == 0:
+                break
+            scc = scc.union(new).repartition(parts).materialize()
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"scc_hosts: backward pass did not converge in {max_inner} rounds"
+            )
+
+        assigned = scc if assigned is None else (
+            assigned.union(scc).repartition(parts).materialize()
+        )
+
+        # ---- retire labeled nodes and their incident edges ----------
+        active_nodes = (
+            merge_join(active_nodes, scc, "node", "node", [], how="anti")
+            .repartition(parts)
+            .materialize()
+        )
+        if active_nodes.count() == 0:
+            break
+        kept_u = merge_join(edges, active_nodes, "u", "node", [], how="semi")
+        edges_next = merge_join(
+            kept_u, active_nodes, "v", "node", [], how="semi"
+        ).repartition(parts).materialize()
+        if edges_next.count() == 0:
+            # remaining nodes are edge-free within the active set:
+            # each is its own singleton SCC
+            singles = active_nodes.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "scc": t.column("node")}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            assigned = assigned.union(singles).repartition(parts).materialize()
+            active_nodes = merge_join(
+                active_nodes, singles, "node", "node", [], how="anti"
+            ).materialize()
+            break
+        edges = edges_next
+    else:
+        raise RuntimeError(
+            f"scc_hosts: outer peel did not converge in {max_outer} rounds"
+        )
+
+    # ---- translate: scc id hash -> lexicographically smallest host --
+    with_host = merge_join(
+        assigned, id_host, "node", "id", ["host"], how="inner"
+    ).materialize()
+
+    def scc_host_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"scc_id": t.column("scc"), "host": t.column("host")})
+
+    def block_min_host(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("scc_id", pa.int64()), ("rep", pa.string()), ("scc_size", pa.int64())]
+            ).empty_table()
+        sid = t.column("scc_id").to_numpy(zero_copy_only=False)
+        host = np.asarray(t.column("host").to_pylist(), dtype=object)
+        order = np.lexsort((host, sid))
+        sid, host = sid[order], host[order]
+        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        sizes = np.diff(np.r_[starts, len(sid)])
+        return pa.table(
+            {
+                "scc_id": pa.array(sid[starts]),
+                "rep": pa.array(host[starts].tolist(), pa.string()),
+                "scc_size": pa.array(sizes.astype(np.int64)),
+            }
+        )
+
+    reps = (
+        with_host.map_batches(scc_host_rows, batch_format="pyarrow")
+        .sort("scc_id")
+        .map_batches(block_min_host, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    out = merge_join(
+        with_host.map_batches(
+            lambda t: pa.table({"scc_id": t.column("scc"), "host": t.column("host")}),
+            batch_format="pyarrow",
+        ),
+        reps,
+        "scc_id",
+        "scc_id",
+        ["rep", "scc_size"],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("host"),
+                "scc": t.column("rep"),
+                "scc_size": t.column("scc_size"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

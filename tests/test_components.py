@@ -818,3 +818,51 @@ def test_seed_distance_unreachable(ray_session):
         for r in seed_distance_hosts(rd.from_arrow(t), ["nope.com"]).take_all()
     }
     assert rows == {"p.com": -1, "q.com": -1}
+
+
+def test_scc_hosts_known_graph(ray_session):
+    """Two cycles bridged by a DAG edge plus a sink: SCCs {a,b},
+    {c,d,e}, {f} with lexicographic representative hosts."""
+    from commoncrawl_ray.stages.pagerank import scc_hosts
+
+    edges = [
+        ("a.com", "b.com"), ("b.com", "a.com"),
+        ("c.com", "d.com"), ("d.com", "e.com"), ("e.com", "c.com"),
+        ("b.com", "c.com"),
+        ("a.com", "f.com"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    rows = {
+        r["host"]: (r["scc"], r["scc_size"])
+        for r in scc_hosts(rd.from_arrow(t)).take_all()
+    }
+    assert rows == {
+        "a.com": ("a.com", 2), "b.com": ("a.com", 2),
+        "c.com": ("c.com", 3), "d.com": ("c.com", 3), "e.com": ("c.com", 3),
+        "f.com": ("f.com", 1),
+    }
+
+
+def test_scc_hosts_path_graph(ray_session):
+    """Pure DAG: every node a singleton SCC (exercises the multi-round
+    peel and the edge-free singleton retirement)."""
+    from commoncrawl_ray.stages.pagerank import scc_hosts
+
+    t = pa.table(
+        {
+            "src": pa.array(["p1.com", "p2.com", "p3.com"]),
+            "dst": pa.array(["p2.com", "p3.com", "p4.com"]),
+        }
+    )
+    rows = {
+        r["host"]: (r["scc"], r["scc_size"])
+        for r in scc_hosts(rd.from_arrow(t)).take_all()
+    }
+    assert rows == {
+        f"p{i}.com": (f"p{i}.com", 1) for i in range(1, 5)
+    }
