@@ -2842,3 +2842,106 @@ def oracle_scc_table(sf_dir: str, path: str = SCC_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+HOST_TEMPLATE_ORACLE_PATH = "/tmp/ccray_oracle_host_template.parquet"
+
+
+def oracle_host_template_table(
+    sf_dir: str, path: str = HOST_TEMPLATE_ORACLE_PATH
+) -> str:
+    """Sequential per-host dict fold of the template-gram census:
+    per-doc distinct word-gram fingerprints (same gram kernel and
+    width as the engine), host document frequencies, template
+    threshold df >= ceil(0.5 * pages) with pages >= 3."""
+    from . import queries as _q
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import gram_fp_rows
+    from ..sources.synth import pages_cache_dir, sf_from_dir
+
+    src_key = f"{os.path.abspath(sf_dir)}|host_template|w={_q._TPL_W}"
+    if _is_fresh(path, src_key):
+        return path
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    parsed = _sequential_parse(pages_cache_dir(sf), sf)
+    hosts = parsed.column("host").to_pylist()
+    texts = parsed.column("text")
+    df: dict[str, dict[int, int]] = {}
+    pages: dict[str, int] = {}
+    B = 256
+    for off in range(0, parsed.num_rows, B):
+        chunk_hosts = hosts[off : off + B]
+        toks = pc.split_pattern_regex(
+            texts.slice(off, B).combine_chunks()
+            if isinstance(texts, pa.ChunkedArray)
+            else texts.slice(off, B),
+            pattern=r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        d_idx, _pos, gfp = gram_fp_rows(toks, _q._TPL_W)
+        per_doc: dict[int, set[int]] = {}
+        for d, g in zip(d_idx.tolist(), gfp.tolist()):
+            per_doc.setdefault(d, set()).add(g)
+        for d, h in enumerate(chunk_hosts):
+            pages[h] = pages.get(h, 0) + 1
+            hd = df.setdefault(h, {})
+            for g in per_doc.get(d, ()):
+                hd[g] = hd.get(g, 0) + 1
+    import math
+
+    rows = []
+    for h in sorted(pages):
+        p = pages[h]
+        grams = df.get(h, {})
+        n = len(grams)
+        thr = math.ceil(0.5 * p)
+        tpl = sum(1 for c in grams.values() if p >= 3 and c >= thr)
+        rows.append((h, p, n, tpl, round(tpl / max(n, 1), 6)))
+    out = pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "pages": pa.array([r[1] for r in rows], pa.int64()),
+            "n_grams": pa.array([r[2] for r in rows], pa.int64()),
+            "n_template": pa.array([r[3] for r in rows], pa.int64()),
+            "template_ratio": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
+SALSA_ORACLE_PATH = "/tmp/ccray_oracle_salsa.parquet"
+
+
+def oracle_salsa_table(sf_dir: str, path: str = SALSA_ORACLE_PATH) -> str:
+    """Sequential SALSA power iteration over the same host edge set:
+    10 backward/forward degree-normalized half steps from the uniform
+    authority distribution, 6-decimal rounding."""
+    src_key = f"{os.path.abspath(sf_dir)}|salsa"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    n = len(nodes)
+    src = np.asarray(src_i, dtype=np.int64)
+    dst = np.asarray(dst_i, dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    indeg = np.bincount(dst, minlength=n).astype(np.float64)
+    n_auth = int((indeg > 0).sum())
+    a = np.where(indeg > 0, 1.0 / n_auth, 0.0)
+    h = np.zeros(n)
+    for _ in range(10):
+        w = np.divide(a, indeg, out=np.zeros(n), where=indeg > 0)
+        h = np.zeros(n)
+        np.add.at(h, src, w[dst])
+        w2 = np.divide(h, outdeg, out=np.zeros(n), where=outdeg > 0)
+        a = np.zeros(n)
+        np.add.at(a, dst, w2[src])
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "salsa_authority": pa.array(np.round(a, 6), pa.float64()),
+            "salsa_hub": pa.array(np.round(h, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -2082,6 +2082,176 @@ FROM read_parquet('/tmp/ccray_oracle_scc.parquet')
 """
 
 
+_TPL_W = 1  # template gram width (words); 1 = template vocabulary
+_TPL_FRAC = 0.5  # a gram is template if it appears in >= this fraction of the host's pages
+_TPL_MIN_PAGES = 3  # hosts with fewer pages get no template call
+_TPL_PAGE_SENTINEL = np.int64(-(2**63))  # page-count rows on the gram wire
+
+
+def q_host_template_grams(sf_dir: str, gram_w: int = _TPL_W):
+    """Per-host boilerplate census: a word ``gram_w``-gram is a
+    TEMPLATE gram of a host when it occurs in >= 50% of that host's
+    pages (host must have >= 3 pages) — the repeated-across-pages
+    chrome (nav bars, footers, legal blurbs) that boilerplate removal
+    strips before training, detected at the host level where templates
+    live. Output per host: page count, distinct grams, template grams,
+    and the template ratio. Default ``gram_w=1`` is the template
+    VOCABULARY (words shared by half the host's pages) — the synthetic
+    corpus shuffles word order per page, so longer grams never recur
+    and wider widths are exercised by the unit tests instead.
+
+    Scale shape: ONE corpus-scale exchange — per-batch kernel emits
+    per-doc-distinct (host, gram_fp, 1) rows pre-aggregated within the
+    batch (the A4 combiner discipline) with grams as int64
+    fingerprints (functions/minhash.gram_fp_rows — never gram strings,
+    VERDICT r4 #1 discipline), plus one sentinel row per page riding
+    the same wire so host page counts need no second pass over text;
+    groupby(host, g) folds document frequencies; the per-host pages
+    table that thresholds them is node-scale (one merge_join), and the
+    final fold is a host-keyed groupby of constant-width int rows.
+    Hash-checked against a sequential per-host dict fold applying the
+    identical gram kernel and thresholds."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import gram_fp_rows
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.joins import merge_join
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_template_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_template_table(sf_dir)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "g": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+        d_idx, _pos, gfp = gram_fp_rows(toks, gram_w)
+        if len(d_idx):
+            order = np.lexsort((gfp, d_idx))
+            dd, gg = d_idx[order], gfp[order]
+            keep = np.r_[True, (dd[1:] != dd[:-1]) | (gg[1:] != gg[:-1])]
+            dd, gg = dd[keep], gg[keep]
+        else:
+            dd = np.empty(0, np.int64)
+            gg = np.empty(0, np.int64)
+        sent_d = np.arange(len(t), dtype=np.int64)
+        all_d = np.concatenate([dd.astype(np.int64), sent_d])
+        all_g = np.concatenate(
+            [gg.astype(np.int64), np.full(len(t), _TPL_PAGE_SENTINEL, np.int64)]
+        )
+        h = hosts[all_d]
+        order = np.lexsort((all_g, h))
+        hs, gs = h[order], all_g[order]
+        starts = np.flatnonzero(
+            np.r_[True, (hs[1:] != hs[:-1]) | (gs[1:] != gs[:-1])]
+        )
+        cnt = np.diff(np.r_[starts, len(hs)]).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(hs[starts].tolist(), pa.string()),
+                "g": pa.array(gs[starts]),
+                "df": pa.array(cnt),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["host", "text"]), batch_format="pyarrow"
+        )
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby(["host", "g"])
+        .sum("df")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host": t.column("host"),
+                    "g": t.column("g"),
+                    "df": t.column("sum(df)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    pages_tbl = agg.map_batches(
+        lambda t: (
+            lambda f: pa.table({"host": f.column("host"), "pages": f.column("df")})
+        )(t.filter(pc.equal(t.column("g"), pa.scalar(int(_TPL_PAGE_SENTINEL), pa.int64())))),
+        batch_format="pyarrow",
+    ).materialize()
+    grams = agg.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("g"), pa.scalar(int(_TPL_PAGE_SENTINEL), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def indicator(t: pa.Table) -> pa.Table:
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        pages = t.column("pages").to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = np.ceil(_TPL_FRAC * pages).astype(np.int64)
+        is_tpl = ((pages >= _TPL_MIN_PAGES) & (df >= thr)).astype(np.int64)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "pages": pa.array(pages),
+                "one": pa.array(np.ones(len(t), np.int64)),
+                "is_tpl": pa.array(is_tpl),
+            }
+        )
+
+    out = (
+        merge_join(grams, pages_tbl, "host", "host", ["pages"])
+        .map_batches(indicator, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Max("pages", alias_name="pages"),
+            Sum("one", alias_name="n_grams"),
+            Sum("is_tpl", alias_name="n_template"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        tpl = t.column("n_template").to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = np.round(tpl / np.maximum(n, 1), 6)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "pages": t.column("pages").cast(pa.int64()),
+                "n_grams": pa.array(n),
+                "n_template": pa.array(tpl),
+                "template_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_HOST_TEMPLATE_GRAMS = """
+SELECT host, pages, n_grams, n_template, template_ratio
+FROM read_parquet('/tmp/ccray_oracle_host_template.parquet')
+"""
+
+
 def q_clustering_coefficients(sf_dir: str):
     """Per-host local clustering coefficient (Watts & Strogatz 1998)
     over the crawl's link graph viewed undirected: connected
@@ -3043,6 +3213,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from .oracle_sketch import (
         oracle_bowtie_table,
         oracle_cdc_table,
+        oracle_host_template_table,
         oracle_scc_table,
         oracle_seed_distance_table,
         oracle_crawl_trap_table,
@@ -3076,6 +3247,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_bowtie_table(sf_dir)
     oracle_seed_distance_table(sf_dir)
     oracle_scc_table(sf_dir)
+    oracle_host_template_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -9890,6 +10062,7 @@ REGISTRY: dict[str, tuple] = {
     "bowtie_decomposition": (q_bowtie_decomposition, SQL_BOWTIE_DECOMPOSITION),
     "seed_distance": (q_seed_distance, SQL_SEED_DISTANCE),
     "scc_hosts": (q_scc_hosts, SQL_SCC_HOSTS),
+    "host_template_grams": (q_host_template_grams, SQL_HOST_TEMPLATE_GRAMS),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -158,3 +158,17 @@ def test_zipf_fit_recovers_planted_exponent(ray_session):
         row = q_zipf_fit(d).take_all()[0]
     assert row["k"] == 256
     assert abs(row["alpha"] - alpha) < 0.05
+
+
+def test_host_template_threshold_invariants(ray_session):
+    """Hosts below the 3-page minimum must have zero template grams;
+    ratios live in [0, 1]; template grams never exceed distinct grams."""
+    from commoncrawl_ray.pipelines.queries import q_host_template_grams
+
+    df = _to_pandas(q_host_template_grams("/root/testdata/sf0.001"))
+    assert len(df) > 0
+    assert (df["n_template"] <= df["n_grams"]).all()
+    assert df["template_ratio"].between(0.0, 1.0).all()
+    small = df[df["pages"] < 3]
+    assert (small["n_template"] == 0).all()
+    assert (df["pages"] >= 1).all()
