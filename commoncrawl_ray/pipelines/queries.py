@@ -2252,6 +2252,45 @@ FROM read_parquet('/tmp/ccray_oracle_host_template.parquet')
 """
 
 
+def q_salsa_hosts(sf_dir: str):
+    """SALSA hub/authority ranking (Lempel & Moran 2001) over the
+    crawl's host graph — HITS with random-walk degree normalization,
+    the variant resistant to tightly-knit-community score capture.
+    Ten fixed power-iteration steps from the uniform authority
+    distribution, 6-decimal rounding. Shape:
+    stages/pagerank.salsa_hosts (two edge-scale merge_join exchanges
+    per iteration + node-scale degree joins, degree tables built
+    once). Hash-checked against a sequential numpy power-iteration
+    oracle applying the identical updates."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import salsa_hosts
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_salsa_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_salsa_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return salsa_hosts(parsed)
+
+
+SQL_SALSA_HOSTS = """
+SELECT host, salsa_authority, salsa_hub
+FROM read_parquet('/tmp/ccray_oracle_salsa.parquet')
+"""
+
+
 def q_clustering_coefficients(sf_dir: str):
     """Per-host local clustering coefficient (Watts & Strogatz 1998)
     over the crawl's link graph viewed undirected: connected
@@ -3214,6 +3253,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_bowtie_table,
         oracle_cdc_table,
         oracle_host_template_table,
+        oracle_salsa_table,
         oracle_scc_table,
         oracle_seed_distance_table,
         oracle_crawl_trap_table,
@@ -3248,6 +3288,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_seed_distance_table(sf_dir)
     oracle_scc_table(sf_dir)
     oracle_host_template_table(sf_dir)
+    oracle_salsa_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -10063,6 +10104,7 @@ REGISTRY: dict[str, tuple] = {
     "seed_distance": (q_seed_distance, SQL_SEED_DISTANCE),
     "scc_hosts": (q_scc_hosts, SQL_SCC_HOSTS),
     "host_template_grams": (q_host_template_grams, SQL_HOST_TEMPLATE_GRAMS),
+    "salsa_hosts": (q_salsa_hosts, SQL_SALSA_HOSTS),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),

@@ -2033,3 +2033,174 @@ def scc_hosts(edge_ds, max_outer: int = 32, max_inner: int = 256, parts: int = 8
         ),
         batch_format="pyarrow",
     )
+
+
+def salsa_hosts(parse_ds, iters: int = 10, parts: int = 8):
+    """SALSA link ranking (Lempel & Moran 2001, "SALSA: the stochastic
+    approach for link-structure analysis") over the host graph ->
+    Dataset (host, salsa_authority, salsa_hub), 6-decimal rounded.
+    SALSA is HITS with random-walk normalization: authority mass flows
+    BACKWARD over in-links split by in-degree, then FORWARD over
+    out-links split by out-degree — a doubly-stochastic two-step walk
+    on the hub/authority bipartite graph, which famously resists the
+    tightly-knit-community (TKC) score capture that inflates HITS.
+    Run as ``iters`` fixed power-iteration steps from the uniform
+    authority distribution (total mass is conserved exactly by the
+    degree splits, so no renormalization step is needed); the
+    sequential oracle iterates the identical updates.
+
+    Scale shape: identical to hits_hosts — per iteration two
+    edge-table merge_join exchanges and node-scale degree joins; the
+    in/out-degree tables are built ONCE (two groupby counts,
+    materialized) and the score table stays a bounded node-scale
+    dataset."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import merge_join
+
+    edges = (
+        _distinct_sorted(
+            parse_ds.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+            ["src", "dst"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    nodes = (
+        _distinct_sorted(
+            edges.select_columns(["src"])
+            .map_batches(
+                lambda t: pa.table({"node": t.column("src")}),
+                batch_format="pyarrow",
+            )
+            .union(
+                edges.select_columns(["dst"]).map_batches(
+                    lambda t: pa.table({"node": t.column("dst")}),
+                    batch_format="pyarrow",
+                )
+            ),
+            ["node"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    if nodes.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "salsa_authority": pa.array([], pa.float64()),
+                    "salsa_hub": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def deg_table(key: str, name: str):
+        return (
+            edges.groupby(key)
+            .count()
+            .map_batches(
+                lambda t, _k=key, _n=name: pa.table(
+                    {
+                        "node": t.column(_k),
+                        _n: t.column("count()").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    outdeg = deg_table("src", "outdeg")  # hub side
+    indeg = deg_table("dst", "indeg")  # authority side
+    n_auth = indeg.count()
+
+    # uniform start over authority nodes
+    auth = indeg.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "a": pa.array(np.full(len(t), 1.0 / n_auth), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def half_step(scores, score_col, deg_tbl, deg_col, join_key, group_key, out_col):
+        """Split ``score_col`` mass by ``deg_col`` and push it across
+        edges joined on ``join_key``, summing per ``group_key``."""
+        weighted = merge_join(
+            scores, deg_tbl, "node", "node", [deg_col]
+        ).map_batches(
+            lambda t, _s=score_col, _d=deg_col: pa.table(
+                {
+                    "node": t.column("node"),
+                    "w": pa.array(
+                        t.column(_s).to_numpy(zero_copy_only=False)
+                        / t.column(_d).to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contribs = merge_join(
+            edges, weighted, left_on=join_key, right_on="node",
+            right_cols=["w"], how="inner",
+        )
+        return (
+            contribs.groupby(group_key)
+            .aggregate(Sum("w", alias_name="s"))
+            .map_batches(
+                lambda t, _g=group_key, _o=out_col: pa.table(
+                    {
+                        "node": t.column(_g),
+                        _o: t.column("s").cast(pa.float64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(parts)
+            .materialize()
+        )
+
+    hub = None
+    for _ in range(iters):
+        # backward: authority mass returns to hubs over in-links
+        hub = half_step(auth, "a", indeg, "indeg", "dst", "src", "h")
+        # forward: hub mass spreads to authorities over out-links
+        auth = half_step(hub, "h", outdeg, "outdeg", "src", "dst", "a")
+
+    both = merge_join(
+        merge_join(nodes, auth, "node", "node", ["a"], how="left"),
+        hub,
+        "node",
+        "node",
+        ["h"],
+        how="left",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        a = np.round(
+            np.nan_to_num(
+                t.column("a").to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0,
+            ),
+            6,
+        )
+        h = np.round(
+            np.nan_to_num(
+                t.column("h").to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0,
+            ),
+            6,
+        )
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "salsa_authority": pa.array(a, pa.float64()),
+                "salsa_hub": pa.array(h, pa.float64()),
+            }
+        )
+
+    return both.map_batches(finalize, batch_format="pyarrow")

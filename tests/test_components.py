@@ -1,6 +1,7 @@
 """connected_components (stages/components.py): known graphs plus a
 randomized cross-check against a plain union-find."""
 
+import pytest
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -866,3 +867,45 @@ def test_scc_hosts_path_graph(ray_session):
     assert rows == {
         f"p{i}.com": (f"p{i}.com", 1) for i in range(1, 5)
     }
+
+
+def test_salsa_known_graph(ray_session):
+    """Star h1,h2 -> a1 plus h1 -> a2: the authority chain's fixed
+    point weights a1 twice a2 is NOT the SALSA answer — SALSA's
+    stationary authority mass is indeg-proportional within a
+    component: a1 = 2/3, a2 = 1/3; hubs split by how much authority
+    mass walks back: h1 = 2/3 (reaches both), h2 = 1/3."""
+    from commoncrawl_ray.stages.pagerank import salsa_hosts
+    import ray.data as rd_
+
+    # build a fake parse-output dataset via the edge extractor's
+    # contract: feed the stage pre-extracted edges through a tiny
+    # adapter dataset of (url, anchors, base_url) is heavyweight —
+    # test the stage's math directly on its edge input instead
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://h1.com/",
+                    "http://h2.com/",
+                ]
+            ),
+            "anchors": pa.array(
+                [
+                    "http://a1.com/\nx\nhttp://a2.com/\ny",
+                    "http://a1.com/\nz",
+                ]
+            ),
+            "base_url": pa.array(["", ""]),
+        }
+    )
+    rows = {
+        r["host"]: (r["salsa_authority"], r["salsa_hub"])
+        for r in salsa_hosts(rd_.from_arrow(t)).take_all()
+    }
+    assert rows["a1.com"][0] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows["a2.com"][0] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows["h1.com"][1] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows["h2.com"][1] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows["h1.com"][0] == 0.0 and rows["h2.com"][0] == 0.0
+    assert rows["a1.com"][1] == 0.0 and rows["a2.com"][1] == 0.0
