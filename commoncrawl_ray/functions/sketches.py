@@ -410,3 +410,72 @@ def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
         lc = m * np.log(m / np.maximum(zeros, 1))
     use_lc = (est <= 2.5 * m) & (zeros > 0)
     return np.where(use_lc, lc, est)
+
+
+# --- Count-Min --------------------------------------------------------
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved
+    data stream summary: the count-min sketch and its applications")
+    over uint64 key hashes: ``depth`` rows x ``width`` int64 counters.
+    Row r buckets a key hash h at ``splitmix64(h + r + 1) % width``;
+    point estimate = min over rows (never under the true count).
+    Merge is elementwise integer add — order-free, so a distributed
+    tree reduce is BIT-IDENTICAL to the sequential fold (the same
+    determinism argument as HyperLogLog's register max)."""
+
+    def __init__(self, depth: int = 4, width: int = 2048):
+        if not (1 <= depth <= 16) or width < 2:
+            raise ValueError("bad CountMin shape")
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _rows_cols(self, h: np.ndarray):
+        h = h.astype(_U64, copy=False)
+        for r in range(self.depth):
+            with np.errstate(over="ignore"):
+                salted = (h + _U64(r + 1)) & _U64(_M64)
+            yield r, (splitmix64(salted) % _U64(self.width)).astype(np.int64)
+
+    def add_hashed(self, h: np.ndarray, counts: np.ndarray | None = None):
+        """Add key hashes (uint64) with optional weights (int64)."""
+        if len(h) == 0:
+            return self
+        c = (
+            np.ones(len(h), dtype=np.int64)
+            if counts is None
+            else np.asarray(counts, dtype=np.int64)
+        )
+        for r, cols in self._rows_cols(h):
+            np.add.at(self.table[r], cols, c)
+        return self
+
+    def estimate_hashed(self, h: np.ndarray) -> np.ndarray:
+        """Point estimates (int64) for key hashes."""
+        if len(h) == 0:
+            return np.zeros(0, dtype=np.int64)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for r, cols in self._rows_cols(h):
+            est = np.minimum(est, self.table[r][cols])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("CountMin shape mismatch")
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<II", self.depth, self.width) + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        depth, width = struct.unpack_from("<II", b, 0)
+        cm = cls(depth, width)
+        t = np.frombuffer(b, dtype=np.int64, offset=8)
+        if t.size != depth * width:
+            raise ValueError("CountMin payload size mismatch")
+        cm.table = t.reshape(depth, width).copy()
+        return cm

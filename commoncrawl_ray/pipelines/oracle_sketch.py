@@ -2945,3 +2945,82 @@ def oracle_salsa_table(sf_dir: str, path: str = SALSA_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+OPIC_ORACLE_PATH = "/tmp/ccray_oracle_opic.parquet"
+
+
+def oracle_opic_table(sf_dir: str, path: str = OPIC_ORACLE_PATH) -> str:
+    """Sequential synchronous-batch OPIC over the same host edge set:
+    10 rounds of cash splitting over outdeg+1 links (the +1 is the
+    virtual page), virtual cash returning uniformly, history
+    accumulation; importance = hist / total hist, 6-decimal rounded.
+    Applies updates identical to stages/pagerank.opic_edges."""
+    src_key = f"{os.path.abspath(sf_dir)}|opic"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    n = len(nodes)
+    src = np.asarray(src_i, dtype=np.int64)
+    dst = np.asarray(dst_i, dtype=np.int64)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    cash = np.full(n, 1.0 / n) if n else np.zeros(0)
+    hist = np.zeros(n)
+    vc = 0.0
+    for _ in range(10):
+        w = cash / (deg + 1.0)
+        virtual_in = float(w.sum())
+        s = np.zeros(n)
+        np.add.at(s, dst, w[src])
+        hist = hist + cash
+        cash = s + vc / n
+        vc = virtual_in
+    total = float(hist.sum())
+    out = pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "opic": pa.array(
+                np.round(hist / total if total > 0 else hist, 6), pa.float64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
+CMS_ORACLE_PATH = "/tmp/ccray_oracle_cms.parquet"
+
+
+def oracle_cms_table(sf_dir: str, path: str = CMS_ORACLE_PATH) -> str:
+    """Sequential Count-Min oracle: global exact token counts folded
+    into ONE CountMin (integer adds are order-free, so this is
+    bit-identical to the engine's distributed tree reduce), estimates
+    for the exact top-30 tokens by (-count, token). Shares only the
+    pure tokenize/hash/sketch kernels."""
+    src_key = f"{os.path.abspath(sf_dir)}|cms"
+    if _is_fresh(path, src_key):
+        return path
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.minhash import fnv1a_batch
+    from ..functions.sketches import CountMin
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    flat = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = pc.value_counts(flat.combine_chunks())
+    keys = vc.field("values").to_pylist()
+    cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    cm = CountMin(4, 2048).add_hashed(
+        fnv1a_batch(vc.field("values")), cnts
+    )
+    order = sorted(range(len(keys)), key=lambda i: (-cnts[i], keys[i]))[:30]
+    probes = [keys[i] for i in order]
+    est = cm.estimate_hashed(fnv1a_batch(pa.array(probes, pa.string())))
+    out = pa.table(
+        {
+            "token": pa.array(probes, pa.string()),
+            "cms_count": pa.array(est, pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)

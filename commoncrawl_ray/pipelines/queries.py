@@ -1370,6 +1370,52 @@ WHERE 5 * i.inter >= 4 * (sa.sz + sb.sz - i.inter)
 """
 
 
+def q_containment_neardup(sf_dir: str):
+    """EXACT n-gram CONTAINMENT near-dup pairs
+    (stages/dedup.ngram_containment_pairs) at threshold 0.9 — Broder's
+    containment measure, catching partial copies (a small doc's
+    shingle set sitting inside a bigger doc's) that the Jaccard union
+    denominator dilutes. Integer (inter, min_sz) output so the DuckDB
+    all-pairs oracle hash-matches with no float hazard."""
+    from ..stages.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+SQL_CONTAINMENT_NEARDUP = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 4)) AS i
+  ) s
+  WHERE len(ws) >= 5
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS gram
+  FROM w WHERE len(ws) BETWEEN 1 AND 4
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter,
+       CAST(LEAST(sa.sz, sb.sz) AS BIGINT) AS min_sz
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE 10 * i.inter >= 9 * LEAST(sa.sz, sb.sz)
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF ANN (kmeans coarse quantizer + nprobe inverted-list scan)
     top-10 neighbours for query vectors vec_id 0..3 — the scale path
@@ -2288,6 +2334,120 @@ def q_salsa_hosts(sf_dir: str):
 SQL_SALSA_HOSTS = """
 SELECT host, salsa_authority, salsa_hub
 FROM read_parquet('/tmp/ccray_oracle_salsa.parquet')
+"""
+
+
+def q_opic_hosts(sf_dir: str):
+    """OPIC adaptive page importance (Abiteboul, Preda & Cobena, WWW
+    2003) over the crawl's host graph — the classic crawl-frontier
+    importance estimator: cash splits over out-links plus the virtual
+    page each round, history accumulates, importance = normalized
+    history. Ten synchronous rounds, 6-decimal rounding. Shape:
+    stages/pagerank.opic_edges (one edge-scale merge_join exchange +
+    groupby Sum per round over a bounded node-scale state table; only
+    the virtual page's scalar mass touches the driver). Hash-checked
+    against a sequential numpy oracle applying identical updates."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import opic_hosts
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_opic_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_opic_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return opic_hosts(parsed)
+
+
+SQL_OPIC_HOSTS = """
+SELECT host, opic
+FROM read_parquet('/tmp/ccray_oracle_opic.parquet')
+"""
+
+
+def q_host_rank(sf_dir: str):
+    """Host-rank export — the artifact Common Crawl itself publishes
+    from its cc-webgraph project: every host scored AND globally
+    ranked by PageRank and by harmonic centrality, in one table.
+    Composes the two verified iterative stages over ONE materialized
+    distinct edge table (fan-out >= 2 => materialize, the bm25
+    discipline), joins node-scale score tables with a single merge
+    per side, then assigns global row_number ranks via
+    stages/rank.global_sorted_rank — a two-pass block-offset scheme
+    whose driver traffic is O(num_blocks) summary rows, never the
+    table (no whole-corpus-in-one-block rank). Hash-checked against
+    row_number windows over the two stages' verified oracle tables."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.joins import merge_join
+    from ..stages.pagerank import (
+        extract_host_edges_batch,
+        hyperball_harmonic,
+        pagerank_edges,
+    )
+    from ..stages.parse_extract import parse_extract_batch
+    from ..stages.rank import global_sorted_rank
+    from .oracle_sketch import oracle_hyperball_table, oracle_pagerank_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_pagerank_table(sf_dir)
+    oracle_hyperball_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    edges = parsed.map_batches(
+        extract_host_edges_batch, batch_format="pyarrow"
+    ).materialize()
+    pr = pagerank_edges(edges)
+    hc = hyperball_harmonic(edges)
+    joined = merge_join(pr, hc, "host", "host", ["harmonic"], how="inner")
+
+    def add_negs(t: pa.Table) -> pa.Table:
+        prv = t.column("pr").to_numpy(zero_copy_only=False)
+        hcv = t.column("harmonic").to_numpy(zero_copy_only=False)
+        return t.append_column("_npr", pa.array(-prv, pa.float64())).append_column(
+            "_nhc", pa.array(-hcv, pa.float64())
+        )
+
+    ranked = global_sorted_rank(
+        joined.map_batches(add_negs, batch_format="pyarrow"),
+        ["_npr", "host"],
+        "pr_rank",
+    )
+    ranked = global_sorted_rank(ranked, ["_nhc", "host"], "harmonic_rank")
+    return ranked.map_batches(
+        lambda t: t.select(["host", "pr", "harmonic", "pr_rank", "harmonic_rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HOST_RANK = """
+SELECT p.host, p.pr, h.harmonic,
+       CAST(row_number() OVER (ORDER BY p.pr DESC, p.host) AS BIGINT) AS pr_rank,
+       CAST(row_number() OVER (ORDER BY h.harmonic DESC, p.host) AS BIGINT)
+           AS harmonic_rank
+FROM read_parquet('/tmp/ccray_oracle_pagerank.parquet') p
+JOIN read_parquet('/tmp/ccray_oracle_hyperball.parquet') h USING (host)
 """
 
 
@@ -3253,6 +3413,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_bowtie_table,
         oracle_cdc_table,
         oracle_host_template_table,
+        oracle_cms_table,
+        oracle_opic_table,
         oracle_salsa_table,
         oracle_scc_table,
         oracle_seed_distance_table,
@@ -3289,6 +3451,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_scc_table(sf_dir)
     oracle_host_template_table(sf_dir)
     oracle_salsa_table(sf_dir)
+    oracle_opic_table(sf_dir)
+    oracle_cms_table(sf_dir)
     oracle_diversity_sample_table(sf_dir)
     oracle_token_shards_table(sf_dir)
     oracle_winnow_table(sf_dir)
@@ -5772,6 +5936,49 @@ WHERE NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
 )
+"""
+
+
+def q_cms_token_counts(sf_dir: str):
+    """Count-Min sketch token-frequency census — the third classic
+    mergeable sketch beside HLL (distinct) and Space-Saving (top-k):
+    CMS answers POINT frequency queries in O(d*w) memory with
+    one-sided error, the bounded-state substitute for a corpus-scale
+    token groupby. Probes: the exact top-30 vocabulary (the
+    vocab_top_tokens census re-run here with the same kernels).
+    Shape: per-batch exact value_counts folded into 64 KB CMS
+    partials, two-level tree merge (stages/approx._reduce_sketches);
+    elementwise-integer-add merge is order-free, so the distributed
+    table is bit-identical to the sequential oracle fold — a full
+    value-hash check of the reduce path."""
+    import pyarrow.compute as pc
+
+    from ..stages.approx import cms_counts, heavy_hitters
+    from .oracle_sketch import oracle_cms_table
+
+    oracle_cms_table(sf_dir)
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        )
+        return pa.table({"token": flat.filter(pc.not_equal(flat, ""))})
+
+    def toks():
+        return _pq(sf_dir, "documents", ["text"], min_blocks=8).map_batches(
+            tokenize, batch_format="pyarrow"
+        )
+
+    # probe set: exact top-30 (capacity >= global distinct => exact);
+    # tokenized twice rather than materializing a corpus-scale token
+    # stream between the two bounded-state reduces
+    top = heavy_hitters(toks(), "token", k=30, capacity=4096, fanin=8)
+    probes = top.column("token").to_pylist()
+    return cms_counts(toks(), "token", probes, depth=4, width=2048, fanin=8)
+
+
+SQL_CMS_TOKEN_COUNTS = """
+SELECT token, cms_count FROM read_parquet('/tmp/ccray_oracle_cms.parquet')
 """
 
 
@@ -10105,6 +10312,8 @@ REGISTRY: dict[str, tuple] = {
     "scc_hosts": (q_scc_hosts, SQL_SCC_HOSTS),
     "host_template_grams": (q_host_template_grams, SQL_HOST_TEMPLATE_GRAMS),
     "salsa_hosts": (q_salsa_hosts, SQL_SALSA_HOSTS),
+    "opic_hosts": (q_opic_hosts, SQL_OPIC_HOSTS),
+    "host_rank": (q_host_rank, SQL_HOST_RANK),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
     "knn_ivf_exhaustive": (q_knn_ivf_exhaustive, SQL_KNN_IVF_EXHAUSTIVE),
@@ -10114,6 +10323,7 @@ REGISTRY: dict[str, tuple] = {
     "neardup_dedup_docs": (q_neardup_dedup_docs, SQL_NEARDUP_DEDUP_DOCS),
     "neardup_keep_best": (q_neardup_keep_best, SQL_NEARDUP_KEEP_BEST),
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
+    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "approx_distinct_users_by_type": (
         q_approx_distinct_users_by_type,
         SQL_APPROX_DISTINCT_USERS_BY_TYPE,
@@ -10209,6 +10419,7 @@ REGISTRY: dict[str, tuple] = {
     "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "curation_report": (q_curation_report, SQL_CURATION_REPORT),
     "jaccard_neardup": (q_jaccard_neardup, SQL_JACCARD_NEARDUP),
+    "containment_neardup": (q_containment_neardup, SQL_CONTAINMENT_NEARDUP),
     "winnow_neardup": (q_winnow_neardup, SQL_WINNOW_NEARDUP),
     "winnow_dup_fraction": (q_winnow_dup_fraction, SQL_WINNOW_DUP_FRACTION),
     "lang_temperature_sampling": (

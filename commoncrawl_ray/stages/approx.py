@@ -274,3 +274,45 @@ def sketch_quantiles(
             "value": pa.array([acc.quantile(q) for q in qs], pa.float64()),
         }
     )
+
+
+def cms_counts(
+    ds,
+    col: str,
+    probe_keys: list[str],
+    depth: int = 4,
+    width: int = 2048,
+    fanin: int = 32,
+) -> pa.Table:
+    """Count-Min frequency estimates of ``probe_keys`` over a string
+    column -> (key, cms_count) table. Each partial is an EXACT
+    in-batch ``value_counts`` added as weighted items (working set =
+    per-batch distinct keys), partials tree-merge by elementwise
+    integer add — order-free, so the distributed table is BIT-IDENTICAL
+    to a sequential global-counter fold and the estimates hash-check
+    against the single-process oracle. CMS estimates never undercount;
+    at ``width`` >= a few x distinct keys they are exact."""
+    from ..functions.minhash import fnv1a_batch
+    from ..functions.sketches import CountMin
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column(col).drop_null())
+        cm = CountMin(depth, width)
+        if len(vc):
+            cm.add_hashed(
+                fnv1a_batch(vc.field("values")),
+                vc.field("counts").to_numpy(zero_copy_only=False),
+            )
+        return pa.table({"sk": pa.array([cm.to_bytes()], pa.binary())})
+
+    acc = _reduce_sketches(ds, partial, CountMin.from_bytes, fanin)
+    if acc is None:
+        acc = CountMin(depth, width)
+    ph = fnv1a_batch(pa.array(probe_keys, pa.string()))
+    est = acc.estimate_hashed(ph)
+    return pa.table(
+        {
+            "token": pa.array(probe_keys, pa.string()),
+            "cms_count": pa.array(est, pa.int64()),
+        }
+    )

@@ -356,21 +356,20 @@ def minhash_lsh_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _gram_cooccurrence(
     ds,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ngram: int = _NGRAM,
-    threshold_num: int = 4,
-    threshold_den: int = 5,
-    max_gram_docs: int | None = 256,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    max_gram_docs: int | None,
+    counter_name: str,
 ):
-    """EXACT word-n-gram Jaccard near-dup pairs via a distributed
-    inverted shingle index (the classic set-similarity-join shape) —
-    SQL-hash-checkable because the output is pure integers:
-    (id_a, id_b, inter, union_n) for pairs with
-    jaccard >= threshold_num/threshold_den, compared in exact integer
-    arithmetic (den*inter >= num*union).
+    """Shared distributed inverted-shingle-index build: (id_a, id_b,
+    inter, sz_a, sz_b) aggregate of distinct-gram co-occurrence for
+    every document pair sharing at least one sub-cap gram. The
+    set-similarity-join core of ngram_jaccard_pairs and
+    ngram_containment_pairs — one sort(gram) exchange, capped posting
+    lists with skip counters, one hash aggregate.
 
     Shape: one pass emits (gram_hash, doc_id, doc_size) rows (distinct
     grams per doc; size carried on every row so NO sizes join is
@@ -384,8 +383,8 @@ def ngram_jaccard_pairs(
     pairs — ``max_gram_docs`` (default 256) skips ultra-frequent grams
     so that never goes quadratic at web scale. The cap only loses
     pairs whose EVERY shared gram is ultra-frequent, which a 0.8
-    threshold never needs; ``max_gram_docs=None`` opts into exact
-    mode (VERDICT r2 #7)."""
+    resemblance threshold never needs; ``max_gram_docs=None`` opts
+    into exact mode (VERDICT r2 #7)."""
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         from ..functions.minhash import _ngrams_hashed
@@ -442,7 +441,7 @@ def ngram_jaccard_pairs(
                 from ..state.counters import count_skip
 
                 count_skip(
-                    "ngram_jaccard_pairs",
+                    counter_name,
                     buckets=skipped_b,
                     rows=skipped_r,
                     pairs_avoided=avoided,
@@ -467,7 +466,7 @@ def ngram_jaccard_pairs(
 
     from ray.data.aggregate import Count, Min
 
-    co = (
+    return (
         ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=512)
         .sort("gram")
         .map_batches(arrow_out(posting_pairs), batch_format="pandas", batch_size=None)
@@ -477,6 +476,26 @@ def ngram_jaccard_pairs(
             Min("sz_a", alias_name="sz_a"),  # constant per doc: pure pick-one
             Min("sz_b", alias_name="sz_b"),
         )
+    )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = _NGRAM,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_gram_docs: int | None = 256,
+):
+    """EXACT word-n-gram Jaccard near-dup pairs — see
+    _gram_cooccurrence for the distributed shape and caveats; this
+    wrapper keeps pairs with jaccard >= threshold_num/threshold_den in
+    exact integer arithmetic (den*inter >= num*union) and emits the
+    all-integer (id_a, id_b, inter, union_n) rows the DuckDB all-pairs
+    oracle hash-matches."""
+    co = _gram_cooccurrence(
+        ds, id_col, text_col, ngram, max_gram_docs, "ngram_jaccard_pairs"
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -491,6 +510,47 @@ def ngram_jaccard_pairs(
                 "id_b": batch.column("id_b").filter(pa.array(keep)),
                 "inter": pa.array(inter[keep]),
                 "union_n": pa.array(union[keep]),
+            }
+        )
+
+    return co.map_batches(finalize, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = _NGRAM,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    max_gram_docs: int | None = 256,
+):
+    """EXACT word-n-gram CONTAINMENT near-dup pairs (Broder 1997
+    distinguishes resemblance from containment): keeps pairs where
+    the smaller document's shingle set is >= threshold inside the
+    other's — inter / min(|A|, |B|) >= num/den in exact integer
+    arithmetic (den*inter >= num*min_sz). Catches partial copies —
+    a short doc quoted whole inside a long one — that Jaccard's
+    union denominator dilutes below any useful resemblance
+    threshold. Same distributed shape as ngram_jaccard_pairs
+    (shared _gram_cooccurrence build); all-integer
+    (id_a, id_b, inter, min_sz) output for the SQL oracle."""
+    co = _gram_cooccurrence(
+        ds, id_col, text_col, ngram, max_gram_docs, "ngram_containment_pairs"
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch.column("inter").to_numpy()
+        min_sz = np.minimum(
+            batch.column("sz_a").to_numpy(), batch.column("sz_b").to_numpy()
+        )
+        keep = threshold_den * inter >= threshold_num * min_sz
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "inter": pa.array(inter[keep]),
+                "min_sz": pa.array(min_sz[keep]),
             }
         )
 

@@ -2204,3 +2204,167 @@ def salsa_hosts(parse_ds, iters: int = 10, parts: int = 8):
         )
 
     return both.map_batches(finalize, batch_format="pyarrow")
+
+
+def opic_hosts(parse_ds, iters: int = 10, parts: int = 8):
+    """OPIC page importance (Abiteboul, Preda & Cobena, WWW 2003,
+    "Adaptive on-line page importance computation") over the host
+    graph -> Dataset (host, opic), 6-decimal rounded normalized cash
+    history. Parity counterpart of the reference's crawl-priority
+    signals (SURVEY §2 crawl control plane); see pagerank_hosts for
+    the shared edge extraction."""
+    return opic_edges(
+        parse_ds.map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        iters=iters,
+        parts=parts,
+    )
+
+
+def opic_edges(edge_ds, iters: int = 10, parts: int = 8):
+    """Synchronous batch OPIC over a (src, dst) edge Dataset.
+
+    Every node starts with cash 1/n and empty history. Each round,
+    history += cash; a node's cash is split over outdeg+1 links — its
+    real out-links plus one implicit link to the OPIC *virtual page*
+    (the paper's strong-connectivity device, §3.1: the virtual page
+    links to and from every page, so dangling cash and a teleport
+    path both flow through it). The virtual page's cash from the
+    previous round returns uniformly to all n real nodes. After
+    ``iters`` rounds the importance estimate is history / total
+    history over real nodes.
+
+    Scale shape: identical to pagerank_edges — the loop-carried state
+    is a bounded node-scale (node, deg, cash, hist) table repartitioned
+    to ``parts`` blocks per round; each round costs ONE edge-scale
+    merge_join exchange + a groupby Sum; the virtual page's mass is
+    the only scalar that touches the driver per iteration."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import merge_join
+
+    edges = _distinct_sorted(edge_ds, ["src", "dst"]).repartition(parts).materialize()
+    nodes = _distinct_sorted(
+        edges.select_columns(["src"])
+        .map_batches(
+            lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+        )
+        .union(
+            edges.select_columns(["dst"]).map_batches(
+                lambda t: pa.table({"node": t.column("dst")}),
+                batch_format="pyarrow",
+            )
+        ),
+        ["node"],
+    )
+    degrees = edges.groupby("src").count()
+    node_deg = merge_join(
+        nodes,
+        degrees.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "deg": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        left_on="node",
+        right_on="src",
+        right_cols=["deg"],
+        how="left",
+    ).repartition(parts).materialize()
+    n = node_deg.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"host": pa.array([], pa.string()), "opic": pa.array([], pa.float64())}
+            )
+        )
+
+    state = node_deg.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "deg": t.column("deg"),
+                "cash": pa.array(np.full(len(t), 1.0 / n), pa.float64()),
+                "hist": pa.array(np.zeros(len(t)), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    virtual_cash = 0.0
+
+    for _ in range(iters):
+        # the virtual page's share of every node's split this round
+        def to_virtual(t: pa.Table) -> pa.Table:
+            cash = t.column("cash").to_numpy(zero_copy_only=False)
+            deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+            deg = np.nan_to_num(deg, nan=0.0)
+            return pa.table({"v": pa.array(cash / (deg + 1.0), pa.float64())})
+
+        v_row = state.map_batches(to_virtual, batch_format="pyarrow").aggregate(
+            Sum("v", alias_name="s")
+        )
+        virtual_in = float(v_row["s"] or 0.0)
+
+        def to_weight(t: pa.Table) -> pa.Table:
+            cash = t.column("cash").to_numpy(zero_copy_only=False)
+            deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+            deg = np.nan_to_num(deg, nan=0.0)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "w": pa.array(cash / (deg + 1.0), pa.float64()),
+                }
+            )
+
+        weights = state.map_batches(to_weight, batch_format="pyarrow")
+        contribs = merge_join(
+            edges, weights, left_on="src", right_on="node",
+            right_cols=["w"], how="inner",
+        )
+        sums = contribs.groupby("dst").aggregate(Sum("w", alias_name="s"))
+        joined = merge_join(
+            state, sums, left_on="node", right_on="dst",
+            right_cols=["s"], how="left",
+        )
+
+        def advance(t: pa.Table, _vc=virtual_cash) -> pa.Table:
+            cash = t.column("cash").to_numpy(zero_copy_only=False)
+            hist = t.column("hist").to_numpy(zero_copy_only=False)
+            s = np.nan_to_num(
+                t.column("s").to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0,
+            )
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "deg": t.column("deg"),
+                    "cash": pa.array(s + _vc / n, pa.float64()),
+                    "hist": pa.array(hist + cash, pa.float64()),
+                }
+            )
+
+        state = (
+            joined.map_batches(advance, batch_format="pyarrow")
+            .repartition(parts)
+            .materialize()
+        )
+        virtual_cash = virtual_in
+
+    tot_row = state.aggregate(Sum("hist", alias_name="s"))
+    total = float(tot_row["s"] or 0.0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        h = t.column("hist").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "opic": pa.array(
+                    np.round(h / total if total > 0 else h, 6), pa.float64()
+                ),
+            }
+        )
+
+    return state.map_batches(finalize, batch_format="pyarrow")

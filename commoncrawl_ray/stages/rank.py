@@ -93,3 +93,58 @@ def grouped_topk(
     return ds.sort(group_col).map_batches(
         final_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def global_sorted_rank(ds, sort_cols: list[str], rank_name: str = "rank"):
+    """Global 1-based ``row_number() OVER (ORDER BY sort_cols ASC)``
+    without ever holding the table in one block.
+
+    ``sort_cols`` must form a TOTAL order (include a unique tiebreak
+    column LAST — its first-row value then uniquely identifies each
+    sorted block). Two passes over the SAME materialized sorted
+    blocks: pass 1 ships one bounded (first-key, n) summary row per
+    block to the driver (O(num_blocks) traffic, never row data); the
+    driver orders the summaries by the sort key, computes exclusive
+    prefix offsets, and broadcasts a {first_tiebreak: offset} dict in
+    the task closure; pass 2 adds ``offset + arange + 1`` per block,
+    vectorized. Descending orders: negate the numeric column before
+    calling (the ``_neg_*`` convention in pipelines/queries.py)."""
+    tiebreak = sort_cols[-1]
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    **{c: t.column(c).slice(0, 0) for c in sort_cols},
+                    "_n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                **{c: t.column(c).slice(0, 1) for c in sort_cols},
+                "_n": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one row per block — bounded driver traffic
+    summ.sort(key=lambda r: tuple(r[c] for c in sort_cols))
+    offsets: dict = {}
+    acc = 0
+    for r in summ:
+        offsets[r[tiebreak]] = acc
+        acc += r["_n"]
+
+    def add_rank(t: pa.Table, _offs=offsets) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(rank_name, pa.array([], pa.int64()))
+        first = t.column(tiebreak)[0].as_py()
+        start = _offs[first]
+        return t.append_column(
+            rank_name,
+            pa.array(np.arange(start + 1, start + 1 + len(t)), pa.int64()),
+        )
+
+    return sorted_ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)

@@ -909,3 +909,54 @@ def test_salsa_known_graph(ray_session):
     assert rows["h2.com"][1] == pytest.approx(1 / 3, abs=1e-6)
     assert rows["h1.com"][0] == 0.0 and rows["h2.com"][0] == 0.0
     assert rows["a1.com"][1] == 0.0 and rows["a2.com"][1] == 0.0
+
+
+def test_opic_known_graph(ray_session):
+    """h1,h2 -> a1 plus h1 -> a2: OPIC importance from 10 synchronous
+    rounds must match an inline numpy reference applying identical
+    updates (cash split over outdeg+1, virtual page return, history
+    accumulation, normalize, round 6)."""
+    from commoncrawl_ray.stages.pagerank import opic_hosts
+    import ray.data as rd_
+
+    t = pa.table(
+        {
+            "url": pa.array(["http://h1.com/", "http://h2.com/"]),
+            "anchors": pa.array(
+                [
+                    "http://a1.com/\nx\nhttp://a2.com/\ny",
+                    "http://a1.com/\nz",
+                ]
+            ),
+            "base_url": pa.array(["", ""]),
+        }
+    )
+    rows = {
+        r["host"]: r["opic"]
+        for r in opic_hosts(rd_.from_arrow(t)).take_all()
+    }
+
+    # inline reference over the same 4-node graph (sorted node order:
+    # a1, a2, h1, h2), edges h1->a1, h1->a2, h2->a1
+    nodes = ["a1.com", "a2.com", "h1.com", "h2.com"]
+    src = np.array([2, 2, 3])
+    dst = np.array([0, 1, 0])
+    n = 4
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    cash = np.full(n, 1.0 / n)
+    hist = np.zeros(n)
+    vc = 0.0
+    for _ in range(10):
+        w = cash / (deg + 1.0)
+        virtual_in = float(w.sum())
+        s = np.zeros(n)
+        np.add.at(s, dst, w[src])
+        hist = hist + cash
+        cash = s + vc / n
+        vc = virtual_in
+    expect = np.round(hist / hist.sum(), 6)
+    assert set(rows) == set(nodes)
+    for i, h in enumerate(nodes):
+        assert rows[h] == pytest.approx(expect[i], abs=1e-9), h
+    # a1 has two in-links, a2 one: strictly more important
+    assert rows["a1.com"] > rows["a2.com"]

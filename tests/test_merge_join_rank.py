@@ -157,3 +157,27 @@ def test_merge_join_anti_empty_result_keeps_schema(ray_session):
     out = merge_join(left, _right(), "k", "rk", [], how="anti")
     assert out.count() == 0
     assert out.schema().names == ["k", "lv"]
+
+
+def test_global_sorted_rank_matches_sequential(ray_session):
+    """global_sorted_rank over a shuffled multi-block dataset must
+    equal the sequential argsort row_number — including ties in the
+    value column broken by the unique tiebreak."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from commoncrawl_ray.stages.rank import global_sorted_rank
+
+    rng = np.random.default_rng(7)
+    n = 500
+    val = rng.integers(0, 40, n).astype(np.float64)  # heavy ties
+    key = np.array([f"k{i:04d}" for i in rng.permutation(n)])
+    t = pa.table({"v": pa.array(val), "key": pa.array(key)})
+    ds = rd.from_arrow(t).repartition(13)
+    out = {
+        r["key"]: r["rank"]
+        for r in global_sorted_rank(ds, ["v", "key"], "rank").take_all()
+    }
+    order = sorted(range(n), key=lambda i: (val[i], key[i]))
+    for rank0, i in enumerate(order):
+        assert out[key[i]] == rank0 + 1

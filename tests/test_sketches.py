@@ -146,3 +146,33 @@ def test_kll_exact_mode_matches_percentile_disc_and_bounds_rank_error():
     for q in (0.05, 0.25, 0.5, 0.75, 0.95):
         rank = np.searchsorted(svv, acc.quantile(q)) / len(vv)
         assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_countmin_properties():
+    """CMS never undercounts; is exact when width >> distinct keys;
+    tree merge of arbitrary splits is bit-identical to one fold."""
+    import numpy as np
+    from commoncrawl_ray.functions.minhash import fnv1a_batch
+    from commoncrawl_ray.functions.sketches import CountMin
+    import pyarrow as pa
+
+    rs = np.random.RandomState(3)
+    keys = [f"tok{i}" for i in range(300)]
+    counts = rs.randint(1, 50, len(keys)).astype(np.int64)
+    h = fnv1a_batch(pa.array(keys, pa.string()))
+
+    wide = CountMin(4, 1 << 14).add_hashed(h, counts)
+    assert np.array_equal(wide.estimate_hashed(h), counts)  # exact
+
+    narrow = CountMin(4, 128).add_hashed(h, counts)
+    assert (narrow.estimate_hashed(h) >= counts).all()  # one-sided
+
+    # merge determinism: three arbitrary splits == one fold
+    merged = CountMin(4, 128)
+    for lo, hi in ((0, 70), (70, 200), (200, 300)):
+        merged.merge(CountMin(4, 128).add_hashed(h[lo:hi], counts[lo:hi]))
+    assert np.array_equal(merged.table, narrow.table)
+
+    # serialization round-trip
+    back = CountMin.from_bytes(narrow.to_bytes())
+    assert np.array_equal(back.table, narrow.table)

@@ -854,3 +854,46 @@ def test_winnow_dup_fraction_planted(ray_session):
     assert rows[0]["dup_frac"] == 1.0 and rows[1]["dup_frac"] == 1.0
     assert rows[2]["dup_frac"] == 0.0
     assert 0.2 < rows[3]["dup_frac"] < 0.8
+
+
+def test_ngram_containment_vs_bruteforce(ray_session):
+    """The inverted-index containment pipeline equals brute-force
+    inter/min(|A|,|B|) over random small docs — including a planted
+    short-inside-long pair that Jaccard would miss."""
+    import itertools
+
+    import ray.data as rd
+
+    from commoncrawl_ray.functions.minhash import _ngrams_hashed
+    from commoncrawl_ray.stages.dedup import ngram_containment_pairs
+
+    rs = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for i in range(40):
+        n = rs.randint(0, 30)
+        docs[i] = " ".join(rs.choice(vocab, size=n)) if n else ""
+    # short doc fully contained in a much longer one: containment 1.0,
+    # Jaccard ~ 6/56 — invisible to any resemblance threshold
+    docs[100] = " ".join(f"t{j}" for j in range(10))
+    docs[101] = " ".join(f"t{j}" for j in range(10)) + " " + " ".join(
+        f"u{j}" for j in range(50)
+    )
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = ngram_containment_pairs(ds, threshold_num=1, threshold_den=2).to_pandas()
+    got_map = {
+        (a, b): (i, m)
+        for a, b, i, m in zip(got["id_a"], got["id_b"], got["inter"], got["min_sz"])
+    }
+    want_map = {}
+    grams = {k: _ngrams_hashed(v, 5) for k, v in docs.items()}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        ga, gb = grams[a], grams[b]
+        if ga.size == 0 or gb.size == 0:
+            continue
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        mn = min(ga.size, gb.size)
+        if 2 * inter >= mn and inter > 0:
+            want_map[(a, b)] = (inter, mn)
+    assert want_map[(100, 101)][0] == want_map[(100, 101)][1]  # planted: c = 1.0
+    assert got_map == want_map
