@@ -4663,6 +4663,175 @@ FROM read_parquet('/tmp/ccray_oracle_token_shards.parquet')
 """
 
 
+def q_stale_pages(sf_dir: str):
+    """Stale-page recrawl list — the incremental-crawl scheduler's
+    work queue: every sitemap-PUBLISHED URL whose ``lastmod`` is newer
+    than its latest archive capture (or that was never captured at
+    all) needs a refetch. Joins the two real sources end to end: the
+    XML sitemap inventory (read through the shard cache) LEFT
+    sort-merge-joined to the CDXJ capture index's per-URL max TS14.
+    All-integer staleness arithmetic (lastmod -> TS14 integer, 0 for
+    never-captured), so the DuckDB two-table oracle hash-matches.
+
+    Shape: captures pre-aggregated per URL (groupby max) BEFORE the
+    join, so the exchange carries one row per URL per side; nothing
+    corpus-wide materializes."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from ..sources.cdx import read_cdxj
+    from ..sources.sitemap import read_sitemaps, sitemap_inventory_cache_dir
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_cdx_table, oracle_sitemap_inventory_table
+
+    oracle_cdx_table()
+    oracle_sitemap_inventory_table()
+    sm = read_sitemaps(sitemap_inventory_cache_dir(0.001, 42)).select_columns(
+        ["url", "lastmod"]
+    )
+    caps = (
+        read_cdxj(_cdx_query_index_dir())
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "url": t.column("url"),
+                    "ts_i": pc.cast(t.column("ts14"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("url")
+        .aggregate(Max("ts_i", alias_name="last_ts14"))
+    )
+    j = merge_join(sm, caps, "url", "url", ["last_ts14"], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        last = pc.coalesce(t.column("last_ts14"), pa.scalar(0, pa.int64()))
+        lm_ts = pc.cast(
+            pc.binary_join_element_wise(
+                pc.replace_substring(t.column("lastmod"), "-", ""), "000000", ""
+            ),
+            pa.int64(),
+        )
+        stale = pc.cast(pc.less(last, lm_ts), pa.int64())
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "lastmod": t.column("lastmod"),
+                "last_ts14": last,
+                "stale": stale,
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_STALE_PAGES = f"""
+WITH caps AS (
+  SELECT url, MAX(CAST(ts14 AS BIGINT)) AS last_ts14
+  FROM read_parquet('{CDX_ORACLE_PATH}') GROUP BY url
+)
+SELECT s.url, s.lastmod,
+       CAST(COALESCE(c.last_ts14, 0) AS BIGINT) AS last_ts14,
+       CAST(CASE WHEN COALESCE(c.last_ts14, 0)
+                      < CAST(replace(s.lastmod, '-', '') || '000000' AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS stale
+FROM read_parquet('{SITEMAP_INV_ORACLE_PATH}') s
+LEFT JOIN caps c USING (url)
+"""
+
+
+_BLOCK_SUFFIXES = [".com", ".org", ".co.jp", "portal.com"]
+
+
+def q_url_host_blocklist(sf_dir: str):
+    """URL blocklist census — the C4/CCNet-style domain-filter step
+    (both drop documents by host blocklists before any content work):
+    per host, page count plus which blocklist suffix (LONGEST match,
+    the functions/matchers.SuffixMatcher rule the reference's
+    prefix/suffix matchers implement — P20) would block it. The
+    deliberately overlapping list (``portal.com`` inside ``.com``)
+    exercises the longest-match tie against the SQL CASE ordered by
+    suffix length.
+
+    Shape: host extracted vectorized from the canonical URL, per-batch
+    (host, n) pre-agg so the ONE groupby exchange carries host-scale
+    rows, then a node-scale vectorized suffix pass (mask per suffix,
+    ascending length, longer overwrites). SQL-checked against the
+    pinned URL-inventory oracle parquet with LIKE logic."""
+    import os
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from .oracle_sketch import oracle_sitemap_inventory_table
+
+    oracle_sitemap_inventory_table()
+    sf = min(sf_from_dir(sf_dir), 0.001)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+
+    def pre(t: pa.Table) -> pa.Table:
+        # raw URLs carry case variants the canonicalizer collapses —
+        # lowercase the authority (P9 host rule) before the census
+        hosts = pc.utf8_lower(
+            pc.list_element(
+                pc.split_pattern(pc.utf8_slice_codeunits(t.column("url"), 7), "/"), 0
+            )
+        )
+        return (
+            pa.table({"host": hosts, "n": pa.array([1] * len(t), pa.int64())})
+            .group_by("host")
+            .aggregate([("n", "sum")])
+            .rename_columns(["host", "n"])
+        )
+
+    agg = (
+        rd.read_parquet(path, columns=["url"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n_pages"))
+    )
+
+    def attribute(t: pa.Table) -> pa.Table:
+        hosts = t.column("host")
+        blocked_by = pa.array([""] * len(t), pa.string())
+        for s in sorted(set(_BLOCK_SUFFIXES), key=lambda x: (len(x), x)):
+            m = pc.ends_with(hosts, pattern=s)
+            blocked_by = pc.if_else(m, pa.scalar(s, pa.string()), blocked_by)
+        return pa.table(
+            {
+                "host": hosts,
+                "n_pages": t.column("n_pages").cast(pa.int64()),
+                "blocked_by": blocked_by,
+                "blocked": pc.cast(pc.not_equal(blocked_by, ""), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(attribute, batch_format="pyarrow")
+
+
+SQL_URL_HOST_BLOCKLIST = f"""
+WITH h AS (
+  SELECT split_part(substr(url, 8), '/', 1) AS host
+  FROM read_parquet('{SITEMAP_INV_ORACLE_PATH}')
+),
+c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM h GROUP BY host)
+SELECT host, n_pages,
+       CASE WHEN host LIKE '%portal.com' THEN 'portal.com'
+            WHEN host LIKE '%.co.jp' THEN '.co.jp'
+            WHEN host LIKE '%.com' THEN '.com'
+            WHEN host LIKE '%.org' THEN '.org'
+            ELSE '' END AS blocked_by,
+       CAST(CASE WHEN host LIKE '%portal.com' OR host LIKE '%.co.jp'
+                      OR host LIKE '%.com' OR host LIKE '%.org'
+                 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM c
+"""
+
+
 def q_sitemap_coverage(sf_dir: str):
     """Sitemap-vs-archive coverage audit: which of the URLs a site
     PUBLISHES (its sitemap inventory, read through the real XML shard
@@ -10447,6 +10616,8 @@ REGISTRY: dict[str, tuple] = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
     "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
+    "stale_pages": (q_stale_pages, SQL_STALE_PAGES),
+    "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "token_shard_export": (q_token_shard_export, SQL_TOKEN_SHARD_EXPORT),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
