@@ -2214,6 +2214,73 @@ def oracle_kcore_table(sf_dir: str, path: str = KCORE_ORACLE_PATH) -> str:
     return _write_atomic(out, path, src_key)
 
 
+KTRUSS_ORACLE_PATH = "/tmp/ccray_oracle_ktruss.parquet"
+
+
+def oracle_ktruss_table(
+    sf_dir: str, k: int = 4, path: str = KTRUSS_ORACLE_PATH
+) -> str:
+    """Sequential exact maximal k-truss over the same distinct host
+    edge set the graph queries use, viewed undirected with self-loops
+    dropped: classic support peeling (Cohen 2008) — compute per-edge
+    triangle support |N(u) & N(v)|, repeatedly delete any edge with
+    support < k-2, decrementing the support of the two co-triangle
+    edges it leaves behind, until stable. Plain Python adjacency
+    sets. Output (host, truss_deg) = per-node incident truss-edge
+    count over the surviving subgraph."""
+    from collections import Counter, deque
+
+    src_key = f"{os.path.abspath(sf_dir)}|ktruss{k}"
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(src_i.tolist(), dst_i.tolist()):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive: set[tuple[int, int]] = {
+        (u, v) for u, ns in adj.items() for v in ns if u < v
+    }
+    sup: dict[tuple[int, int], int] = {
+        (u, v): len(adj[u] & adj[v]) for (u, v) in alive
+    }
+    thresh = k - 2
+    q = deque(e for e, s in sup.items() if s < thresh)
+    while q:
+        e = q.popleft()
+        if e not in alive:
+            continue
+        alive.discard(e)
+        u, v = e
+        for w in adj[u] & adj[v]:
+            for f in (
+                (min(u, w), max(u, w)),
+                (min(v, w), max(v, w)),
+            ):
+                if f in alive:
+                    sup[f] -= 1
+                    if sup[f] < thresh:
+                        q.append(f)
+        adj[u].discard(v)
+        adj[v].discard(u)
+    deg: Counter = Counter()
+    for u, v in alive:
+        deg[u] += 1
+        deg[v] += 1
+    order = sorted(deg)
+    out = pa.table(
+        {
+            "host": pa.array([nodes[i] for i in order], pa.string()),
+            "truss_deg": pa.array(
+                np.array([deg[i] for i in order], dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 DIVERSITY_ORACLE_PATH = "/tmp/ccray_oracle_diversity.parquet"
 
 

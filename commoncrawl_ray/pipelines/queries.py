@@ -1991,6 +1991,53 @@ FROM read_parquet('/tmp/ccray_oracle_kcore.parquet')
 """
 
 
+def q_ktruss_hosts(sf_dir: str):
+    """Maximal 4-truss of the crawl's host graph viewed undirected
+    (Cohen 2008): the largest subgraph where every edge closes >= 2
+    triangles inside it — the cohesion census one level above
+    triangle counting and strictly inside the 3-core (dense
+    link-farm / community cores). Output (host, truss_deg) for every
+    host in the truss.
+
+    Shape: stages/pagerank.k_truss_hosts — batch peeling to fixpoint
+    on the int64 FNV-1a hash wire; per round ONE sort(u) co-partition
+    with capped np.triu_indices wedge emission, ONE union+sort semi
+    merge_join closing wedges against the edge-key set, a
+    triangle->3-edges explode + groupby support count, and a semi
+    join keeping supported edges. Batch and sequential peeling
+    converge to the same unique maximal truss, so the sequential
+    Cohen peel (oracle_sketch.oracle_ktruss_table) is exact parity."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_host_edges_batch, k_truss_hosts
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_ktruss_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_ktruss_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return k_truss_hosts(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_KTRUSS_HOSTS = """
+SELECT host, truss_deg
+FROM read_parquet('/tmp/ccray_oracle_ktruss.parquet')
+"""
+
+
 def q_bowtie_decomposition(sf_dir: str):
     """Bow-tie decomposition of the crawl's host graph (Broder et al.
     2000): every host labeled SCC / IN / OUT / OTHER relative to the
@@ -3426,6 +3473,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_hyperball_table,
         oracle_ip_colocation_table,
         oracle_kcore_table,
+        oracle_ktruss_table,
         oracle_lpa_table,
         oracle_mirror_table,
         oracle_orphan_table,
@@ -3443,6 +3491,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_crawl_trap_table()
     oracle_recip_links_table(sf_dir)
     oracle_kcore_table(sf_dir)
+    oracle_ktruss_table(sf_dir)
     oracle_ip_colocation_table(sf_dir)
     oracle_hyperball_table(sf_dir)
     oracle_hyperanf_table(sf_dir)
@@ -10468,6 +10517,7 @@ REGISTRY: dict[str, tuple] = {
     "spam_mass_hosts": (q_spam_mass_hosts, SQL_SPAM_MASS_HOSTS),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
+    "ktruss_hosts": (q_ktruss_hosts, SQL_KTRUSS_HOSTS),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),

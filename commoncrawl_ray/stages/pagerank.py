@@ -942,6 +942,253 @@ def k_core_hosts(edge_ds, max_iters: int = 64, parts: int = 8):
     )
 
 
+def _fuse_int_keys(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized decimal-string fusion of two int64 arrays into one
+    unique, sortable join key ("<a>|<b>"). U20 holds any int64 incl.
+    the sign. Decimal strings keep the key exact (no hash-combine
+    collision risk inside an iterative peel); a 100 TB graph would
+    pack the pair into one int128/fixed-binary column instead."""
+    return np.char.add(np.char.add(a.astype("U20"), "|"), b.astype("U20"))
+
+
+def k_truss_hosts(
+    edge_ds,
+    k: int = 4,
+    max_degree: int | None = 4096,
+    parts: int = 8,
+    max_iters: int = 64,
+):
+    """Maximal k-truss of the host graph viewed undirected (Cohen
+    2008, "Trusses: cohesive subgraphs for social network analysis"):
+    the largest subgraph in which EVERY edge closes >= k-2 triangles
+    within the subgraph — a strictly denser cohesion signal than
+    k-core (every k-truss is inside the (k-1)-core), the standard
+    link-farm/community-core detector one level above triangles.
+
+    Batch peeling to fixpoint: each round recomputes per-edge support
+    from scratch and drops ALL under-supported edges at once; batch
+    and sequential peeling converge to the same unique maximal
+    k-truss, so the sequential oracle (oracle_sketch.py
+    oracle_ktruss_table) is exact parity.
+
+    Scale shape (the k_core_hosts discipline): FNV-1a int64 hash wire
+    (host strings only in the final translation join); the canonical
+    undirected distinct edge table materialized per round (edge-scale,
+    two int64 columns); support via the triangle_count node-order
+    wedge check — sort(u) co-partition, per-apex ``np.triu_indices``
+    wedge emission capped at ``max_degree`` with skip counters, ONE
+    union+sort semi merge_join against the edge-key set, then a
+    triangle->3-edges explode + groupby count. Every per-round
+    exchange is edge/wedge-scale; nothing corpus-scale ever sits in
+    one block. Rounds are bounded by ``max_iters`` (the truss peel
+    removes >= 1 edge per non-final round, and real host graphs
+    settle in a handful).
+
+    Returns (host, truss_deg): hosts in the k-truss with their
+    incident truss-edge count.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.minhash import fnv1a_batch
+    from ..state.counters import count_skip
+    from .joins import merge_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([si, di])),
+                "v": pa.array(np.concatenate([di, si])),
+                "u_host": pa.concat_arrays([s, d]),
+            }
+        )
+
+    hashed = edge_ds.map_batches(both_dirs, batch_format="pyarrow")
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        keep = u < v  # one canonical direction; also drops self-loops
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    edges = (
+        _distinct_sorted(
+            hashed.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    id_host = (
+        _distinct_sorted(
+            hashed.map_batches(
+                lambda t: pa.table(
+                    {"id": t.column("u"), "host": t.column("u_host")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["id"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+
+    empty_out = rd.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "truss_deg": pa.array([], pa.int64()),
+            }
+        )
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty_out
+
+    # wedges from apex a over its higher neighbors b<c close at edge
+    # (b,c); each closed wedge IS the triangle {a<b<c}, whose three
+    # canonical edges (a,b), (a,c), (b,c) each gain 1 support — so the
+    # apex rides along for the explode.
+    wedge_schema = pa.schema(
+        [("key", pa.string()), ("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]
+    )
+
+    def wedges_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return wedge_schema.empty_table()
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        az: list[np.ndarray] = []
+        bs: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
+        skipped = 0
+        for s, e in zip(starts, ends):
+            deg = e - s
+            if deg < 2:
+                continue
+            if max_degree is not None and deg > max_degree:
+                skipped += 1
+                continue
+            nb = v[s:e]  # sorted ascending (lexsort secondary key)
+            ii, jj = np.triu_indices(deg, 1)
+            az.append(np.full(len(ii), u[s], dtype=np.int64))
+            bs.append(nb[ii])
+            cs.append(nb[jj])
+        if skipped:
+            count_skip("ktruss", buckets=skipped)
+        if not bs:
+            return wedge_schema.empty_table()
+        a = np.concatenate(az)
+        b = np.concatenate(bs)
+        c = np.concatenate(cs)
+        return pa.table(
+            {
+                "key": pa.array(_fuse_int_keys(b, c)),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "c": pa.array(c),
+            },
+            schema=wedge_schema,
+        )
+
+    def edge_with_key(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(_fuse_int_keys(u, v)),
+                "u": t.column("u"),
+                "v": t.column("v"),
+            }
+        )
+
+    def explode_triangle_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        # a < b < c, so (a,b), (a,c), (b,c) are already canonical
+        eu = np.concatenate([a, a, b])
+        ev = np.concatenate([b, c, c])
+        return pa.table({"ekey": pa.array(_fuse_int_keys(eu, ev))})
+
+    thresh = k - 2
+    for _ in range(max_iters):
+        wedges = edges.sort("u").map_batches(
+            wedges_block, batch_format="pyarrow", batch_size=None
+        )
+        ekeys = edges.map_batches(
+            lambda t: edge_with_key(t).select(["key"]), batch_format="pyarrow"
+        )
+        tris = merge_join(wedges, ekeys, "key", "key", [], how="semi")
+        supports = (
+            tris.map_batches(explode_triangle_edges, batch_format="pyarrow")
+            .groupby("ekey")
+            .count()
+        )
+        ok = supports.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.filter(
+                        pc.greater_equal(t.column("count()"), thresh)
+                    ).column("ekey")
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        survivors = (
+            merge_join(
+                edges.map_batches(edge_with_key, batch_format="pyarrow"),
+                ok,
+                "key",
+                "key",
+                [],
+                how="semi",
+            )
+            .map_batches(
+                lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+            )
+            .repartition(parts)
+            .materialize()
+        )
+        m = survivors.count()
+        edges = survivors
+        if m == 0:
+            return empty_out
+        if m == n_edges:
+            break
+        n_edges = m
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]))})
+
+    deg = (
+        edges.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+    )
+    out = merge_join(deg, id_host, "node", "id", ["host"], how="inner")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("host"),
+                "truss_deg": t.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def ip_colocation_stats(edge_ds):
     """IP-colocation census over the link graph's host universe:
     every host resolved to its IPv4 (the same deterministic

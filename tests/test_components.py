@@ -541,6 +541,108 @@ def test_kcore_matches_sequential_random(ray_session):
     assert rows == expect
 
 
+def _sequential_ktruss(edges, k):
+    """Sequential Cohen support peel (the oracle algorithm) over
+    (src, dst) string pairs -> {host: truss_deg}."""
+    from collections import Counter, deque
+
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = {(u, v) for u, ns in adj.items() for v in ns if u < v}
+    sup = {(u, v): len(adj[u] & adj[v]) for (u, v) in alive}
+    q = deque(e for e, s in sup.items() if s < k - 2)
+    while q:
+        e = q.popleft()
+        if e not in alive:
+            continue
+        alive.discard(e)
+        u, v = e
+        for w in adj[u] & adj[v]:
+            for f in ((min(u, w), max(u, w)), (min(v, w), max(v, w))):
+                if f in alive:
+                    sup[f] -= 1
+                    if sup[f] < k - 2:
+                        q.append(f)
+        adj[u].discard(v)
+        adj[v].discard(u)
+    deg: Counter = Counter()
+    for u, v in alive:
+        deg[u] += 1
+        deg[v] += 1
+    return dict(deg)
+
+
+def test_ktruss_known_graph(ray_session):
+    """Hand-built graph: a 5-clique (every edge closes 3 triangles ->
+    survives the 4-truss), a separate triangle (support 1 -> peeled),
+    a pendant (support 0 -> peeled), and a diamond (4-cycle + one
+    diagonal) whose peel must CASCADE to nothing: removing the
+    support-1 rim edges destroys the triangles that supported the
+    diagonal. Direction, self-loops and duplicate edges must not
+    matter."""
+    from commoncrawl_ray.stages.pagerank import k_truss_hosts
+
+    edges = []
+    clique = [f"c{i}.com" for i in range(1, 6)]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((clique[i], clique[j]))
+    edges += [
+        ("p.com", "c1.com"),  # pendant
+        ("t1.net", "t2.net"), ("t2.net", "t3.net"), ("t3.net", "t1.net"),
+        # diamond a-b-c-d with diagonal a-c: two triangles, all
+        # support < 2 once the rim starts peeling
+        ("a.org", "b.org"), ("b.org", "c.org"), ("c.org", "d.org"),
+        ("d.org", "a.org"), ("a.org", "c.org"),
+        # noise
+        ("c1.com", "c1.com"), ("c2.com", "c1.com"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges]),
+        }
+    )
+    rows = {
+        r["host"]: r["truss_deg"]
+        for r in k_truss_hosts(rd.from_arrow(t), k=4).take_all()
+    }
+    assert rows == {h: 4 for h in clique}
+
+
+def test_ktruss_matches_sequential_random(ray_session):
+    """Random graph cross-check at k=3 and k=4: distributed batch
+    peeling == the sequential Cohen support peel on the same
+    undirected edge set (both converge to the unique maximal
+    k-truss)."""
+    from commoncrawl_ray.stages.pagerank import k_truss_hosts
+
+    rng = np.random.default_rng(11)
+    n = 40
+    m = 260
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    names = [f"h{i}.com" for i in range(n)]
+    pairs = [(names[i], names[j]) for i, j in zip(src.tolist(), dst.tolist())]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in pairs]),
+            "dst": pa.array([e[1] for e in pairs]),
+        }
+    )
+    for k in (3, 4):
+        expect = _sequential_ktruss(pairs, k)
+        rows = {
+            r["host"]: r["truss_deg"]
+            for r in k_truss_hosts(rd.from_arrow(t), k=k).take_all()
+        }
+        assert rows == expect
+
+
 def test_ip_colocation_shared_ip_counts(ray_session):
     """Hosts resolve via the deterministic fingerprint model; the
     census must report, for every host, how many hosts share its IP —
