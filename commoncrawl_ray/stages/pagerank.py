@@ -608,27 +608,31 @@ def triangle_count(edge_ds, max_degree: int | None = 4096):
 
     Returns a 1-row Dataset (n_triangles int64).
 
-    Scale note: wedge keys are built as Python strings (bounded by
-    max_degree² per apex); a 100 TB host graph would fuse the two
-    host fingerprints into one int64/128 key instead — the string key
-    keeps the plain-SQL oracle shared verbatim.
+    Wire: hosts are FNV-1a-hashed to int64 at the canonicalize step
+    (the k_core_hosts hash-wire discipline — r5 upgrade from the
+    earlier host-string wedge keys), so the wedge exchange carries one
+    vectorized "<b>|<c>" decimal fusion per candidate instead of two
+    host strings; collisions ~V²/2^64, negligible (the standing
+    hash-wire bound).
     """
-    import pyarrow.compute as pc
     import ray.data as rd
 
+    from ..functions.minhash import fnv1a_batch
     from ..state.counters import count_skip
     from .joins import merge_join
 
     def canon(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        lo = np.minimum(s, d)
-        hi = np.maximum(s, d)
-        return pa.table(
-            {"u": pa.array(lo, pa.string()), "v": pa.array(hi, pa.string())}
-        )
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        keep = si != di
+        si, di = si[keep], di[keep]
+        lo = np.minimum(si, di)
+        hi = np.maximum(si, di)
+        return pa.table({"u": pa.array(lo), "v": pa.array(hi)})
 
     edges = _distinct_sorted(
         edge_ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
@@ -643,7 +647,8 @@ def triangle_count(edge_ds, max_degree: int | None = 4096):
         u, v = u[order], v[order]
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         ends = np.r_[starts[1:], len(u)]
-        keys: list[str] = []
+        bs: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
         skipped = 0
         for s, e in zip(starts, ends):
             k = e - s
@@ -654,18 +659,24 @@ def triangle_count(edge_ds, max_degree: int | None = 4096):
                 continue
             nb = v[s:e]  # already sorted (lexsort secondary key)
             ii, jj = np.triu_indices(k, 1)
-            keys.extend(a + "|" + b for a, b in zip(nb[ii], nb[jj]))
+            bs.append(nb[ii])
+            cs.append(nb[jj])
         if skipped:
             count_skip("triangles", buckets=skipped)
-        return pa.table({"key": pa.array(keys, pa.string())})
+        if not bs:
+            return pa.schema([("key", pa.string())]).empty_table()
+        return pa.table(
+            {"key": pa.array(_fuse_int_keys(np.concatenate(bs), np.concatenate(cs)))}
+        )
 
     wedges = edges.sort("u").map_batches(
         wedges_block, batch_format="pyarrow", batch_size=None
     )
 
     def edge_keys(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(t.column("u"), t.column("v"), "|")
-        return pa.table({"key": key})
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(_fuse_int_keys(u, v))})
 
     closed = merge_join(
         wedges,
