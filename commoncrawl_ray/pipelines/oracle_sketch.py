@@ -2281,6 +2281,80 @@ def oracle_ktruss_table(
     return _write_atomic(out, path, src_key)
 
 
+RWR_ORACLE_PATH = "/tmp/ccray_oracle_rwr.parquet"
+
+
+def oracle_rwr_table(
+    sf_dir: str,
+    path: str = RWR_ORACLE_PATH,
+    n_seeds: int = 4,
+    walks_per_seed: int = 25,
+    steps: int = 8,
+    restart_p: float = 0.15,
+) -> str:
+    """Sequential bit-exact replay of stages/pagerank.random_walk_visits
+    over the same distinct directed non-self host edge set: identical
+    FNV-1a node ids, identical SplitMix64 choice/restart hashes
+    (rwr_choice_score / rwr_restarts — the shared numeric kernels),
+    identical top-out-degree seed pick (ties to the smallest host).
+    Plain Python walk loop."""
+    from collections import Counter
+
+    from ..functions.minhash import fnv1a_batch
+    from ..stages.pagerank import rwr_choice_score, rwr_restarts
+
+    src_key = (
+        f"{os.path.abspath(sf_dir)}|rwr{n_seeds},{walks_per_seed},{steps},{restart_p}"
+    )
+    if _is_fresh(path, src_key):
+        return path
+    nodes, src_i, dst_i = _sequential_host_edges(sf_dir)
+    ids = fnv1a_batch(pa.array(nodes, pa.string())).view(np.int64)
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(src_i.tolist(), dst_i.tolist()):
+        su, du = int(ids[s]), int(ids[d])
+        if su == du:
+            continue
+        adj.setdefault(su, set()).add(du)
+    id_to_host = {int(i): h for i, h in zip(ids, nodes)}
+    # seeds: top out-degree, ties to the smallest host string
+    ranked = sorted(
+        ((u, ns) for u, ns in adj.items()),
+        key=lambda kv: (-len(kv[1]), id_to_host[kv[0]]),
+    )
+    seed_ids = [u for u, _ in ranked[:n_seeds]]
+    adj_arr = {u: np.array(sorted(ns), dtype=np.int64) for u, ns in adj.items()}
+    visits: Counter = Counter()
+    for i, sid in enumerate(seed_ids):
+        for j in range(walks_per_seed):
+            w = i * walks_per_seed + j
+            cur = sid
+            visits[cur] += 1
+            for step in range(1, steps + 1):
+                restart = bool(
+                    rwr_restarts(np.array([w], np.int64), step, restart_p)[0]
+                )
+                cand = adj_arr.get(cur)
+                if restart or cand is None or len(cand) == 0:
+                    cur = sid
+                else:
+                    score = rwr_choice_score(
+                        np.array([w], np.int64), step, cand
+                    )
+                    cur = int(cand[np.lexsort((cand, score))[0]])
+                visits[cur] += 1
+    order = sorted(visits, key=lambda u: id_to_host[u])
+    out = pa.table(
+        {
+            "host": pa.array([id_to_host[u] for u in order], pa.string()),
+            "visits": pa.array(
+                np.array([visits[u] for u in order], dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 DIVERSITY_ORACLE_PATH = "/tmp/ccray_oracle_diversity.parquet"
 
 

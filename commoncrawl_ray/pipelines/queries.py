@@ -2038,6 +2038,51 @@ FROM read_parquet('/tmp/ccray_oracle_ktruss.parquet')
 """
 
 
+def q_rwr_host_sample(sf_dir: str):
+    """Random-walk-with-restart sample of the crawl's host graph
+    (Leskovec & Faloutsos 2006 graph sampling; PPR by simulation):
+    4 top-out-degree seed hosts x 25 walkers x 8 steps, restart
+    p=0.15 — the frontier-seeding / hub-neighborhood census. Output
+    (host, visits) over every visited host.
+
+    Shape: stages/pagerank.random_walk_visits — adjacency on the
+    int64 FNV-1a hash wire built once; per step ONE walker-scale LEFT
+    merge_join against adjacency plus ONE sort(w) co-partitioned
+    block-local argmin; every decision a SplitMix64 hash of (walker,
+    step, neighbor) with a neighbor-id tiebreak, so the sequential
+    oracle (oracle_sketch.oracle_rwr_table) replays the walk
+    bit-for-bit."""
+    import os
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import extract_host_edges_batch, random_walk_visits
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_rwr_table
+
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_rwr_table(sf_dir)
+    parsed = (
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return random_walk_visits(
+        parsed.map_batches(extract_host_edges_batch, batch_format="pyarrow")
+    )
+
+
+SQL_RWR_HOST_SAMPLE = """
+SELECT host, visits
+FROM read_parquet('/tmp/ccray_oracle_rwr.parquet')
+"""
+
+
 def q_bowtie_decomposition(sf_dir: str):
     """Bow-tie decomposition of the crawl's host graph (Broder et al.
     2000): every host labeled SCC / IN / OUT / OTHER relative to the
@@ -3474,6 +3519,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_ip_colocation_table,
         oracle_kcore_table,
         oracle_ktruss_table,
+        oracle_rwr_table,
         oracle_lpa_table,
         oracle_mirror_table,
         oracle_orphan_table,
@@ -3492,6 +3538,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_recip_links_table(sf_dir)
     oracle_kcore_table(sf_dir)
     oracle_ktruss_table(sf_dir)
+    oracle_rwr_table(sf_dir)
     oracle_ip_colocation_table(sf_dir)
     oracle_hyperball_table(sf_dir)
     oracle_hyperanf_table(sf_dir)
@@ -10518,6 +10565,7 @@ REGISTRY: dict[str, tuple] = {
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
     "ktruss_hosts": (q_ktruss_hosts, SQL_KTRUSS_HOSTS),
+    "rwr_host_sample": (q_rwr_host_sample, SQL_RWR_HOST_SAMPLE),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),

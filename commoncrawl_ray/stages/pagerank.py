@@ -1200,6 +1200,249 @@ def k_truss_hosts(
     )
 
 
+_MIX_K1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX_K2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_K3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over uint64 — the walk's only randomness
+    source, so distributed and sequential replays agree bit-for-bit
+    (no wall clock, no RNG state; the determinism toolkit rule)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= _MIX_K2
+    x ^= x >> np.uint64(27)
+    x *= _MIX_K3
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def rwr_choice_score(w, step: int, v) -> np.ndarray:
+    """Per-(walker, step, neighbor) uniform score; the walker moves to
+    the neighbor minimizing (score, v) — argmin of an i.i.d. uniform
+    hash IS a uniform choice, and the v tiebreak makes the pick
+    independent of row order on either side."""
+    return _mix64(
+        (np.asarray(w, np.uint64) * _MIX_K1)
+        ^ (np.uint64(step) * _MIX_K2)
+        ^ np.asarray(v, np.uint64)
+    )
+
+
+def rwr_restarts(w, step: int, restart_p: float) -> np.ndarray:
+    """Per-(walker, step) restart decision: mix < p * 2^64."""
+    thr = np.uint64(int(restart_p * 2.0**64))
+    return (
+        _mix64((np.asarray(w, np.uint64) * _MIX_K1) ^ (np.uint64(step) * _MIX_K3))
+        < thr
+    )
+
+
+def random_walk_visits(
+    edge_ds,
+    n_seeds: int = 4,
+    walks_per_seed: int = 25,
+    steps: int = 8,
+    restart_p: float = 0.15,
+    seeds: list | None = None,
+    parts: int = 4,
+):
+    """Random-walk-with-restart sampling of the directed host graph
+    (the PPR-by-simulation / graph-sampling primitive — Leskovec &
+    Faloutsos 2006, "Sampling from large graphs"; crawl use: frontier
+    seeding and neighborhood census around hub hosts). ``n_seeds``
+    top-out-degree hosts (ties to the lexicographically smallest host)
+    each launch ``walks_per_seed`` walkers; per step a walker restarts
+    to its seed with probability ``restart_p`` (always, on a dead
+    end), else moves to a uniformly chosen out-neighbor. Returns
+    (host, visits): total node visits over all walkers and steps,
+    including each walker's step-0 seed visit.
+
+    Determinism: every decision is a SplitMix64 hash of (walker id,
+    step, neighbor hash) — argmin of the per-neighbor scores with a
+    neighbor-id tiebreak is a uniform pick that no row order, block
+    boundary or reduction order can perturb, so the sequential oracle
+    (oracle_sketch.oracle_rwr_table) replays the walk bit-for-bit.
+
+    Scale shape: adjacency is the distinct directed non-self edge
+    table on the int64 FNV-1a hash wire, built ONCE and materialized;
+    each step is ONE walker-scale merge_join (walkers against
+    adjacency on the current node, LEFT so dead ends surface as null
+    neighbors) plus ONE sort(w) co-partitioned block-local argmin —
+    exchanges carry walker-rows (three int64s × fan-out), never the
+    graph. 10^7 walkers over a 10^9-node graph stream through the
+    same two exchanges per step; the per-run Python loop inside a
+    block is bounded by walkers-per-block, with the argmin itself
+    vectorized."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.minhash import fnv1a_batch
+    from .joins import merge_join
+
+    def hash_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        keep = si != di
+        return pa.table(
+            {
+                "u": pa.array(si[keep]),
+                "v": pa.array(di[keep]),
+                "u_host": s.filter(pa.array(keep)),
+            }
+        )
+
+    hashed = edge_ds.map_batches(hash_edges, batch_format="pyarrow")
+    adj = (
+        _distinct_sorted(
+            hashed.map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
+            ["u", "v"],
+        )
+        .repartition(parts)
+        .materialize()
+    )
+    # id -> host over the full universe (dst hosts included so visit
+    # rows always translate)
+    def both_ids(t: pa.Table) -> pa.Table:
+        s = t.column("src")
+        d = t.column("dst")
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        si = fnv1a_batch(s).view(np.int64)
+        di = fnv1a_batch(d).view(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([si, di])),
+                "host": pa.concat_arrays([s, d]),
+            }
+        )
+
+    id_host = (
+        _distinct_sorted(
+            edge_ds.map_batches(both_ids, batch_format="pyarrow"), ["id"]
+        )
+        .repartition(parts)
+        .materialize()
+    )
+
+    empty_out = rd.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "visits": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if adj.count() == 0:
+        return empty_out
+
+    if seeds is None:
+        deg = adj.groupby("u").count()
+        deg_named = merge_join(deg, id_host, "u", "id", ["host"], how="inner")
+        # node-scale top-k: distributed two-key sort, tiny limit
+        top = deg_named.sort(["count()", "host"], descending=[True, False]).limit(
+            n_seeds
+        )
+        seed_hosts = [r["host"] for r in top.take_all()]
+    else:
+        seed_hosts = list(seeds)[:n_seeds]
+    if not seed_hosts:
+        return empty_out
+    seed_ids = fnv1a_batch(pa.array(seed_hosts, pa.string())).view(np.int64)
+
+    n_walk = len(seed_hosts) * walks_per_seed
+    w_ids = np.arange(n_walk, dtype=np.int64)
+    seed_col = np.repeat(seed_ids, walks_per_seed)
+    walkers = rd.from_arrow(
+        pa.table(
+            {
+                "w": pa.array(w_ids),
+                "seed": pa.array(seed_col),
+                "cur": pa.array(seed_col),
+            }
+        )
+    ).materialize()
+    visit_parts = [
+        pa.table({"node": pa.array(seed_col)})  # step-0 seed visits
+    ]
+    visit_dses = []
+
+    def make_step_block(step: int):
+        out_schema = pa.schema(
+            [("w", pa.int64()), ("seed", pa.int64()), ("cur", pa.int64())]
+        )
+
+        def step_block(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return out_schema.empty_table()
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            seed = t.column("seed").to_numpy(zero_copy_only=False)
+            vcol = t.column("v")
+            vnull = pc.is_null(vcol).to_numpy(zero_copy_only=False)
+            v = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
+            order = np.argsort(w, kind="stable")
+            w, seed, v, vnull = w[order], seed[order], v[order], vnull[order]
+            starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+            ends = np.r_[starts[1:], len(w)]
+            out_w = w[starts]
+            out_seed = seed[starts]
+            restart = rwr_restarts(out_w, step, restart_p)
+            out_cur = np.empty(len(starts), dtype=np.int64)
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                cand = v[s:e][~vnull[s:e]]
+                if restart[i] or len(cand) == 0:
+                    out_cur[i] = out_seed[i]
+                    continue
+                score = rwr_choice_score(out_w[i], step, cand)
+                out_cur[i] = cand[np.lexsort((cand, score))[0]]
+            return pa.table(
+                {
+                    "w": pa.array(out_w),
+                    "seed": pa.array(out_seed),
+                    "cur": pa.array(out_cur),
+                },
+                schema=out_schema,
+            )
+
+        return step_block
+
+    for step in range(1, steps + 1):
+        expanded = merge_join(walkers, adj, "cur", "u", ["v"], how="left")
+        walkers = (
+            expanded.sort("w")
+            .map_batches(
+                make_step_block(step), batch_format="pyarrow", batch_size=None
+            )
+            .materialize()
+        )
+        visit_dses.append(
+            walkers.map_batches(
+                lambda t: pa.table({"node": t.column("cur")}),
+                batch_format="pyarrow",
+            )
+        )
+
+    visits = rd.from_arrow(pa.concat_tables(visit_parts))
+    for d in visit_dses:
+        visits = visits.union(d)
+    counts = visits.groupby("node").count()
+    out = merge_join(counts, id_host, "node", "id", ["host"], how="inner")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("host"),
+                "visits": t.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def ip_colocation_stats(edge_ds):
     """IP-colocation census over the link graph's host universe:
     every host resolved to its IPv4 (the same deterministic

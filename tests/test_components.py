@@ -643,6 +643,104 @@ def test_ktruss_matches_sequential_random(ray_session):
         assert rows == expect
 
 
+def _sequential_rwr(pairs, seeds, walks_per_seed, steps, restart_p):
+    """Sequential replay sharing the stage's hash kernels — mirrors
+    oracle_sketch.oracle_rwr_table but over explicit seed hosts."""
+    from collections import Counter
+
+    from commoncrawl_ray.functions.minhash import fnv1a_batch
+    from commoncrawl_ray.stages.pagerank import rwr_choice_score, rwr_restarts
+
+    hosts = sorted({h for e in pairs for h in e})
+    ids = fnv1a_batch(pa.array(hosts, pa.string())).view(np.int64)
+    hid = {h: int(i) for h, i in zip(hosts, ids)}
+    id_to_host = {v: k for k, v in hid.items()}
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if hid[s] == hid[d]:
+            continue
+        adj.setdefault(hid[s], set()).add(hid[d])
+    adj_arr = {u: np.array(sorted(ns), dtype=np.int64) for u, ns in adj.items()}
+    visits: Counter = Counter()
+    for i, seed_host in enumerate(seeds):
+        sid = hid[seed_host]
+        for j in range(walks_per_seed):
+            w = i * walks_per_seed + j
+            cur = sid
+            visits[cur] += 1
+            for step in range(1, steps + 1):
+                restart = bool(
+                    rwr_restarts(np.array([w], np.int64), step, restart_p)[0]
+                )
+                cand = adj_arr.get(cur)
+                if restart or cand is None or len(cand) == 0:
+                    cur = sid
+                else:
+                    score = rwr_choice_score(np.array([w], np.int64), step, cand)
+                    cur = int(cand[np.lexsort((cand, score))[0]])
+                visits[cur] += 1
+    return {id_to_host[u]: c for u, c in visits.items()}
+
+
+def test_rwr_matches_sequential_random(ray_session):
+    """Distributed walk == sequential replay on a random directed
+    graph with explicit seeds: every restart/choice decision is a
+    shared SplitMix64 hash, so visit counts must be IDENTICAL."""
+    from commoncrawl_ray.stages.pagerank import random_walk_visits
+
+    rng = np.random.default_rng(23)
+    n = 30
+    m = 150
+    names = [f"w{i}.com" for i in range(n)]
+    pairs = [
+        (names[i], names[j])
+        for i, j in zip(rng.integers(0, n, m).tolist(), rng.integers(0, n, m).tolist())
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in pairs]),
+            "dst": pa.array([e[1] for e in pairs]),
+        }
+    )
+    seeds = [names[0], names[7]]
+    expect = _sequential_rwr(pairs, seeds, walks_per_seed=10, steps=6, restart_p=0.2)
+    rows = {
+        r["host"]: r["visits"]
+        for r in random_walk_visits(
+            rd.from_arrow(t),
+            walks_per_seed=10,
+            steps=6,
+            restart_p=0.2,
+            seeds=seeds,
+        ).take_all()
+    }
+    assert rows == expect
+    # total visits = walkers * (steps + 1)
+    assert sum(rows.values()) == len(seeds) * 10 * 7
+
+
+def test_rwr_dead_end_restarts(ray_session):
+    """A graph where the only edge leads to a sink: every step from
+    the sink must restart to the seed, so only the seed and the sink
+    are ever visited and counts are exact."""
+    from commoncrawl_ray.stages.pagerank import random_walk_visits
+
+    t = pa.table({"src": pa.array(["a.com"]), "dst": pa.array(["b.com"])})
+    rows = {
+        r["host"]: r["visits"]
+        for r in random_walk_visits(
+            rd.from_arrow(t), walks_per_seed=5, steps=4, restart_p=0.0, seeds=["a.com"]
+        ).take_all()
+    }
+    assert set(rows) == {"a.com", "b.com"}
+    # each walker: seed visit + 4 steps = 5 visits; 5 walkers -> 25
+    assert sum(rows.values()) == 25
+    expect = _sequential_rwr(
+        [("a.com", "b.com")], ["a.com"], walks_per_seed=5, steps=4, restart_p=0.0
+    )
+    assert rows == expect
+
+
 def test_ip_colocation_shared_ip_counts(ray_session):
     """Hosts resolve via the deterministic fingerprint model; the
     census must report, for every host, how many hosts share its IP —
