@@ -149,3 +149,23 @@ def doc_fingerprint(text: str, window: int = 64) -> int:
     for v in uniq[:k]:
         out ^= int(v)
     return out
+
+
+# --- collocations ------------------------------------------------------
+
+
+def pmi_scores(n_pair, n_w1, n_w2, n_pairs_total: int, n_tok_total: int):
+    """Rounded pointwise mutual information shared by the distributed
+    collocations query and its sequential oracle — the IDENTICAL
+    float64 expression order on both sides (elementwise, no reduction,
+    so distribution cannot perturb a bit):
+
+        pmi = round( ln( (n_pair/N_pairs) / ((n_w1/N_tok)*(n_w2/N_tok)) ), 6 )
+
+    Counts are exact int64; only this one expression touches floats
+    (the determinism-toolkit discipline: round before any ranking).
+    """
+    p12 = np.asarray(n_pair, np.float64) / float(n_pairs_total)
+    p1 = np.asarray(n_w1, np.float64) / float(n_tok_total)
+    p2 = np.asarray(n_w2, np.float64) / float(n_tok_total)
+    return np.round(np.log(p12 / (p1 * p2)), 6)

@@ -2355,6 +2355,69 @@ def oracle_rwr_table(
     return _write_atomic(out, path, src_key)
 
 
+PMI_ORACLE_PATH = "/tmp/ccray_oracle_pmi.parquet"
+
+
+def oracle_pmi_table(
+    sf_dir: str,
+    path: str = PMI_ORACLE_PATH,
+    min_count: int = 5,
+    topk: int = 50,
+) -> str:
+    """Sequential PMI collocation fold sharing ONLY the float kernel
+    (functions/textstats.pmi_scores) with the distributed query:
+    whitespace tokens per document (identical split semantics to
+    pc.split_pattern_regex(r"\\s+") + empty drop), Counter folds for
+    unigrams and within-doc adjacent bigrams, then top-``topk`` pairs
+    with n_pair >= ``min_count`` by (pmi desc, w1, w2)."""
+    import re as _re
+    from collections import Counter
+
+    from ..functions.textstats import pmi_scores
+
+    src_key = f"{os.path.abspath(sf_dir)}|pmi{min_count},{topk}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        toks = [w for w in _re.split(r"\s+", txt or "") if w != ""]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    n_pairs = sum(big.values())
+    keys = [kv for kv in big.items() if kv[1] >= min_count]
+    if keys and n_pairs:
+        w1 = [k[0][0] for k in keys]
+        w2 = [k[0][1] for k in keys]
+        n_pair = np.array([k[1] for k in keys], dtype=np.int64)
+        n_w1 = np.array([uni[a] for a in w1], dtype=np.int64)
+        n_w2 = np.array([uni[b] for b in w2], dtype=np.int64)
+        pmi = pmi_scores(n_pair, n_w1, n_w2, n_pairs, n_tok)
+        order = sorted(
+            range(len(keys)), key=lambda i: (-pmi[i], w1[i], w2[i])
+        )[:topk]
+    else:
+        order = []
+        w1 = w2 = []
+        n_pair = np.array([], dtype=np.int64)
+        pmi = np.array([], dtype=np.float64)
+    out = pa.table(
+        {
+            "w1": pa.array([w1[i] for i in order], pa.string()),
+            "w2": pa.array([w2[i] for i in order], pa.string()),
+            "n_pair": pa.array(
+                np.array([n_pair[i] for i in order], dtype=np.int64), pa.int64()
+            ),
+            "pmi": pa.array(
+                np.array([pmi[i] for i in order], dtype=np.float64), pa.float64()
+            ),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 DIVERSITY_ORACLE_PATH = "/tmp/ccray_oracle_diversity.parquet"
 
 

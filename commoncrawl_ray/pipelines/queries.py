@@ -2083,6 +2083,145 @@ FROM read_parquet('/tmp/ccray_oracle_rwr.parquet')
 """
 
 
+def q_collocations_pmi(sf_dir: str, min_count: int = 5, topk: int = 50):
+    """Top-``topk`` collocations (adjacent word pairs) of the corpus by
+    pointwise mutual information (Church & Hanks 1990, "Word
+    association norms, mutual information, and lexicography") with
+    ``n_pair >= min_count`` — the classic phrase-mining / tokenizer-
+    merge-candidate signal an LLM data pipeline computes before vocab
+    construction. Output (w1, w2, n_pair, pmi[6dp]), ties at equal
+    rounded pmi broken on (w1, w2).
+
+    Scale shape: ONE pass over text — the per-batch kernel tokenizes
+    once and emits BOTH unigram and within-doc-adjacent bigram counts
+    pre-aggregated per batch (the A4 combiner rule) on one fused
+    string wire ("u <tok>" / "b <w1> <w2>" — whitespace tokens cannot
+    contain the separator); ONE vocabulary-scale groupby folds them;
+    the split-back tables are materialized once (fan-out >= 2 rule)
+    and joined by two union+sort merge_joins; totals are exact int64
+    dataset sums; the only float is the shared elementwise
+    functions/textstats.pmi_scores kernel (identical bits on the
+    sequential oracle side), rounded BEFORE the distributed
+    sort+limit ranking."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import pmi_scores
+    from ..stages.joins import merge_join
+    from .oracle_sketch import oracle_pmi_table
+
+    oracle_pmi_table(sf_dir, min_count=min_count, topk=topk)
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = flat != ""
+        tok = flat[keep]
+        did = doc_rep[keep]
+        keys: list[np.ndarray] = []
+        if len(tok):
+            keys.append(np.char.add("u ", tok.astype("U")))
+        if len(tok) > 1:
+            same = did[:-1] == did[1:]
+            b1 = tok[:-1][same].astype("U")
+            b2 = tok[1:][same].astype("U")
+            keys.append(
+                np.char.add(np.char.add(np.char.add("b ", b1), " "), b2)
+            )
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        allk = np.concatenate(keys)
+        u, c = np.unique(allk, return_counts=True)
+        return pa.table(
+            {"key": pa.array(u, pa.string()), "n": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        _pq(sf_dir, "documents", ["text"], min_blocks=8)
+        .map_batches(count_rows, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+        .materialize()
+    )
+
+    def split_uni(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t.column("key"), "u ")
+        f = t.filter(m)
+        return pa.table(
+            {
+                "token": pc.utf8_replace_slice(f.column("key"), 0, 2, ""),
+                "n_w": f.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    def split_big(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t.column("key"), "b ")
+        f = t.filter(m)
+        body = pc.utf8_replace_slice(f.column("key"), 0, 2, "")
+        parts = pc.split_pattern(body, " ")
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "n_pair": f.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    uni = counts.map_batches(split_uni, batch_format="pyarrow").materialize()
+    big = counts.map_batches(split_big, batch_format="pyarrow").materialize()
+    n_tok = int(uni.sum("n_w") or 0)
+    n_pairs = int(big.sum("n_pair") or 0)
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_pair": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
+    big = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_pair"), min_count)),
+        batch_format="pyarrow",
+    )
+    j = merge_join(big, uni, "w1", "token", ["n_w"], how="inner", suffix="1")
+    j = merge_join(j, uni, "w2", "token", ["n_w"], how="inner", suffix="2")
+
+    def score(t: pa.Table) -> pa.Table:
+        pmi = pmi_scores(
+            t.column("n_pair").to_numpy(zero_copy_only=False),
+            t.column("n_w1").to_numpy(zero_copy_only=False),
+            t.column("n_w2").to_numpy(zero_copy_only=False),
+            n_pairs,
+            n_tok,
+        )
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "n_pair": t.column("n_pair"),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return (
+        j.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(topk)
+    )
+
+
+SQL_COLLOCATIONS_PMI = """
+SELECT w1, w2, n_pair, pmi
+FROM read_parquet('/tmp/ccray_oracle_pmi.parquet')
+"""
+
+
 def q_bowtie_decomposition(sf_dir: str):
     """Bow-tie decomposition of the crawl's host graph (Broder et al.
     2000): every host labeled SCC / IN / OUT / OTHER relative to the
@@ -3520,6 +3659,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_kcore_table,
         oracle_ktruss_table,
         oracle_rwr_table,
+        oracle_pmi_table,
         oracle_lpa_table,
         oracle_mirror_table,
         oracle_orphan_table,
@@ -3539,6 +3679,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_kcore_table(sf_dir)
     oracle_ktruss_table(sf_dir)
     oracle_rwr_table(sf_dir)
+    oracle_pmi_table(sf_dir)
     oracle_ip_colocation_table(sf_dir)
     oracle_hyperball_table(sf_dir)
     oracle_hyperanf_table(sf_dir)
@@ -10566,6 +10707,7 @@ REGISTRY: dict[str, tuple] = {
     "kcore_hosts": (q_kcore_hosts, SQL_KCORE_HOSTS),
     "ktruss_hosts": (q_ktruss_hosts, SQL_KTRUSS_HOSTS),
     "rwr_host_sample": (q_rwr_host_sample, SQL_RWR_HOST_SAMPLE),
+    "collocations_pmi": (q_collocations_pmi, SQL_COLLOCATIONS_PMI),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),

@@ -172,3 +172,64 @@ def test_host_template_threshold_invariants(ray_session):
     small = df[df["pages"] < 3]
     assert (small["n_template"] == 0).all()
     assert (df["pages"] >= 1).all()
+
+
+def test_collocations_pmi_planted_pair(ray_session):
+    """A corpus where 'new york' is always adjacent while filler words
+    pair randomly must rank the planted pair first, with its exact
+    count and the shared-kernel PMI value."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawl_ray.functions.textstats import pmi_scores
+    from commoncrawl_ray.pipelines.queries import q_collocations_pmi
+
+    rs = np.random.RandomState(3)
+    fillers = [f"f{i}" for i in range(40)]
+    docs = []
+    for _ in range(60):
+        toks = []
+        for _ in range(30):
+            if rs.rand() < 0.2:
+                toks.extend(["new", "york"])
+            else:
+                toks.append(fillers[rs.randint(40)])
+        docs.append(" ".join(toks))
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        rows = q_collocations_pmi(d).take_all()
+    assert rows, "no collocations returned"
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # hand-fold the counts and check the exact pmi of the planted pair
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in docs:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n_tok, n_pairs = sum(uni.values()), sum(big.values())
+    want = float(
+        pmi_scores(
+            np.array([big[("new", "york")]]),
+            np.array([uni["new"]]),
+            np.array([uni["york"]]),
+            n_pairs,
+            n_tok,
+        )[0]
+    )
+    assert top["n_pair"] == big[("new", "york")]
+    assert top["pmi"] == want
