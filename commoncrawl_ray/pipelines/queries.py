@@ -2222,6 +2222,108 @@ FROM read_parquet('/tmp/ccray_oracle_pmi.parquet')
 """
 
 
+def q_oov_census(sf_dir: str, vocab_k: int = 256):
+    """Per-language out-of-vocabulary census against the corpus-global
+    top-``vocab_k`` token vocabulary (ties at the cut broken on the
+    token string) — the tokenizer-design metric that tells you which
+    languages a fixed vocabulary underserves (the UNK-rate analysis
+    every multilingual-tokenizer paper runs; cf. the fertility eval
+    `q_bpe_fertility`). Output (lang, n_tokens, n_oov) — all-integer,
+    so the REAL DuckDB oracle needs no rounding discipline.
+
+    Scale shape: ONE text pass emits per-batch-preaggregated
+    (lang, token, n) counts (A4 combiner; the wire is vocab x lang
+    scale, never the token stream), materialized once (fan-out 2);
+    the global vocabulary is a token-scale groupby + distributed
+    two-key sort + LIMIT ``vocab_k`` whose 256 rows broadcast by
+    closure into a stateless OOV map (the broadcast-small-side rule —
+    no second exchange); per-language totals are one lang-scale
+    groupby Sum."""
+    import pyarrow.compute as pc
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lang_rep = np.repeat(
+            t.column("lang").to_numpy(zero_copy_only=False), lens
+        )
+        keep = flat != ""
+        tok = flat[keep].astype("U")
+        lang = lang_rep[keep].astype("U")
+        fused = np.char.add(np.char.add(lang, " "), tok)
+        u, c = np.unique(fused, return_counts=True)
+        sp = np.char.partition(u, " ")
+        return pa.table(
+            {
+                "lang": pa.array(sp[:, 0], pa.string()),
+                "tok": pa.array(sp[:, 2], pa.string()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        _pq(sf_dir, "documents", ["lang", "text"], min_blocks=8)
+        .map_batches(count_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    vocab_rows = (
+        pairs.groupby("tok")
+        .sum("n")
+        .sort(["sum(n)", "tok"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+    vocab = np.array(sorted(r["tok"] for r in vocab_rows), dtype="U")
+
+    def oov_map(t: pa.Table) -> pa.Table:
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        inv = np.isin(tok.astype("U"), vocab)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_tokens": pa.array(n.astype(np.int64)),
+                "n_oov": pa.array(np.where(inv, 0, n).astype(np.int64)),
+            }
+        )
+
+    out = (
+        pairs.map_batches(oov_map, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_tokens", "n_oov"])
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_tokens": t.column("sum(n_tokens)").cast(pa.int64()),
+                "n_oov": t.column("sum(n_oov)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_OOV_CENSUS = """
+WITH toks AS (
+  SELECT lang, t.tok
+  FROM documents,
+       LATERAL unnest(string_split_regex(text, '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 256)
+SELECT
+  lang,
+  COUNT(*) AS n_tokens,
+  SUM(CASE WHEN toks.tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)::BIGINT
+    AS n_oov
+FROM toks
+GROUP BY lang
+"""
+
+
 def q_bowtie_decomposition(sf_dir: str):
     """Bow-tie decomposition of the crawl's host graph (Broder et al.
     2000): every host labeled SCC / IN / OUT / OTHER relative to the
@@ -10708,6 +10810,7 @@ REGISTRY: dict[str, tuple] = {
     "ktruss_hosts": (q_ktruss_hosts, SQL_KTRUSS_HOSTS),
     "rwr_host_sample": (q_rwr_host_sample, SQL_RWR_HOST_SAMPLE),
     "collocations_pmi": (q_collocations_pmi, SQL_COLLOCATIONS_PMI),
+    "oov_census": (q_oov_census, SQL_OOV_CENSUS),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),

@@ -233,3 +233,55 @@ def test_collocations_pmi_planted_pair(ray_session):
     )
     assert top["n_pair"] == big[("new", "york")]
     assert top["pmi"] == want
+
+
+def test_oov_census_planted_vocab_boundary(ray_session):
+    """A corpus with 300 tokens whose counts strictly decrease must
+    put exactly the top-256 in vocab: the rarest 44 token types are
+    OOV, and per-language counts are exact."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawl_ray.pipelines.queries import q_oov_census
+
+    V = 300
+    words = []
+    for i in range(V):
+        words.extend([f"t{i:03d}"] * (V - i))  # count(t_i) = 300 - i
+    rs = np.random.RandomState(5)
+    rs.shuffle(words)
+    docs, langs, B = [], [], 450
+    for k, off in enumerate(range(0, len(words), B)):
+        docs.append(" ".join(words[off:off + B]))
+        langs.append("aa" if k % 2 == 0 else "bb")
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        rows = {r["lang"]: r for r in q_oov_census(d).take_all()}
+    # sequential check: same top-256 rule (counts strictly decreasing,
+    # so no tie at the boundary)
+    from collections import Counter
+
+    uni = Counter()
+    per_lang = {}
+    for t, lg in zip(docs, langs):
+        ws = t.split(" ")
+        uni.update(ws)
+        per_lang.setdefault(lg, []).extend(ws)
+    vocab = {w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:256]}
+    assert vocab == {f"t{i:03d}" for i in range(256)}
+    for lg, ws in per_lang.items():
+        assert rows[lg]["n_tokens"] == len(ws)
+        assert rows[lg]["n_oov"] == sum(1 for w in ws if w not in vocab)
