@@ -35,3 +35,18 @@ def list_to_matrix(col, dtype=np.float64) -> np.ndarray:
     # null-free primitive child
     vals = arr.flatten().to_numpy(zero_copy_only=False)
     return vals.reshape(n, dim).astype(dtype, copy=False)
+
+
+def sq_quantize_unit(mat: np.ndarray) -> np.ndarray:
+    """Symmetric int8 scalar quantization of L2-unit-normalized rows —
+    the 4x-memory embedding-compression step (Jegou et al.'s SQ
+    baseline; faiss ScalarQuantizer QT_8bit shape): normalize, scale
+    to [-127, 127], round-half-even, clip. Deterministic elementwise
+    kernel shared by the distributed scorer and the sequential oracle;
+    downstream scoring is an int8 x int8 -> int64 dot product, EXACT
+    integer arithmetic (no rounding discipline needed to rank)."""
+    mat = np.asarray(mat, np.float64)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    u = mat / n[:, None]
+    return np.clip(np.rint(u * 127.0), -127, 127).astype(np.int8)

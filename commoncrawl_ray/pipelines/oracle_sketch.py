@@ -2418,6 +2418,62 @@ def oracle_pmi_table(
     return _write_atomic(out, path, src_key)
 
 
+SQ_RECALL_ORACLE_PATH = "/tmp/ccray_oracle_sq_recall.parquet"
+
+
+def oracle_sq_recall_table(
+    sf_dir: str,
+    path: str = SQ_RECALL_ORACLE_PATH,
+    n_queries: int = 4,
+    k: int = 10,
+) -> str:
+    """Sequential int8 scalar-quantization recall eval sharing the
+    quantization kernel (functions/vec.sq_quantize_unit) and the exact
+    round-6 cosine expression with the distributed q_sq_recall: per
+    query, |top-k(exact) & top-k(quantized)| with (score desc, vec_id
+    asc) ordering on both sides — the quantized score is an exact
+    int8xint8->int64 dot, so only the exact side carries the standing
+    round-before-rank float discipline."""
+    from ..functions.vec import sq_quantize_unit
+
+    src_key = f"{os.path.abspath(sf_dir)}|sqrecall{n_queries},{k}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    qmat = mat[[pos[q] for q in range(n_queries)]]
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qunit = qmat / qn[:, None]
+    q8 = sq_quantize_unit(qmat).astype(np.int64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((mat @ qunit.T) / norms[:, None], 6)  # (n, Q)
+    dots = sq_quantize_unit(mat).astype(np.int64) @ q8.T  # (n, Q) exact
+    out_q: list[int] = []
+    out_h: list[int] = []
+    for q in range(n_queries):
+        keep = ids != q
+        vid = ids[keep]
+        s = sims[keep, q]
+        d = dots[keep, q]
+        top_e = set(vid[np.lexsort((vid, -s))[:k]].tolist())
+        top_q = set(vid[np.lexsort((vid, -d))[:k]].tolist())
+        n_hits = len(top_e & top_q)
+        if n_hits:
+            out_q.append(q)
+            out_h.append(n_hits)
+    out = pa.table(
+        {
+            "query_id": pa.array(np.array(out_q, dtype=np.int64), pa.int64()),
+            "n_hits": pa.array(np.array(out_h, dtype=np.int64), pa.int64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 DIVERSITY_ORACLE_PATH = "/tmp/ccray_oracle_diversity.parquet"
 
 

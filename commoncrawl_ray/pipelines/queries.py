@@ -2305,6 +2305,101 @@ def q_oov_census(sf_dir: str, vocab_k: int = 256):
     )
 
 
+def q_sq_recall(sf_dir: str, n_queries: int = 4, k: int = 10):
+    """Recall@``k`` of int8 scalar-quantized embedding search against
+    exact float cosine — the eval an embedding-compression rollout
+    gates on (SQ cuts the vector store 4x/8x; faiss QT_8bit shape).
+    Both sides rank with (score desc, vec_id asc); the quantized score
+    is an exact int8xint8->int64 dot (functions/vec.sq_quantize_unit —
+    NO float discipline on that side), the exact side is the standing
+    round-6-before-rank cosine. Output (query_id, n_hits) all-integer.
+
+    Scale shape: ONE scan scores BOTH sides (the slim (query_id,
+    vec_id, sim, dot) table — 4 scalars/row, never the vectors — is
+    materialized once for the two consumers, the BM25/fan-out rule);
+    each side reduces via grouped_topk's pre-combined per-group top-k
+    (exchange bounded by k x queries x blocks); overlap = ONE semi
+    merge_join on the packed (query_id<<32 | vec_id) key + a
+    query-scale groupby (the ann_recall discipline)."""
+    import pyarrow.parquet as pq_mod
+    from ray.data.aggregate import Count
+
+    from ..functions.vec import list_to_matrix, sq_quantize_unit
+    from ..stages.joins import merge_join
+    from ..stages.rank import grouped_topk
+    from .oracle_sketch import oracle_sq_recall_table
+
+    oracle_sq_recall_table(sf_dir, n_queries=n_queries, k=k)
+    t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    qmat = np.array(
+        [
+            t.column("embedding")[ids.index(qid)].as_py()
+            for qid in range(n_queries)
+        ],
+        dtype=np.float64,
+    )
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qref = ray.put((qmat / qn[:, None], sq_quantize_unit(qmat).astype(np.int64)))
+
+    def score(b: pa.Table) -> pa.Table:
+        qunit, q8 = ray.get(qref)
+        mat = list_to_matrix(b.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat @ qunit.T) / norms[:, None], 6)
+        dots = sq_quantize_unit(mat).astype(np.int64) @ q8.T
+        vid = b.column("vec_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n, nq = sims.shape
+        qid = np.tile(np.arange(nq, dtype=np.int64), n)
+        vrep = np.repeat(vid, nq)
+        keep = vrep != qid  # a query never scores itself
+        return pa.table(
+            {
+                "query_id": pa.array(qid[keep]),
+                "vec_id": pa.array(vrep[keep]),
+                "sim": pa.array(sims.reshape(-1)[keep]),
+                "dot": pa.array(dots.reshape(-1)[keep]),
+            }
+        )
+
+    scored = (
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .materialize()
+    )
+    exact = grouped_topk(scored, "query_id", "sim", k, "vec_id")
+    quant = grouped_topk(scored, "query_id", "dot", k, "vec_id")
+
+    def packed(res):
+        def keyf(b: pa.Table) -> pa.Table:
+            q = b.column("query_id").to_numpy(zero_copy_only=False)
+            v = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "query_id": pa.array(q),
+                    "pk": pa.array((q << np.int64(32)) | v),
+                }
+            )
+
+        return res.map_batches(keyf, batch_format="pyarrow")
+
+    hits = merge_join(
+        packed(exact), packed(quant), left_on="pk", right_on="pk",
+        right_cols=[], how="semi",
+    )
+    return hits.groupby("query_id").aggregate(Count(alias_name="n_hits"))
+
+
+SQL_SQ_RECALL = """
+SELECT query_id, n_hits
+FROM read_parquet('/tmp/ccray_oracle_sq_recall.parquet')
+"""
+
+
 SQL_OOV_CENSUS = """
 WITH toks AS (
   SELECT lang, t.tok
@@ -3762,6 +3857,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_ktruss_table,
         oracle_rwr_table,
         oracle_pmi_table,
+        oracle_sq_recall_table,
         oracle_lpa_table,
         oracle_mirror_table,
         oracle_orphan_table,
@@ -3782,6 +3878,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_ktruss_table(sf_dir)
     oracle_rwr_table(sf_dir)
     oracle_pmi_table(sf_dir)
+    oracle_sq_recall_table(sf_dir)
     oracle_ip_colocation_table(sf_dir)
     oracle_hyperball_table(sf_dir)
     oracle_hyperanf_table(sf_dir)
@@ -10811,6 +10908,7 @@ REGISTRY: dict[str, tuple] = {
     "rwr_host_sample": (q_rwr_host_sample, SQL_RWR_HOST_SAMPLE),
     "collocations_pmi": (q_collocations_pmi, SQL_COLLOCATIONS_PMI),
     "oov_census": (q_oov_census, SQL_OOV_CENSUS),
+    "sq_recall": (q_sq_recall, SQL_SQ_RECALL),
     "ip_colocation": (q_ip_colocation, SQL_IP_COLOCATION),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),

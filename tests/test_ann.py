@@ -230,3 +230,26 @@ def test_knn_ivfpq_recall_vs_brute_force(ray_session):
         got = set(res[res["query_id"] == qi]["vec_id"].tolist())
         recalls.append(len(true_top & got) / 10.0)
     assert np.mean(recalls) >= 0.5, recalls  # PQ distortion bound, m=8 x 8 dims
+
+
+def test_sq_quantize_unit_properties():
+    """int8 SQ kernel: values bounded, scale-invariant (unit
+    normalization), zero rows safe, and the quantized dot of a vector
+    with itself is near 127^2."""
+    import numpy as np
+
+    from commoncrawl_ray.functions.vec import sq_quantize_unit
+
+    rng = np.random.default_rng(9)
+    m = rng.normal(size=(32, 16))
+    q = sq_quantize_unit(m)
+    assert q.dtype == np.int8
+    assert q.min() >= -127 and q.max() <= 127
+    # scale invariance: 1000x the vectors, same codes
+    assert (sq_quantize_unit(m * 1000.0) == q).all()
+    # zero row maps to zero code
+    z = np.zeros((1, 16))
+    assert (sq_quantize_unit(z) == 0).all()
+    # self-similarity ~ 127^2 after quantization
+    d = (q.astype(np.int64) * q.astype(np.int64)).sum(axis=1)
+    assert (np.abs(d - 127 * 127) <= 2 * 127).all()
