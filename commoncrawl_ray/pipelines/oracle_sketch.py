@@ -41,6 +41,7 @@ BPE_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_bpe_train.parquet"
 BPE_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_bpe_encode.parquet"
 BPE_VOCAB_ORACLE_PATH = "/tmp/ccray_oracle_bpe_vocab.parquet"
 WARC_REVISIT_ORACLE_PATH = "/tmp/ccray_oracle_warc_revisit.parquet"
+WEBTEXT_ORACLE_PATH = "/tmp/ccray_oracle_webtext.parquet"
 _M64 = (1 << 64) - 1
 
 
@@ -3284,3 +3285,68 @@ def oracle_cms_table(sf_dir: str, path: str = CMS_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+def oracle_webtext_table(sf_dir: str, path: str = WEBTEXT_ORACLE_PATH) -> str:
+    """Deterministic multi-line "web text" corpus derived from the
+    documents table — the punctuated, line-structured input the C4
+    cleaning rules (pipelines/queries.q_c4_clean) need in order to
+    fire at realistic mixed rates: the sf documents are single-line
+    punctuation-free token streams, over which every C4 line rule
+    would be vacuously false. Every choice below is a splitmix64 hash
+    of (doc_id, line_idx) — no RNG state — so the table is
+    bit-identical across rebuilds and BOTH the Ray query and the
+    DuckDB oracle read the SAME pinned parquet (the oracle_cdx_table
+    pinned-source discipline).
+
+    Per doc: tokens chunked into lines of 4..9 words; each line draws
+    a terminal mark from a 10-way hash bucket ('.' x4, '!', '?', '"',
+    none x3 — so ~30% of lines fail the terminal-punctuation rule);
+    1 line in 17 gets a literal ``javascript`` token injected; docs
+    hash-selected at ~1/31 carry a ``lorem ipsum`` line and ~1/29 an
+    opening-brace code line — every rule of the C4 pass is exercised
+    in both directions."""
+    from ..functions.fingerprint import splitmix64
+
+    src_key = f"{os.path.abspath(sf_dir)}|webtext|v1"
+    if _is_fresh(path, src_key):
+        return path
+    ids, texts = _read_docs(sf_dir)
+    out_texts: list[str] = []
+    for did, text in zip(ids, texts):
+        toks = text.split()
+        lines: list[str] = []
+        i = 0
+        li = 0
+        while i < len(toks):
+            h = splitmix64((did << 20) | li, seed=0xC4C4) & _M64
+            w = 4 + (h % 6)
+            chunk = toks[i : i + w]
+            i += w
+            if (h >> 8) % 17 == 0:
+                chunk.append("javascript")
+            line = " ".join(chunk)
+            p = (h >> 16) % 10
+            if p < 4:
+                line += "."
+            elif p == 4:
+                line += "!"
+            elif p == 5:
+                line += "?"
+            elif p == 6:
+                line += '"'
+            lines.append(line)
+            li += 1
+        hd = splitmix64(did, seed=0xD0C5) & _M64
+        if hd % 31 == 0:
+            lines.append("this page contains lorem ipsum filler text.")
+        if hd % 29 == 3:
+            lines.append("function() { var x = 1; } sample code line.")
+        out_texts.append("\n".join(lines))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+        }
+    )
+    return _write_atomic(t, path, src_key)

@@ -3718,6 +3718,7 @@ from .oracle_sketch import (
     MULTIMODAL_ORACLE_PATH,
     PARSE_ORACLE_PATH,
     SIMHASH_ORACLE_PATH,
+    WEBTEXT_ORACLE_PATH,
 )
 
 SQL_MULTIMODAL_FEATURES = f"""
@@ -3868,8 +3869,10 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_winnow_table,
         oracle_spam_mass_table,
         oracle_trustrank_table,
+        oracle_webtext_table,
     )
 
+    oracle_webtext_table(sf_dir)
     oracle_trustrank_table(sf_dir)
     oracle_spam_mass_table(sf_dir)
     oracle_crawl_trap_table()
@@ -10868,6 +10871,244 @@ GROUP BY e.query_id
 """
 
 
+def _c4_rules(t: pa.Table) -> pa.Table:
+    """Vectorized C4 cleaning kernel (Raffel et al. 2020 §2.2 — the
+    line/page filters a plain-text pass can express): a line is KEPT
+    iff it ends in a terminal punctuation mark ('.', '!', '?', '"'),
+    has >= 3 whitespace words, and does not contain ``javascript``
+    (case-insensitive); the DOC is kept iff its kept lines carry >= 5
+    sentence-terminal marks and the original text contains neither
+    ``lorem ipsum`` nor an opening brace. All-integer outputs, Arrow
+    RE2 kernels + reduceat per-doc folds, zero exchanges — the
+    gopher_quality kernel discipline. (The C4 bad-words list is out of
+    scope: it is an external resource this repo cannot ship.)"""
+    import pyarrow.compute as pc
+
+    if len(t) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {
+                "doc_id": e,
+                "n_lines": e,
+                "n_kept_lines": e,
+                "kept_chars": e,
+                "n_sentences": e,
+                "doc_kept": e,
+            }
+        )
+    text = t.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lorem = pc.match_substring(
+        pc.utf8_lower(text), pattern="lorem ipsum"
+    ).to_numpy(zero_copy_only=False)
+    brace = pc.match_substring(text, pattern="{").to_numpy(zero_copy_only=False)
+    lines = pc.split_pattern(text, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    # split_pattern always yields >= 1 element per row, so lstarts is
+    # strictly increasing and reduceat is well-defined.
+    llens = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    lflat = lines.flatten()
+    term = (
+        pc.ends_with(lflat, pattern=".").to_numpy(zero_copy_only=False)
+        | pc.ends_with(lflat, pattern="!").to_numpy(zero_copy_only=False)
+        | pc.ends_with(lflat, pattern="?").to_numpy(zero_copy_only=False)
+        | pc.ends_with(lflat, pattern='"').to_numpy(zero_copy_only=False)
+    )
+    w3 = (
+        pc.count_substring_regex(lflat, pattern=r"\S+").to_numpy(
+            zero_copy_only=False
+        )
+        >= 3
+    )
+    js = pc.match_substring(
+        pc.utf8_lower(lflat), pattern="javascript"
+    ).to_numpy(zero_copy_only=False)
+    keep = (term & w3 & ~js).astype(np.int64)
+    chars = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    sents = pc.count_substring_regex(lflat, pattern=r"[.!?]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    lstarts = np.r_[0, np.cumsum(llens)[:-1]]
+    n_kept = np.add.reduceat(keep, lstarts)
+    kept_chars = np.add.reduceat(chars * keep, lstarts)
+    n_sent = np.add.reduceat(sents * keep, lstarts)
+    doc_kept = ((n_sent >= 5) & ~lorem & ~brace).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_lines": pa.array(llens),
+            "n_kept_lines": pa.array(n_kept),
+            "kept_chars": pa.array(kept_chars),
+            "n_sentences": pa.array(n_sent),
+            "doc_kept": pa.array(doc_kept),
+        }
+    )
+
+
+def q_c4_clean(sf_dir: str):
+    """C4 document cleaning pass (Raffel et al. 2020 §2.2) over the
+    pinned deterministic webtext corpus (oracle_sketch.
+    oracle_webtext_table — the sf documents are single-line
+    punctuation-free streams, so the line rules need a line-structured
+    input; at production this stage runs on the real extracted-text
+    corpus instead). Complements gopher_quality (document-statistic
+    gates) with C4's LINE-level retention rules.
+
+    Scale shape: ONE stateless vectorized batch pass (_c4_rules),
+    zero exchanges; the input read fans out via override_num_blocks
+    so the map stage parallelizes regardless of file count."""
+    from .oracle_sketch import oracle_webtext_table
+
+    path = oracle_webtext_table(sf_dir)
+    return ray.data.read_parquet(path, override_num_blocks=8).map_batches(
+        _c4_rules, batch_format="pyarrow"
+    )
+
+
+SQL_C4_CLEAN = f"""
+WITH per AS (
+  SELECT doc_id,
+    string_split(text, chr(10)) AS ls,
+    (lower(text) LIKE '%lorem ipsum%') AS lorem,
+    (contains(text, '{{')) AS brace
+  FROM read_parquet('{WEBTEXT_ORACLE_PATH}')
+), kept AS (
+  SELECT doc_id, len(ls) AS n_lines, lorem, brace,
+    list_filter(ls, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        AND len(regexp_extract_all(l, '\\S+')) >= 3
+        AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM per
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(len(kl) AS BIGINT) AS n_kept_lines,
+  CAST(COALESCE(list_sum(list_transform(kl, l -> length(l))), 0) AS BIGINT)
+    AS kept_chars,
+  CAST(COALESCE(list_sum(list_transform(kl,
+        l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS BIGINT)
+    AS n_sentences,
+  CAST(CASE WHEN COALESCE(list_sum(list_transform(kl,
+        l -> len(regexp_extract_all(l, '[.!?]')))), 0) >= 5
+        AND NOT lorem AND NOT brace THEN 1 ELSE 0 END AS BIGINT) AS doc_kept
+FROM kept
+"""
+
+
+def q_packing_efficiency(sf_dir: str, seq_len: int = 512, batch_docs: int = 16):
+    """Padding-waste eval of training-batch construction — naive
+    arrival-order batching vs length-sorted batching (the standard
+    sort-by-length bucketing trick of seq2seq data loaders): docs are
+    truncated to ``seq_len`` tokens, grouped ``batch_docs`` per batch
+    in each ordering, and every batch pads to its own max length.
+    Output: one all-integer row per strategy (n_batches, real_tokens,
+    padded_tokens) — padding efficiency = real/padded derivable
+    exactly, so the win of sorting is measured, not assumed.
+
+    Scale shape: ONE text pass emits slim (doc_id, l) int64 rows,
+    materialized once for the two ordering consumers (the BM25
+    fan-out rule); each ordering uses stages/rank.global_sorted_rank
+    (distributed sort + O(num_blocks) bounded summary fan-in — row
+    data never reaches the driver) and a batch-id groupby over int
+    rows; the final fold is a bounded 3-scalar ds.aggregate per
+    strategy."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.rank import global_sorted_rank
+
+    def lens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            t.column("text"), pattern=r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = n > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "l": pa.array(np.minimum(n[keep], seq_len), pa.int64()),
+            }
+        )
+
+    base = (
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8)
+        .map_batches(lens, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def to_batches(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array((r - 1) // batch_docs, pa.int64()),
+                "l": t.column("l"),
+            }
+        )
+
+    def batch_cost(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": t.column("s"),
+                "p": pc.multiply(t.column("m"), t.column("c")),
+            }
+        )
+
+    rows = []
+    for strategy, cols in (("arrival", ["doc_id"]), ("sorted", ["l", "doc_id"])):
+        per = (
+            global_sorted_rank(base, cols, rank_name="rank")
+            .map_batches(to_batches, batch_format="pyarrow")
+            .groupby("b")
+            .aggregate(
+                Max("l", alias_name="m"),
+                Sum("l", alias_name="s"),
+                Count(alias_name="c"),
+            )
+            .map_batches(batch_cost, batch_format="pyarrow")
+        )
+        agg = per.aggregate(
+            Sum("s", alias_name="real"),
+            Sum("p", alias_name="padded"),
+            Count(alias_name="nb"),
+        )
+        rows.append((strategy, agg["nb"], agg["real"], agg["padded"]))
+
+    return pa.table(
+        {
+            "strategy": pa.array([r[0] for r in rows], pa.string()),
+            "n_batches": pa.array([int(r[1]) for r in rows], pa.int64()),
+            "real_tokens": pa.array([int(r[2]) for r in rows], pa.int64()),
+            "padded_tokens": pa.array([int(r[3]) for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_PACKING_EFFICIENCY = """
+WITH lens AS (
+  SELECT doc_id, LEAST(len(regexp_extract_all(text, '\\S+')), 512) AS l
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+),
+arrival AS (
+  SELECT l, (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS b FROM lens
+),
+srt AS (
+  SELECT l, (row_number() OVER (ORDER BY l, doc_id) - 1) // 16 AS b FROM lens
+),
+aa AS (SELECT b, MAX(l) AS m, SUM(l) AS s, COUNT(*) AS c FROM arrival GROUP BY b),
+sa AS (SELECT b, MAX(l) AS m, SUM(l) AS s, COUNT(*) AS c FROM srt GROUP BY b)
+SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(s) AS BIGINT) AS real_tokens,
+       CAST(SUM(m * c) AS BIGINT) AS padded_tokens
+FROM aa
+UNION ALL
+SELECT 'sorted', CAST(COUNT(*) AS BIGINT), CAST(SUM(s) AS BIGINT),
+       CAST(SUM(m * c) AS BIGINT)
+FROM sa
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11011,6 +11252,8 @@ REGISTRY: dict[str, tuple] = {
     "c4_line_dedup": (q_c4_line_dedup, SQL_C4_LINE_DEDUP),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
+    "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
