@@ -11109,6 +11109,92 @@ FROM sa
 """
 
 
+def q_semantic_decontaminate(sf_dir: str, n_eval: int = 8, tau: float = 0.3):
+    """Embedding-space benchmark decontamination — the semantic
+    counterpart of q_decontaminate's verbatim n-gram pass (modern
+    model cards audit contamination in BOTH spaces: exact-overlap
+    hits AND near-paraphrase embedding hits). Eval set = vec_id <
+    ``n_eval`` (the knn-family query discipline); every training
+    vector reports its closest eval item by cosine plus a
+    ``contaminated`` flag at ``tau`` — cosine rounded to 6 dp BEFORE
+    both the argmax and the threshold compare (the repo's standing
+    round-before-rank float discipline), with eval-id ascending
+    tie-break, so the row set is hash-stable vs DuckDB.
+
+    Scale shape: the eval matrix is tiny and broadcast via ray.put
+    (read once per task, never re-shipped per row); scoring is ONE
+    stateless vectorized matmul pass with zero exchanges; the wire
+    carries slim (vec_id, best_eval_id, best_cos, contaminated) rows,
+    never the vectors."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    from ..functions.vec import list_to_matrix
+
+    t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    evt = t.filter(pc.less(t.column("vec_id"), n_eval)).sort_by("vec_id")
+    eval_ids = evt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    emat = list_to_matrix(evt.column("embedding"))
+    en = np.linalg.norm(emat, axis=1)
+    en[en == 0] = 1.0
+    eref = ray.put(emat / en[:, None])
+
+    def score(batch: pa.Table) -> pa.Table:
+        e = ray.get(eref)
+        mat = list_to_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ e.T, 6)
+        # first max = smallest eval_id (rows of e are eval_id-ascending)
+        best = np.argmax(sims, axis=1)
+        bc = sims[np.arange(len(best)), best]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "best_eval_id": pa.array(eval_ids[best]),
+                "best_cos": pa.array(bc),
+                "contaminated": pa.array((bc >= tau).astype(np.int64)),
+            }
+        )
+
+    return (
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id >= {n_eval}")
+        .map_batches(score, batch_format="pyarrow")
+    )
+
+
+SQL_SEMANTIC_DECONTAMINATE = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 8
+),
+tr AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 8
+),
+scored AS (
+  SELECT tr.vec_id, ev.eval_id,
+         ROUND(list_cosine_similarity(tr.v, ev.e), 6) AS cos
+  FROM tr, ev
+),
+best AS (
+  SELECT vec_id, eval_id, cos,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(eval_id AS BIGINT) AS best_eval_id,
+       cos AS best_cos,
+       CAST(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11254,6 +11340,10 @@ REGISTRY: dict[str, tuple] = {
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
+    "semantic_decontaminate": (
+        q_semantic_decontaminate,
+        SQL_SEMANTIC_DECONTAMINATE,
+    ),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

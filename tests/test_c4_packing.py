@@ -145,3 +145,36 @@ def test_packing_skips_empty_docs(ray_session, tmp_path):
     rows = {r["strategy"]: r for r in out.to_pylist()}
     assert rows["arrival"]["n_batches"] == 1
     assert rows["arrival"]["real_tokens"] == 3  # empty doc excluded
+
+
+def test_semantic_decontaminate_planted(ray_session, tmp_path):
+    import numpy as np
+
+    from commoncrawl_ray.pipelines.queries import q_semantic_decontaminate
+
+    rng_free = np.eye(12, dtype=np.float32)  # orthonormal basis rows
+    vecs = [rng_free[i % 12].tolist() for i in range(8)]  # eval set 0..7
+    # train 8: exact copy of eval 3 -> contaminated, best_eval_id=3
+    vecs.append(rng_free[3].tolist())
+    # train 9: far from all evals (negative mix of unused basis dims)
+    vecs.append((0.7071 * (rng_free[10] + rng_free[11])).tolist())
+    d = tmp_path / "sf"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(10), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = q_semantic_decontaminate(str(d), n_eval=8, tau=0.3)
+    rows = {r["vec_id"]: r for r in out.take_all()}
+    assert rows[8]["best_eval_id"] == 3
+    assert rows[8]["best_cos"] == 1.0
+    assert rows[8]["contaminated"] == 1
+    assert rows[9]["contaminated"] == 0
+    # tie-break: vec 9 is equidistant (cos 0) from every eval ->
+    # smallest eval_id wins on both sides of the oracle
+    assert rows[9]["best_eval_id"] == 0
