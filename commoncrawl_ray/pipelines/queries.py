@@ -11195,6 +11195,100 @@ FROM best WHERE rn = 1
 """
 
 
+def q_hard_negatives(
+    sf_dir: str, n_queries: int = 4, k: int = 10, pos_tau: float = 0.45
+):
+    """Hard-negative mining for retrieval-model training — the
+    contrastive-training corpus step (BGE/E5/DPR pipelines): for each
+    query, the most-similar corpus items that are NOT positives make
+    the best negatives. Query set = vec_id < ``n_queries`` (the
+    knn-family discipline); candidates are all other vectors whose
+    round-6 cosine is strictly below ``pos_tau`` (the near-positive
+    band is excluded as unlabeled-positive risk, the standard mining
+    margin); output = top-``k`` per query by (cos desc, vec_id asc).
+
+    Scale shape: broadcast query matrix (ray.put once, never
+    re-shipped per row); ONE stateless scan emits slim (query_id,
+    vec_id, cos) rows pre-filtered below ``pos_tau``; the reduce is
+    stages/rank.grouped_topk's pre-combined per-group top-k, so the
+    exchange is bounded by k x queries x blocks — never corpus
+    scale."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    from ..functions.vec import list_to_matrix
+    from ..stages.rank import grouped_topk
+
+    t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = t.filter(pc.less(t.column("vec_id"), n_queries)).sort_by("vec_id")
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = list_to_matrix(qt.column("embedding"))
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qref = ray.put(qmat / qn[:, None])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = list_to_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ q.T, 6)  # (b, Q)
+        b = len(batch)
+        vids = np.repeat(
+            batch.column("vec_id").to_numpy(zero_copy_only=False), len(qids)
+        )
+        qcol = np.tile(qids, b)
+        cos = sims.ravel()
+        keep = cos < pos_tau
+        return pa.table(
+            {
+                "query_id": pa.array(qcol[keep], pa.int64()),
+                "vec_id": pa.array(vids[keep].astype(np.int64)),
+                "cos": pa.array(cos[keep]),
+            }
+        )
+
+    pairs = (
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id >= {n_queries}")
+        .map_batches(score, batch_format="pyarrow")
+    )
+    return grouped_topk(
+        pairs, "query_id", "cos", k, tiebreak_col="vec_id", descending=True
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 4
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 4
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_cosine_similarity(c.v, q.qe), 6) AS cos
+  FROM c, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+         ) AS rank
+  FROM scored WHERE cos < 0.45
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       cos,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11344,6 +11438,7 @@ REGISTRY: dict[str, tuple] = {
         q_semantic_decontaminate,
         SQL_SEMANTIC_DECONTAMINATE,
     ),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

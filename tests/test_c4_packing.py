@@ -178,3 +178,41 @@ def test_semantic_decontaminate_planted(ray_session, tmp_path):
     # tie-break: vec 9 is equidistant (cos 0) from every eval ->
     # smallest eval_id wins on both sides of the oracle
     assert rows[9]["best_eval_id"] == 0
+
+
+def test_hard_negatives_planted(ray_session, tmp_path):
+    import math
+
+    from commoncrawl_ray.pipelines.queries import q_hard_negatives
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],  # query 0
+        [0.0, 1.0, 0.0, 0.0],  # query 1
+        [0.4, 0.0, math.sqrt(1 - 0.16), 0.0],  # cos .4 to q0 (kept)
+        [0.9, 0.0, 0.0, math.sqrt(1 - 0.81)],  # cos .9 to q0 (excluded)
+        [0.2, 0.3, math.sqrt(1 - 0.13), 0.0],  # cos .2/.3 (kept both)
+    ]
+    d = tmp_path / "sf"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(5), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = q_hard_negatives(str(d), n_queries=2, k=10, pos_tau=0.45)
+    rows = sorted(
+        ((r["query_id"], r["rank"], r["vec_id"]) for r in out.take_all())
+    )
+    # q0: vec3 (cos .9) is a near-positive -> EXCLUDED; vec2 then vec4
+    # q1: vec4 (.3) first, then the cos-0 tie broken by vec_id (2 < 3)
+    assert rows == [
+        (0, 1, 2),
+        (0, 2, 4),
+        (1, 1, 4),
+        (1, 2, 2),
+        (1, 3, 3),
+    ]
