@@ -11289,6 +11289,140 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split census — the dataset-release
+    step every corpus card publishes: docs assigned 90/5/5 by the
+    repo's consistent Knuth multiplicative hash of doc_id (the
+    docs_hash_sample discipline — the same doc lands in the same split
+    on every run, every shard layout, every table sharing the key;
+    row order and block boundaries can't move it), reported per
+    (lang, split) with doc and char mass so stratification skew is
+    visible. Shape: per-batch (lang, split) pre-aggregation (A4
+    combiner) then ONE tiny lang x 3 groupby — zero corpus-scale
+    exchanges."""
+    from ray.data.aggregate import Sum
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (_knuth32_np(ids) % np.uint64(1000)).astype(np.int64)
+        split = np.where(h < 900, "train", np.where(h < 950, "val", "test"))
+        tb = pa.table(
+            {
+                "lang": t.column("lang"),
+                "split": pa.array(split, pa.string()),
+                "n_docs": pa.array(np.ones(len(t), np.int64)),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+        # pre-aggregate within the batch: the wire carries lang x 3
+        return tb.group_by(["lang", "split"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        ).rename_columns(["lang", "split", "n_docs", "n_chars"])
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+
+
+SQL_DATASET_SPLIT = """
+WITH s AS (
+  SELECT lang, n_chars,
+         ((doc_id * 2654435761) % 4294967296) % 1000 AS h
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN h < 900 THEN 'train'
+            WHEN h < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM s
+GROUP BY 1, 2
+"""
+
+
+def q_token_budget_select(sf_dir: str, budget: int = 15_000):
+    """Score-ordered corpus selection under a token budget — the
+    "best data first until the budget is spent" step of
+    budget-constrained pretraining mixes (data-constrained scaling
+    recipes): docs ranked by (score desc, doc_id), kept while the
+    RUNNING token total stays within ``budget``. The score column here
+    is n_chars (any integer quality score plugs into the same wire);
+    output carries the exact cumulative token count per doc so the cut
+    is auditable.
+
+    Shape: ONE text pass emits slim (doc_id, n_tokens, score) int64
+    rows; the running total is stages/rank.global_sorted_prefix_sum —
+    distributed sort + O(num_blocks) bounded (first-key, block-sum)
+    summaries, all-integer so the fold is exact; the kept flag is a
+    stateless vectorized compare. Row data never reaches the driver."""
+    import pyarrow.compute as pc
+
+    from ..stages.rank import global_sorted_prefix_sum
+
+    def lens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            t.column("text"), pattern=r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n),
+                "_neg_score": pa.array(
+                    -t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    base = _pq(
+        sf_dir, "documents", ["doc_id", "text", "n_chars"], min_blocks=8
+    ).map_batches(lens, batch_format="pyarrow")
+    cum = global_sorted_prefix_sum(
+        base, ["_neg_score", "doc_id"], "n_tokens", out_name="cum_tokens"
+    )
+
+    def finish(t: pa.Table, _b=budget) -> pa.Table:
+        c = t.column("cum_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "cum_tokens": t.column("cum_tokens"),
+                "kept": pa.array((c <= _b).astype(np.int64)),
+            }
+        )
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOKEN_BUDGET_SELECT = """
+WITH lens AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS l, n_chars
+  FROM documents
+),
+c AS (
+  SELECT doc_id, l,
+         SUM(l) OVER (
+           ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM lens
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(l AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CAST(CASE WHEN cum <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM c
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11439,6 +11573,8 @@ REGISTRY: dict[str, tuple] = {
         SQL_SEMANTIC_DECONTAMINATE,
     ),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

@@ -148,3 +148,58 @@ def global_sorted_rank(ds, sort_cols: list[str], rank_name: str = "rank"):
         )
 
     return sorted_ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+def global_sorted_prefix_sum(ds, sort_cols: list[str], value_col: str, out_name: str = "cum"):
+    """Global running total — ``SUM(value) OVER (ORDER BY sort_cols
+    ROWS UNBOUNDED PRECEDING)`` — without ever holding the table in
+    one block: the global_sorted_rank discipline with each block's
+    bounded summary carrying (first-key, block_sum) instead of a row
+    count. INTEGER value columns only: partial sums must be
+    order-independent for the distributed fold to be exact (a float
+    chain would depend on block boundaries).
+
+    ``sort_cols`` must form a TOTAL order with a unique tiebreak
+    column LAST (its first-row value identifies each sorted block)."""
+    import pyarrow.compute as pc
+
+    tiebreak = sort_cols[-1]
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    **{c: t.column(c).slice(0, 0) for c in sort_cols},
+                    "_s": pa.array([], pa.int64()),
+                }
+            )
+        s = pc.sum(t.column(value_col)).as_py() or 0
+        return pa.table(
+            {
+                **{c: t.column(c).slice(0, 1) for c in sort_cols},
+                "_s": pa.array([int(s)], pa.int64()),
+            }
+        )
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one row per block — bounded driver traffic
+    summ.sort(key=lambda r: tuple(r[c] for c in sort_cols))
+    offsets: dict = {}
+    acc = 0
+    for r in summ:
+        offsets[r[tiebreak]] = acc
+        acc += r["_s"]
+
+    def add_cum(t: pa.Table, _offs=offsets) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        first = t.column(tiebreak)[0].as_py()
+        start = _offs[first]
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            out_name, pa.array(start + np.cumsum(v), pa.int64())
+        )
+
+    return sorted_ds.map_batches(add_cum, batch_format="pyarrow", batch_size=None)

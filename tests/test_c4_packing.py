@@ -216,3 +216,47 @@ def test_hard_negatives_planted(ray_session, tmp_path):
         (1, 2, 2),
         (1, 3, 3),
     ]
+
+
+def test_global_prefix_sum_multiblock_exact(ray_session):
+    import ray as _ray
+
+    from commoncrawl_ray.stages.rank import global_sorted_prefix_sum
+
+    n = 1000
+    ids = list(range(n))
+    vals = [(i * 7) % 13 + 1 for i in ids]
+    ds = _ray.data.from_arrow(
+        pa.table({"k": pa.array(ids, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(9)  # force multi-block summaries
+    out = global_sorted_prefix_sum(ds, ["k"], "v", out_name="cum")
+    rows = sorted((r["k"], r["cum"]) for r in out.take_all())
+    acc = 0
+    for i, (k, cum) in enumerate(rows):
+        acc += vals[i]
+        assert k == i and cum == acc
+
+
+def test_token_budget_select_tiny(ray_session, tmp_path):
+    from commoncrawl_ray.pipelines.queries import q_token_budget_select
+
+    # n_chars picks the order: doc2 (9) first, doc0 (5), doc1 (3)
+    texts = ["a b c", "x", "p q r s"]
+    d = tmp_path / "sf"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([5, 3, 9], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = q_token_budget_select(str(d), budget=7)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    # order: doc2 (4 toks, cum 4), doc0 (3, cum 7), doc1 (1, cum 8)
+    assert rows[2]["cum_tokens"] == 4 and rows[2]["kept"] == 1
+    assert rows[0]["cum_tokens"] == 7 and rows[0]["kept"] == 1  # exactly at budget
+    assert rows[1]["cum_tokens"] == 8 and rows[1]["kept"] == 0
