@@ -11423,6 +11423,54 @@ FROM c
 """
 
 
+def q_jsonl_gz_roundtrip(sf_dir: str):
+    """Gzip-compressed JSONL round-trip — the interchange layout
+    100 TB corpora actually ship (sharded ``.jsonl`` with whole-file
+    gzip members; cf. the WET/WARC members of sources/warc.py): write
+    the documents table through Ray's json sink with Arrow gzip
+    compression, read the gzip shard tree back, and emit per-document
+    md5 digests. The hash check proves byte fidelity through JSON
+    escaping AND the compress->decompress cycle — a mangled member or
+    re-encoded char changes a digest. Scale: shard-per-block streaming
+    both ways, like q_jsonl_roundtrip; only slim digest rows return."""
+    import shutil
+    import tempfile
+
+    from ..functions.digests import md5_hex_column
+
+    out = tempfile.mkdtemp(prefix="ccray_jsonlgz_", dir="/tmp")
+    try:
+        _pq(sf_dir, "documents", ["doc_id", "lang", "source", "text"],
+            min_blocks=8).write_json(
+            out, arrow_open_stream_args={"compression": "gzip"}
+        )
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                    "text_md5": pa.array(
+                        md5_hex_column(t.column("text")), pa.string()
+                    ),
+                }
+            )
+
+        return rd.read_json(
+            out,
+            arrow_open_stream_args={"compression": "gzip"},
+            file_extensions=None,
+        ).map_batches(digest, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_JSONL_GZ_ROUNDTRIP = """
+SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11575,6 +11623,7 @@ REGISTRY: dict[str, tuple] = {
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
+    "jsonl_gz_roundtrip": (q_jsonl_gz_roundtrip, SQL_JSONL_GZ_ROUNDTRIP),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
