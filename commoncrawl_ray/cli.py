@@ -182,6 +182,25 @@ def _cmd_export_wet(args) -> int:
     return 0
 
 
+def _cmd_export_tfrecord(args) -> int:
+    """docs parquet -> sharded .tfrecord training shards (string cols
+    as bytes_list, int cols as int64_list; sources/tfrecord.py)."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources.tfrecord import write_tfrecord
+
+    ds = rd.read_parquet(args.input)
+    res = write_tfrecord(ds, args.output).to_pandas()
+    print(
+        json.dumps(
+            {"files": len(res), "records": int(res["records"].sum()), "output": args.output}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def _cmd_query(args) -> int:
     from .pipelines.queries import REGISTRY
 
@@ -325,6 +344,13 @@ def main(argv=None) -> int:
     et.add_argument("--input", required=True)
     et.add_argument("--output", required=True)
     et.set_defaults(fn=_cmd_export_wet)
+
+    etf = sub.add_parser(
+        "export-tfrecord", help="docs parquet -> sharded .tfrecord"
+    )
+    etf.add_argument("--input", required=True)
+    etf.add_argument("--output", required=True)
+    etf.set_defaults(fn=_cmd_export_tfrecord)
 
     ic = sub.add_parser(
         "index-cdx", help=".warc.gz archive dir -> sorted CDXJ capture index"

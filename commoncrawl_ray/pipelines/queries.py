@@ -11471,6 +11471,57 @@ SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_tfrecord_roundtrip(sf_dir: str):
+    """TFRecord source/sink round-trip — the TF/TPU training-shard
+    interchange format, spoken from the public on-disk spec with no
+    tensorflow/protobuf dependency (sources/tfrecord.py: hand-rolled
+    tf.train.Example proto wire + masked-CRC32C record framing, both
+    CRCs verified on every read). Write the documents table as
+    sharded .tfrecord (one shard per block, content-hash names,
+    tmp+rename), read the shard tree back (one parse task per shard),
+    and emit per-document md5 digests — the hash check proves byte
+    fidelity through the proto encode->frame->parse cycle exactly as
+    q_jsonl_roundtrip proves JSON escaping."""
+    import shutil
+    import tempfile
+
+    from ..functions.digests import md5_hex_column
+    from ..sources.tfrecord import read_tfrecord, write_tfrecord
+
+    out = tempfile.mkdtemp(prefix="ccray_tfrec_", dir="/tmp")
+    try:
+        write_tfrecord(
+            _pq(sf_dir, "documents", ["doc_id", "lang", "source", "text"],
+                min_blocks=8),
+            out,
+        ).materialize()  # side-writes must finish before the read
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                    "text_md5": pa.array(
+                        md5_hex_column(t.column("text")), pa.string()
+                    ),
+                }
+            )
+
+        return read_tfrecord(
+            out,
+            int64_cols=("doc_id",),
+            bytes_cols=("lang", "source", "text"),
+        ).map_batches(digest, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_TFRECORD_ROUNDTRIP = """
+SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11624,6 +11675,7 @@ REGISTRY: dict[str, tuple] = {
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "jsonl_gz_roundtrip": (q_jsonl_gz_roundtrip, SQL_JSONL_GZ_ROUNDTRIP),
+    "tfrecord_roundtrip": (q_tfrecord_roundtrip, SQL_TFRECORD_ROUNDTRIP),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
