@@ -11522,6 +11522,61 @@ SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_seqfile_roundtrip(sf_dir: str):
+    """Hadoop SequenceFile source/sink round-trip — the reference
+    engine's ACTUAL spill/sink container (SequenceFileSpillWriter.java
+    :100-103, SequenceFileReader/Merger), spoken from the public
+    on-disk format with no JVM (sources/seqfile.py: SEQ v6 header,
+    Text/BytesWritable serialization, Hadoop vints, verified sync
+    escapes every 2000 bytes). Write the documents table as sharded
+    .seq (Text key = doc_id, BytesWritable value = utf-8 text; one
+    content-hash shard per block, tmp+rename), read the tree back
+    (one parse task per shard), emit per-document md5 digests — byte
+    fidelity through the vint/Text/sync cycle, the
+    q_tfrecord_roundtrip discipline."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..functions.digests import md5_hex_column
+    from ..sources.seqfile import read_seqfile, write_seqfile
+
+    out = tempfile.mkdtemp(prefix="ccray_seq_", dir="/tmp")
+    try:
+        src = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8)
+        keyed = src.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pc.cast(t.column("doc_id"), pa.string()),
+                    "text": t.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        write_seqfile(keyed, out, key_col="k", value_col="text").materialize()
+
+        def digest(t: pa.Table) -> pa.Table:
+            txt = pc.cast(t.column("value"), pa.string())
+            return pa.table(
+                {
+                    "doc_id": pc.cast(t.column("key"), pa.int64()),
+                    "text_md5": pa.array(md5_hex_column(txt), pa.string()),
+                }
+            )
+
+        return read_seqfile(out).map_batches(
+            digest, batch_format="pyarrow"
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_SEQFILE_ROUNDTRIP = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11676,6 +11731,7 @@ REGISTRY: dict[str, tuple] = {
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "jsonl_gz_roundtrip": (q_jsonl_gz_roundtrip, SQL_JSONL_GZ_ROUNDTRIP),
     "tfrecord_roundtrip": (q_tfrecord_roundtrip, SQL_TFRECORD_ROUNDTRIP),
+    "seqfile_roundtrip": (q_seqfile_roundtrip, SQL_SEQFILE_ROUNDTRIP),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
