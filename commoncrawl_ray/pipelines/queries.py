@@ -11577,6 +11577,55 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_avro_roundtrip(sf_dir: str):
+    """Avro Object Container File source/sink round-trip — the classic
+    Kafka/Hadoop interchange container, spoken from the public Avro
+    binary spec with no avro library (sources/avro.py: zigzag-varint
+    primitives, embedded JSON schema, per-block verified sync markers,
+    RAW-deflate codec via zlib). Write the documents table as sharded
+    deflate-compressed .avro (one content-hash shard per block,
+    tmp+rename), read the tree back (one parse task per shard), emit
+    per-document md5 digests — byte fidelity through the zigzag/
+    deflate/sync cycle, the q_tfrecord_roundtrip discipline."""
+    import shutil
+    import tempfile
+
+    from ..functions.digests import md5_hex_column
+    from ..sources.avro import read_avro, write_avro
+
+    fields = [("doc_id", "long"), ("lang", "string"), ("text", "string")]
+    out = tempfile.mkdtemp(prefix="ccray_avro_", dir="/tmp")
+    try:
+        write_avro(
+            _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=8),
+            out,
+            fields,
+            codec="deflate",
+        ).materialize()
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "lang": t.column("lang"),
+                    "text_md5": pa.array(
+                        md5_hex_column(t.column("text")), pa.string()
+                    ),
+                }
+            )
+
+        return read_avro(out, fields).map_batches(
+            digest, batch_format="pyarrow"
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11732,6 +11781,7 @@ REGISTRY: dict[str, tuple] = {
     "jsonl_gz_roundtrip": (q_jsonl_gz_roundtrip, SQL_JSONL_GZ_ROUNDTRIP),
     "tfrecord_roundtrip": (q_tfrecord_roundtrip, SQL_TFRECORD_ROUNDTRIP),
     "seqfile_roundtrip": (q_seqfile_roundtrip, SQL_SEQFILE_ROUNDTRIP),
+    "avro_roundtrip": (q_avro_roundtrip, SQL_AVRO_ROUNDTRIP),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
