@@ -11626,6 +11626,43 @@ SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_docs_lang_join_skew(sf_dir: str, hot_threshold: int = 100):
+    """Per-language doc-count attach through the SKEW-RESILIENT join
+    (stages/joins.skew_join — the mega-key broadcast fix-up the plain
+    merge_join docstrings defer to): the corpus' zipf-dominant
+    language crosses ``hot_threshold`` and takes the broadcast-probe
+    path while every other language takes the normal one-exchange
+    sort-merge path, so BOTH routes are exercised and hash-checked in
+    one query against the plain SQL join (path choice must be
+    invisible in the result). Output (doc_id, lang, lang_docs) —
+    all-integer."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import skew_join
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    dim = docs.groupby("lang").aggregate(Count(alias_name="lang_docs"))
+    return skew_join(
+        docs,
+        dim,
+        "lang",
+        "lang",
+        ["lang_docs"],
+        how="inner",
+        hot_threshold=hot_threshold,
+    )
+
+
+SQL_DOCS_LANG_JOIN_SKEW = """
+WITH dim AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_docs
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, dim.lang_docs
+FROM documents d JOIN dim ON d.lang = dim.lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
@@ -11782,6 +11819,7 @@ REGISTRY: dict[str, tuple] = {
     "tfrecord_roundtrip": (q_tfrecord_roundtrip, SQL_TFRECORD_ROUNDTRIP),
     "seqfile_roundtrip": (q_seqfile_roundtrip, SQL_SEQFILE_ROUNDTRIP),
     "avro_roundtrip": (q_avro_roundtrip, SQL_AVRO_ROUNDTRIP),
+    "docs_lang_join_skew": (q_docs_lang_join_skew, SQL_DOCS_LANG_JOIN_SKEW),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

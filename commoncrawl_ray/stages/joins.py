@@ -159,8 +159,8 @@ def merge_join(
 
     Partitioning assumption (custom-operator rule): all rows of one
     join key fit in one sort block. Keys here are bounded entity ids
-    (custkey, host_fp); a mega-key would need salting + a broadcast
-    fix-up pass.
+    (custkey, host_fp); for a mega-key use :func:`skew_join` below —
+    the broadcast fix-up pass, implemented.
     """
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
@@ -408,3 +408,193 @@ def interval_join(
     return wire_ds.sort(by).map_batches(
         merge_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def skew_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    right_cols: list,
+    how: str = "inner",
+    suffix: str = "",
+    hot_threshold: int = 1_000_000,
+    max_hot_right_rows: int = 5_000_000,
+    stats: dict | None = None,
+):
+    """Skew-resilient equi-join: the mega-key fix-up the plain
+    :func:`merge_join` docstrings defer to ("a mega-key would need
+    salting + a broadcast fix-up pass") — implemented. Keys whose row
+    count reaches ``hot_threshold`` on EITHER side are routed to a
+    broadcast hash probe (the right slice of hot keys ships once via
+    ray.put and is probed vectorized inside map_batches over the hot
+    left rows); every other key takes the normal ONE-exchange
+    sort-merge path. The hot set is the union across sides, so each
+    key is fully handled by exactly one path and the result is
+    row-identical to merge_join. Spark's skew-join optimization is the
+    same split; here detection is an exact pre-combined per-key count
+    (per-batch value_counts partials -> one key-scale groupby), not a
+    sampler.
+
+    Semantics: how in ("inner", "left", "semi", "anti") — FULL OUTER
+    is not offered because unmatched-RIGHT tracking would need
+    cross-path reconciliation; use merge_join (and no mega-key) for
+    outer.
+
+    Bounds and assumptions (custom-operator rule): the right-side
+    rows of hot keys must fit in one broadcast object
+    (``max_hot_right_rows`` asserts it — the classic skew shape is a
+    LEFT mega-key probing a small dimension slice, where this is
+    tiny); the number of hot keys is <= total_rows/hot_threshold by
+    construction, so the driver-side hot-key list is bounded. Both
+    inputs are materialized once (three consumers: count, hot split,
+    cold split — Ray re-executes lineage per consumer otherwise)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"skew_join: unsupported how={how!r} (no outer)")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"right_cols must be empty for how={how!r}")
+
+    left = left.materialize()
+    right = right.materialize()
+
+    def key_counts(ds, col):
+        def partial(t: pa.Table) -> pa.Table:
+            arr = t.column(col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            vc = pc.value_counts(arr)
+            return pa.table(
+                {
+                    "k": vc.field("values"),
+                    "c": vc.field("counts").cast(pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+    hot = sorted(
+        {
+            r["k"]
+            for side, col in ((left, left_on), (right, right_on))
+            for r in key_counts(side, col)
+            .filter(expr=f"c >= {hot_threshold}")
+            .take_all()  # bounded: <= rows/threshold keys
+        }
+    )
+    if stats is not None:
+        stats["hot_keys"] = list(hot)
+    if not hot:
+        return merge_join(
+            left, right, left_on, right_on, right_cols, how=how, suffix=suffix
+        )
+    hot_arr = pa.array(hot)
+
+    def split(ds, col, keep_hot: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column(col), value_set=hot_arr)
+            return t.filter(m if keep_hot else pc.invert(m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    cold = merge_join(
+        split(left, left_on, False),
+        split(right, right_on, False),
+        left_on,
+        right_on,
+        right_cols,
+        how=how,
+        suffix=suffix,
+    )
+
+    # broadcast fix-up: the right rows of hot keys, shipped ONCE
+    right_schema = right.schema()
+    rh_refs = ray.get(split(right, right_on, True).materialize().to_arrow_refs())
+    rtab = pa.concat_tables(rh_refs).combine_chunks() if rh_refs else None
+    if rtab is None or len(rtab) == 0:
+        # a key hot on the LEFT only may have zero right rows: the
+        # empty slice still needs the full right schema for the probe
+        rtab = pa.schema(
+            list(zip(right_schema.names, right_schema.types))
+        ).empty_table()
+    else:
+        rtab = rtab.sort_by(right_on)
+    if len(rtab) > max_hot_right_rows:
+        raise ValueError(
+            f"skew_join: hot right slice {len(rtab)} rows exceeds "
+            f"max_hot_right_rows={max_hot_right_rows}; raise the cap or "
+            "pre-aggregate the right side"
+        )
+    if stats is not None:
+        stats["hot_right_rows"] = len(rtab)
+
+    def _np_keys(col):
+        a = col.to_numpy(zero_copy_only=False)
+        return a.astype("U") if a.dtype == object else a
+
+    rkeys = _np_keys(rtab.column(right_on))
+    bref = ray.put((rkeys, rtab))
+
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right.schema().names, right.schema().types))
+    payload_fields = [(c + suffix, right_types[c]) for c in right_cols]
+    out_schema = pa.schema(
+        [(n, left_types[n]) for n in left_names] + payload_fields
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return (
+                out_schema.empty_table()
+                if how in ("inner", "left")
+                else t
+            )
+        rk, rt = ray.get(bref)
+        keys = _np_keys(t.column(left_on))
+        lo = np.searchsorted(rk, keys, "left")
+        hi = np.searchsorted(rk, keys, "right")
+        cnt = (hi - lo).astype(np.int64)
+        if how == "semi":
+            return t.filter(pa.array(cnt > 0))
+        if how == "anti":
+            return t.filter(pa.array(cnt == 0))
+        total = int(cnt.sum())
+        idx_l = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        base = np.repeat(lo, cnt)
+        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        idx_r = base + (np.arange(total, dtype=np.int64) - offs)
+        take_l = pa.array(idx_l, pa.int64())
+        cols = {
+            nm: t.column(nm).combine_chunks().take(take_l)
+            for nm in left_names
+        }
+        take_r = pa.array(idx_r, pa.int64())
+        for (c, _typ), src in zip(payload_fields, right_cols):
+            cols[c] = rt.column(src).take(take_r)
+        matched = pa.table(cols, schema=out_schema)
+        if how == "left":
+            um = np.flatnonzero(cnt == 0)
+            if len(um):
+                t_um = t.take(pa.array(um, pa.int64()))
+                cols2 = {nm: t_um.column(nm) for nm in left_names}
+                for c, typ in payload_fields:
+                    cols2[c] = pa.nulls(len(um), typ)
+                matched = pa.concat_tables(
+                    [matched, pa.table(cols2, schema=out_schema)]
+                )
+        return matched
+
+    hot_out = split(left, left_on, True).map_batches(
+        probe, batch_format="pyarrow"
+    )
+    return cold.union(hot_out)
