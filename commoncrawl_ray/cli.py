@@ -201,6 +201,58 @@ def _cmd_export_tfrecord(args) -> int:
     return 0
 
 
+def _cmd_export_avro(args) -> int:
+    """docs parquet -> sharded Avro OCF (long/string columns inferred
+    from the parquet schema; deflate codec; sources/avro.py)."""
+    ray = _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .sources.avro import write_avro
+
+    ds = rd.read_parquet(args.input)
+    schema = ds.schema()
+    fields = []
+    for n, t in zip(schema.names, schema.types):
+        if pa.types.is_integer(t):
+            fields.append((n, "long"))
+        elif pa.types.is_string(t):
+            fields.append((n, "string"))
+        elif pa.types.is_binary(t):
+            fields.append((n, "bytes"))
+        else:
+            raise SystemExit(f"unsupported avro export type {t} for {n!r}")
+    res = write_avro(ds, args.output, fields, codec=args.codec).to_pandas()
+    print(
+        json.dumps(
+            {"files": len(res), "records": int(res["records"].sum()), "output": args.output}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def _cmd_export_seqfile(args) -> int:
+    """docs parquet -> sharded Hadoop SequenceFile (Text key column +
+    BytesWritable value column; sources/seqfile.py)."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources.seqfile import write_seqfile
+
+    ds = rd.read_parquet(args.input, columns=[args.key_col, args.value_col])
+    res = write_seqfile(
+        ds, args.output, key_col=args.key_col, value_col=args.value_col
+    ).to_pandas()
+    print(
+        json.dumps(
+            {"files": len(res), "records": int(res["records"].sum()), "output": args.output}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def _cmd_query(args) -> int:
     from .pipelines.queries import REGISTRY
 
@@ -351,6 +403,21 @@ def main(argv=None) -> int:
     etf.add_argument("--input", required=True)
     etf.add_argument("--output", required=True)
     etf.set_defaults(fn=_cmd_export_tfrecord)
+
+    eav = sub.add_parser("export-avro", help="docs parquet -> sharded Avro OCF")
+    eav.add_argument("--input", required=True)
+    eav.add_argument("--output", required=True)
+    eav.add_argument("--codec", default="deflate", choices=["null", "deflate"])
+    eav.set_defaults(fn=_cmd_export_avro)
+
+    esq = sub.add_parser(
+        "export-seqfile", help="docs parquet -> sharded Hadoop SequenceFile"
+    )
+    esq.add_argument("--input", required=True)
+    esq.add_argument("--output", required=True)
+    esq.add_argument("--key-col", default="doc_id")
+    esq.add_argument("--value-col", default="text")
+    esq.set_defaults(fn=_cmd_export_seqfile)
 
     ic = sub.add_parser(
         "index-cdx", help=".warc.gz archive dir -> sorted CDXJ capture index"
