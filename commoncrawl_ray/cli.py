@@ -232,6 +232,26 @@ def _cmd_export_avro(args) -> int:
     return 0
 
 
+def _cmd_export_columnar(args) -> int:
+    """docs parquet -> sharded ORC or Arrow IPC (full Arrow schema
+    carried as-is; sources/columnar.py)."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources.columnar import write_ipc, write_orc
+
+    ds = rd.read_parquet(args.input)
+    write_fn = write_orc if args.fmt == "orc" else write_ipc
+    res = write_fn(ds, args.output).to_pandas()
+    print(
+        json.dumps(
+            {"files": len(res), "records": int(res["records"].sum()), "output": args.output}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def _cmd_export_seqfile(args) -> int:
     """docs parquet -> sharded Hadoop SequenceFile (Text key column +
     BytesWritable value column; sources/seqfile.py)."""
@@ -409,6 +429,15 @@ def main(argv=None) -> int:
     eav.add_argument("--output", required=True)
     eav.add_argument("--codec", default="deflate", choices=["null", "deflate"])
     eav.set_defaults(fn=_cmd_export_avro)
+
+    for _fmt, _help in (
+        ("orc", "docs parquet -> sharded ORC (zlib stripes)"),
+        ("ipc", "docs parquet -> sharded Arrow IPC / Feather v2 (zstd)"),
+    ):
+        ec = sub.add_parser(f"export-{_fmt}", help=_help)
+        ec.add_argument("--input", required=True)
+        ec.add_argument("--output", required=True)
+        ec.set_defaults(fn=_cmd_export_columnar, fmt=_fmt)
 
     esq = sub.add_parser(
         "export-seqfile", help="docs parquet -> sharded Hadoop SequenceFile"

@@ -11626,6 +11626,77 @@ SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
 """
 
 
+def _columnar_roundtrip(sf_dir: str, write_fn, read_fn, prefix: str):
+    """Shared body of the ORC / Arrow-IPC round-trips (the
+    q_avro_roundtrip discipline): write the documents table as one
+    content-hash shard per block, read the tree back with one parse
+    task per shard, return per-document md5 text digests — the hash
+    check proves byte fidelity through the columnar encode/compress
+    cycle, and schema fidelity falls out of the typed digest columns
+    (an int64 that came back float64 would fail the driver's schema
+    compare)."""
+    import shutil
+    import tempfile
+
+    from ..functions.digests import md5_hex_column
+
+    out = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    try:
+        write_fn(
+            _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=8),
+            out,
+        ).materialize()
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "lang": t.column("lang"),
+                    "text_md5": pa.array(
+                        md5_hex_column(t.column("text")), pa.string()
+                    ),
+                }
+            )
+
+        return read_fn(out).map_batches(
+            digest, batch_format="pyarrow"
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC source/sink round-trip — the Hive/Presto warehouse column
+    format (sources/columnar.py via pyarrow's native ORC writer, zlib
+    stripe codec; no JVM): sharded write, shard-tree read-back,
+    per-document md5 digests prove byte+schema fidelity through the
+    encode/compress cycle."""
+    from ..sources.columnar import read_orc, write_orc
+
+    return _columnar_roundtrip(sf_dir, write_orc, read_orc, "ccray_orc_")
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+"""
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) source/sink round-trip — Arrow's own
+    zero-copy on-disk framing, the natural spill/interchange format
+    for an Arrow-native engine (sources/columnar.py, zstd buffer
+    codec): sharded write, shard-tree read-back, per-document md5
+    digests prove byte+schema fidelity."""
+    from ..sources.columnar import read_ipc, write_ipc
+
+    return _columnar_roundtrip(sf_dir, write_ipc, read_ipc, "ccray_ipc_")
+
+
+SQL_IPC_ROUNDTRIP = """
+SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+"""
+
+
 def q_docs_lang_join_skew(sf_dir: str, hot_threshold: int = 100):
     """Per-language doc-count attach through the SKEW-RESILIENT join
     (stages/joins.skew_join — the mega-key broadcast fix-up the plain
@@ -11819,6 +11890,8 @@ REGISTRY: dict[str, tuple] = {
     "tfrecord_roundtrip": (q_tfrecord_roundtrip, SQL_TFRECORD_ROUNDTRIP),
     "seqfile_roundtrip": (q_seqfile_roundtrip, SQL_SEQFILE_ROUNDTRIP),
     "avro_roundtrip": (q_avro_roundtrip, SQL_AVRO_ROUNDTRIP),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "ipc_roundtrip": (q_ipc_roundtrip, SQL_IPC_ROUNDTRIP),
     "docs_lang_join_skew": (q_docs_lang_join_skew, SQL_DOCS_LANG_JOIN_SKEW),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
