@@ -160,6 +160,26 @@ def _cmd_export_warc(args) -> int:
     return 0
 
 
+def _cmd_export_wacz(args) -> int:
+    """pages parquet -> self-contained .wacz packages (WARC archive +
+    CDXJ index + page list + sha256 manifest chain per block;
+    sources/wacz.py)."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources.wacz import write_wacz
+
+    ds = rd.read_parquet(args.input, columns=["url", "warc_ts", "html"])
+    res = write_wacz(ds, args.output).to_pandas()
+    print(
+        json.dumps(
+            {"files": len(res), "records": int(res["records"].sum()), "output": args.output}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def _cmd_export_wet(args) -> int:
     """pages parquet -> parse/extract -> .wet.gz extracted-text files."""
     ray = _init_ray(args.num_cpus)
@@ -409,6 +429,13 @@ def main(argv=None) -> int:
     ew.add_argument("--input", required=True)
     ew.add_argument("--output", required=True)
     ew.set_defaults(fn=_cmd_export_warc)
+
+    ez = sub.add_parser(
+        "export-wacz", help="pages parquet -> self-contained .wacz packages"
+    )
+    ez.add_argument("--input", required=True)
+    ez.add_argument("--output", required=True)
+    ez.set_defaults(fn=_cmd_export_wacz)
 
     et = sub.add_parser(
         "export-wet", help="pages parquet -> parse -> .wet.gz extracted text"

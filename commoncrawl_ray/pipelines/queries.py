@@ -11697,6 +11697,107 @@ SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
 """
 
 
+def _wacz_pages_table():
+    """The q_warc_roundtrip 160-page shard as an Arrow pages table
+    (8 hosts x 20 pages of the deterministic universe — the same rows
+    the ARC/CDX oracles are built from)."""
+    from ..sources.synth import get_universe
+
+    uni = get_universe(0.001, 42)
+    urls, tss, recs = [], [], []
+    for host in uni.hosts[:8]:
+        for k in range(min(20, uni.page_counts[host])):
+            url, ts, rec, _lang = uni.page_row(host, k)
+            urls.append(url)
+            tss.append(ts)
+            recs.append(rec)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("ms")),
+            "html": pa.array(recs, pa.binary()),
+        }
+    )
+
+
+def _wacz_shard_dir() -> str:
+    """Write (once per process) the 160-page universe shard as three
+    self-contained WACZ packages under /tmp; content-hash names make
+    the re-write a no-op when the directory already holds them."""
+    import os
+
+    from ..sources.wacz import write_wacz
+
+    d = "/tmp/ccray_wacz_shards"
+    if not (os.path.isdir(d) and any(f.endswith(".wacz") for f in os.listdir(d))):
+        write_wacz(rd.from_arrow(_wacz_pages_table()).repartition(3), d).count()
+    return d
+
+
+def q_wacz_roundtrip(sf_dir: str):
+    """WACZ package layer (sources/wacz.py — Webrecorder's public
+    WACZ 1.1.1 spec; the reference predates the format entirely):
+    write the same 160-page shard as three self-contained packages
+    (WARC archive + CDXJ index + page list + sha256 manifest chain,
+    one package per block), read the archive members back through the
+    verified Ray source, parse — and hash-check against the SAME
+    no-format oracle as arc_roundtrip/warc_roundtrip, proving the
+    whole zip+manifest cycle byte-lossless."""
+    import hashlib
+
+    from ..sources.wacz import read_wacz_pages
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_arc_roundtrip_table
+
+    oracle_arc_roundtrip_table()
+
+    def digest(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "url_fp": b.column("url_fp"),
+                "http_status": b.column("http_status"),
+                "mime_norm": b.column("mime_norm"),
+                "digest_hex": pa.array(
+                    [
+                        hashlib.md5((t_ or "").encode()).hexdigest()
+                        for t_ in b.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        read_wacz_pages(_wacz_shard_dir())
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(digest, batch_format="pyarrow")
+    )
+
+
+SQL_WACZ_ROUNDTRIP = SQL_ARC_ROUNDTRIP
+
+
+def q_wacz_cdx(sf_dir: str):
+    """The embedded CDXJ index of the WACZ packages, read back through
+    the verified source and hash-checked against the no-index
+    sequential CDX oracle — the per-package indexes union to exactly
+    the corpus capture set (the compare sorts rows), proving the
+    in-package index derivation + sorted CDXJ write + zip cycle
+    lossless."""
+    from ..sources.wacz import read_wacz_cdx
+    from .oracle_sketch import oracle_cdx_table
+
+    oracle_cdx_table()
+    return read_wacz_cdx(_wacz_shard_dir()).drop_columns(["cdx_key", "shard"])
+
+
+SQL_WACZ_CDX = f"""
+SELECT surt, ts14, url, http_status, mime_norm, digest_hex, length
+FROM read_parquet('{CDX_ORACLE_PATH}')
+"""
+
+
 def q_docs_lang_join_skew(sf_dir: str, hot_threshold: int = 100):
     """Per-language doc-count attach through the SKEW-RESILIENT join
     (stages/joins.skew_join — the mega-key broadcast fix-up the plain
@@ -11892,6 +11993,8 @@ REGISTRY: dict[str, tuple] = {
     "avro_roundtrip": (q_avro_roundtrip, SQL_AVRO_ROUNDTRIP),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "ipc_roundtrip": (q_ipc_roundtrip, SQL_IPC_ROUNDTRIP),
+    "wacz_roundtrip": (q_wacz_roundtrip, SQL_WACZ_ROUNDTRIP),
+    "wacz_cdx": (q_wacz_cdx, SQL_WACZ_CDX),
     "docs_lang_join_skew": (q_docs_lang_join_skew, SQL_DOCS_LANG_JOIN_SKEW),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

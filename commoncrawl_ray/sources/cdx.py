@@ -40,18 +40,23 @@ CLUSTER_IDX = "cluster.idx"
 # ---------------------------------------------------------------- rows
 
 
-def cdx_rows_batch(batch: pa.Table) -> pa.Table:
+def cdx_rows_batch(batch: pa.Table, parsed: pa.Table | None = None) -> pa.Table:
     """pages(url, warc_ts, html) -> capture rows (cdx_key, surt, ts14,
     url=canonical, http_status, mime_norm, digest_hex, length). Shares
     the parse kernel (stages/parse_extract.py) and the SURT transform
     with the sequential oracle; rows whose URL cannot be canonicalized
     to a SURT key are dropped (the archive still holds them — they are
-    simply not addressable by key, as in wayback CDX practice)."""
+    simply not addressable by key, as in wayback CDX practice).
+
+    ``parsed`` lets a caller that already ran ``parse_extract_batch``
+    on the identical batch (the WACZ sink builds index + page list +
+    archive from ONE parse) skip the second parse."""
     from ..functions.http import format_timestamp14
     from ..functions.surt import surt
     from ..stages.parse_extract import parse_extract_batch
 
-    parsed = parse_extract_batch(batch)
+    if parsed is None:
+        parsed = parse_extract_batch(batch)
     htmls = batch.column("html").to_pylist()
     tss = batch.column("warc_ts").cast(pa.int64()).to_pylist()
     canon = parsed.column("canon_url").to_pylist()
