@@ -3350,3 +3350,45 @@ def oracle_webtext_table(sf_dir: str, path: str = WEBTEXT_ORACLE_PATH) -> str:
         }
     )
     return _write_atomic(t, path, src_key)
+
+
+# --------------------------------------------------------------------
+# distributed PCA oracle (stages/pca.py)
+# --------------------------------------------------------------------
+
+PCA_ORACLE_PATH = "/tmp/ccray_oracle_embedding_pca.parquet"
+
+
+def oracle_pca_table(sf_dir: str, path: str = PCA_ORACLE_PATH, k: int = 4) -> str:
+    """Sequential PCA sharing only the numeric kernels with
+    stages/pca.py (quantize / components_from_moments / the per-row
+    integer-dot projection formula); the moment accumulation here is
+    one flat big-int fold, vs the distributed in-block-int64 +
+    decimal-string merge tree there — exact integers either way, so
+    the covariance floats, eigh output and per-row projections are
+    bit-identical by construction."""
+    import numpy as np
+
+    from ..stages.pca import QSCALE, components_from_moments, quantize
+
+    src_key = f"{os.path.abspath(sf_dir)}|pca|{k}|v1"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = quantize(mat)
+    n = q.shape[0]
+    s = [int(v) for v in q.sum(axis=0)]
+    g = [int(v) for v in (q.T @ q).reshape(-1)]
+    mean, comps, _ratio = components_from_moments(n, s, g, k)
+    qv = quantize(comps)
+    dots = q @ qv.T
+    cent = (mean * QSCALE) @ qv.T.astype(np.float64)
+    proj = (dots.astype(np.float64) - cent) / (QSCALE * QSCALE)
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for j in range(comps.shape[0]):
+        cols[f"pc{j + 1}"] = pa.array(np.round(proj[:, j], 6), pa.float64())
+    return _write_atomic(pa.table(cols), path, src_key)

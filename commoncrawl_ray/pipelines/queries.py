@@ -3799,6 +3799,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_multimodal_table,
         oracle_parse_extract_table,
         oracle_semdedup_table,
+        oracle_pca_table,
         oracle_sitemap_table,
         oracle_simhash_table,
         oracle_wat_table,
@@ -3823,6 +3824,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_hits_table(sf_dir)
     oracle_lm_score_table(sf_dir)
     oracle_semdedup_table(sf_dir)
+    oracle_pca_table(sf_dir)
     oracle_wat_table(sf_dir)
     oracle_host_edges_table(sf_dir)
     oracle_dup_strip_table(sf_dir)
@@ -9395,6 +9397,30 @@ FROM read_parquet('/tmp/ccray_oracle_semdedup.parquet')
 """
 
 
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table (stages/pca.py):
+    one streaming scan to EXACT integer moment partials (in-block
+    int64, arbitrary-precision decimal-string merges — bit-exact
+    under any reduction order at any corpus size), driver-side d×d
+    eigendecomposition with a deterministic sign convention, then a
+    broadcast stateless projection scan whose per-row output comes
+    from exact int64 dot products. Returns (vec_id, pc1..pc4);
+    hash-checked against a sequential oracle sharing only the
+    numeric kernels (oracle_sketch.oracle_pca_table)."""
+    from ..stages.pca import pca
+    from .oracle_sketch import oracle_pca_table
+
+    oracle_pca_table(sf_dir)
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], min_blocks=4)
+    return pca(ds, k=4)
+
+
+SQL_EMBEDDING_PCA = """
+SELECT vec_id, pc1, pc2, pc3, pc4
+FROM read_parquet('/tmp/ccray_oracle_embedding_pca.parquet')
+"""
+
+
 def q_diversity_sample(sf_dir: str):
     """Cluster-balanced diversity sampling (the keep-easy end of
     Sorscher et al. 2022's prototypicality pruning): distributed
@@ -12001,6 +12027,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
+    "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "diversity_sample": (q_diversity_sample, SQL_DIVERSITY_SAMPLE),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "dup_passage_strip": (q_dup_passage_strip, SQL_DUP_PASSAGE_STRIP),
