@@ -3392,3 +3392,90 @@ def oracle_pca_table(sf_dir: str, path: str = PCA_ORACLE_PATH, k: int = 4) -> st
     for j in range(comps.shape[0]):
         cols[f"pc{j + 1}"] = pa.array(np.round(proj[:, j], 6), pa.float64())
     return _write_atomic(pa.table(cols), path, src_key)
+
+
+# --------------------------------------------------------------------
+# margin-based bitext mining oracle (stages/bitext.py)
+# --------------------------------------------------------------------
+
+BITEXT_ORACLE_PATH = "/tmp/ccray_oracle_bitext.parquet"
+
+
+def oracle_bitext_table(
+    sf_dir: str,
+    path: str = BITEXT_ORACLE_PATH,
+    k_neighbors: int = 4,
+    threshold: float = 1.0,
+    n_clusters: int = 8,
+    iters: int = 4,
+) -> str:
+    """Sequential margin-based bitext mining sharing the numeric
+    kernels (assign_rounded / centroids_from_sums / quantize and the
+    whole per-cluster ``mine_block``) with stages/bitext.py. The fit
+    walks the same integer-exact centroid trajectory as the
+    distributed k-means (same init rule, same order-free sums), and
+    the per-cluster miner is the identical function, so a value-hash
+    match isolates the Ray plumbing (assign pass, pre-sort cap drop,
+    sort co-partition)."""
+    import numpy as np
+
+    from ..functions.sketches import knuth32
+    from ..functions.vec import list_to_matrix
+    from ..stages.bitext import mine_block
+    from ..stages.semdedup import (
+        _norm_rows,
+        assign_rounded,
+        centroids_from_sums,
+        quantize,
+    )
+
+    src_key = (
+        f"{os.path.abspath(sf_dir)}|bitext|{k_neighbors}|{threshold}"
+        f"|{n_clusters}|{iters}|v1"
+    )
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    sides = (
+        np.asarray(t.column("label").to_pylist(), dtype=np.int64) % 2
+    ).astype(np.int8)
+    xn = _norm_rows(list_to_matrix(t.column("embedding")))
+    dim = xn.shape[1]
+    k = n_clusters
+    if len(ids) > k:
+        thresh = np.uint64(min(1 << 32, int(np.ceil((1 << 32) * 2.0 * k / len(ids)))))
+        sel = np.sort(ids[knuth32(ids) < thresh])[:k]
+    else:
+        sel = np.sort(ids)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    centroids = xn[[pos[int(s)] for s in sel]].copy()
+    q = quantize(xn)
+    for _ in range(iters):
+        cl = assign_rounded(xn, centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(counts, cl, 1)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cl, q)
+        centroids = centroids_from_sums(sums, counts, centroids)
+    cl = assign_rounded(xn, centroids)
+    src_all, tgt_all, mg_all = [], [], []
+    for c in np.unique(cl):
+        m = np.nonzero(cl == c)[0]
+        src, tgt, mg = mine_block(
+            ids[m], sides[m], q[m], k_neighbors, threshold
+        )
+        src_all += src
+        tgt_all += tgt
+        mg_all += mg
+    out = pa.table(
+        {
+            "src_id": pa.array(np.asarray(src_all, dtype=np.int64)),
+            "tgt_id": pa.array(np.asarray(tgt_all, dtype=np.int64)),
+            "margin": pa.array(np.asarray(mg_all, dtype=np.float64)),
+        }
+    )
+    return _write_atomic(out, path, src_key)

@@ -3800,6 +3800,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_parse_extract_table,
         oracle_semdedup_table,
         oracle_pca_table,
+        oracle_bitext_table,
         oracle_sitemap_table,
         oracle_simhash_table,
         oracle_wat_table,
@@ -3825,6 +3826,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_lm_score_table(sf_dir)
     oracle_semdedup_table(sf_dir)
     oracle_pca_table(sf_dir)
+    oracle_bitext_table(sf_dir)
     oracle_wat_table(sf_dir)
     oracle_host_edges_table(sf_dir)
     oracle_dup_strip_table(sf_dir)
@@ -9421,6 +9423,39 @@ FROM read_parquet('/tmp/ccray_oracle_embedding_pca.parquet')
 """
 
 
+def q_bitext_mining(sf_dir: str):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    CCMatrix recipe; stages/bitext.py): the embeddings table split
+    into two "language" sides by label parity, one shared distributed
+    k-means fit, per-cluster cross-side cosine + avgNN_k margin
+    scoring, mutual-best pairs above threshold. Every ranking rounds
+    to 6 dp first with ties to the lowest vec_id; hash-checked against
+    a sequential oracle sharing the fit kernels and the whole
+    per-cluster miner (oracle_sketch.oracle_bitext_table)."""
+    from ..stages.bitext import mine_bitext
+    from .oracle_sketch import oracle_bitext_table
+
+    oracle_bitext_table(sf_dir)
+
+    def add_side(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        side = pa.array((labels.astype(np.int64) % 2).astype(np.int8))
+        return t.drop_columns(["label"]).append_column("side", side)
+
+    ds = _pq(
+        sf_dir, "embeddings", ["vec_id", "embedding", "label"], min_blocks=4
+    ).map_batches(add_side, batch_format="pyarrow")
+    return mine_bitext(ds, dim=64, k_neighbors=4, threshold=1.0, n_clusters=8)
+
+
+SQL_BITEXT_MINING = """
+SELECT src_id, tgt_id, margin
+FROM read_parquet('/tmp/ccray_oracle_bitext.parquet')
+"""
+
+
 def q_diversity_sample(sf_dir: str):
     """Cluster-balanced diversity sampling (the keep-easy end of
     Sorscher et al. 2022's prototypicality pruning): distributed
@@ -12028,6 +12063,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly_outer": (q_events_hourly_outer, SQL_EVENTS_HOURLY_OUTER),
     "semdedup_embeddings": (q_semdedup_embeddings, SQL_SEMDEDUP_EMBEDDINGS),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
+    "bitext_mining": (q_bitext_mining, SQL_BITEXT_MINING),
     "diversity_sample": (q_diversity_sample, SQL_DIVERSITY_SAMPLE),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "dup_passage_strip": (q_dup_passage_strip, SQL_DUP_PASSAGE_STRIP),
