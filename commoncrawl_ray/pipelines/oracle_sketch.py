@@ -3479,3 +3479,37 @@ def oracle_bitext_table(
         }
     )
     return _write_atomic(out, path, src_key)
+
+
+# --------------------------------------------------------------------
+# HLL pairwise audience overlap oracle (stages/approx.hll_overlap_by_key)
+# --------------------------------------------------------------------
+
+HLL_OVERLAP_ORACLE_PATH = "/tmp/ccray_oracle_hll_overlap.parquet"
+
+
+def oracle_hll_overlap_table(
+    sf_dir: str, path: str = HLL_OVERLAP_ORACLE_PATH, p: int = 12
+) -> str:
+    """Single-process per-type HLL fold (the oracle_hll_by_type
+    registers) piped through the SHARED pairwise set-algebra kernel
+    (stages/approx.hll_pairwise_overlap). Registers merge by max =>
+    the sequential fold's bytes equal the distributed combiner's
+    bit-for-bit, so every pairwise estimate matches exactly."""
+    from ..functions.sketches import HyperLogLog
+    from ..stages.approx import hll_pairwise_overlap
+
+    src_key = os.path.abspath(sf_dir) + f"|hll_overlap|p={p}"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    keys = t.column("event_type").to_pylist()
+    vals = t.column("user_id").to_pylist()
+    hlls: dict[str, HyperLogLog] = {}
+    for k, v in zip(keys, vals):
+        if k is None or v is None:
+            continue
+        hlls.setdefault(k, HyperLogLog(p)).add_ints(np.array([v], dtype=np.int64))
+    return _write_atomic(hll_pairwise_overlap(hlls), path, src_key)

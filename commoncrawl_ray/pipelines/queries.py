@@ -3801,6 +3801,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_semdedup_table,
         oracle_pca_table,
         oracle_bitext_table,
+        oracle_hll_overlap_table,
         oracle_sitemap_table,
         oracle_simhash_table,
         oracle_wat_table,
@@ -3827,6 +3828,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_semdedup_table(sf_dir)
     oracle_pca_table(sf_dir)
     oracle_bitext_table(sf_dir)
+    oracle_hll_overlap_table(sf_dir)
     oracle_wat_table(sf_dir)
     oracle_host_edges_table(sf_dir)
     oracle_dup_strip_table(sf_dir)
@@ -6637,6 +6639,32 @@ def q_approx_distinct_users_by_type(sf_dir: str):
 SQL_APPROX_DISTINCT_USERS_BY_TYPE = f"""
 SELECT event_type, distinct_estimate
 FROM read_parquet('{HLL_BY_TYPE_ORACLE_PATH}')
+"""
+
+
+def q_audience_overlap(sf_dir: str):
+    """Pairwise audience overlap between event types via HLL set
+    algebra (stages/approx.hll_overlap_by_key): per-(batch,key)
+    register combiners, sketch-rows-only shuffle, key-cardinality
+    blobs to the driver, then |A∪B| from register max and |A∩B| by
+    inclusion-exclusion — the "shared users across surfaces" census
+    that would otherwise need a distinct-pairs self-join shuffle.
+    Register merges are order-free, so estimates match the
+    single-process fold bit-for-bit
+    (oracle_sketch.oracle_hll_overlap_table, shared pairwise
+    kernel)."""
+    from ..stages.approx import hll_overlap_by_key
+    from .oracle_sketch import oracle_hll_overlap_table
+
+    oracle_hll_overlap_table(sf_dir)
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"], min_blocks=8)
+    return hll_overlap_by_key(ds, "event_type", "user_id", p=12)
+
+
+SQL_AUDIENCE_OVERLAP = """
+SELECT key_a, key_b, distinct_a, distinct_b, union_est,
+       intersection_est, jaccard_est
+FROM read_parquet('/tmp/ccray_oracle_hll_overlap.parquet')
 """
 
 
@@ -11962,6 +11990,7 @@ REGISTRY: dict[str, tuple] = {
     "neardup_keep_best": (q_neardup_keep_best, SQL_NEARDUP_KEEP_BEST),
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
+    "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
     "approx_distinct_users_by_type": (
         q_approx_distinct_users_by_type,
         SQL_APPROX_DISTINCT_USERS_BY_TYPE,

@@ -115,26 +115,13 @@ def heavy_hitters(
     )
 
 
-def approx_distinct_by_key(
-    ds, key_col: str, val_col: str, p: int = 12
-):
-    """Per-group HLL distinct counts -> Dataset (key, distinct_estimate).
-
-    The groupby-aggregate form of ``approx_distinct``: the map side
-    pre-aggregates one HLL PER (batch, key) — the combiner discipline
-    every wide op here follows — so the shuffle moves
-    batches x group-cardinality sketch rows (2^p bytes each), never
-    input rows. map_groups then merges each key's partials (register
-    max => merge-order free, single-process-parity oracle-checkable).
-    Partitioning assumption: one output row per distinct key; suits
-    low-to-mid key cardinality (event types, languages, TLDs). For
-    billions of keys use exact groupby counts instead — the sketch
-    constant (2^p bytes/key) dominates below ~10k values per key.
-    """
+def _hll_partial_fn(key_col: str, val_col: str, p: int):
+    """Shared map-side builder: one HLL register blob PER (batch, key)
+    — the combiner every per-group sketch op here uses. Null keys
+    can't sort (None vs str) and null values must be skipped exactly
+    as the single-process oracles skip them."""
 
     def partial(t: pa.Table) -> pa.Table:
-        # null keys can't sort (None vs str) and null values must be
-        # skipped exactly as the single-process oracle skips them
         t = t.filter(
             pc.and_(
                 pc.is_valid(t.column(key_col)), pc.is_valid(t.column(val_col))
@@ -160,6 +147,102 @@ def approx_distinct_by_key(
                 "sk": pa.array(out_sk, pa.binary()),
             }
         )
+
+    return partial
+
+
+def hll_pairwise_overlap(sketches: dict[str, "HyperLogLog"]) -> pa.Table:
+    """Pairwise HLL set algebra over final per-key sketches (key-pair
+    scale — vocabulary, never corpus): |A∪B| from the register max of
+    COPIES, |A∩B| by inclusion-exclusion clamped at >= 0, jaccard =
+    inter/union. Pure kernel, shared verbatim with the sequential
+    oracle; floats rounded to 6 dp (all inputs are identical register
+    bytes on both sides, so the arithmetic is bit-identical)."""
+    keys = sorted(sketches)
+    ka, kb, da, db, un, inter, jac = [], [], [], [], [], [], []
+    for i, a in enumerate(keys):
+        ea = sketches[a].estimate()
+        for b in keys[i + 1 :]:
+            eb = sketches[b].estimate()
+            merged = HyperLogLog.from_bytes(sketches[a].to_bytes()).merge(
+                sketches[b]
+            )
+            eu = merged.estimate()
+            ei = max(ea + eb - eu, 0.0)
+            ka.append(a)
+            kb.append(b)
+            da.append(round(ea, 6))
+            db.append(round(eb, 6))
+            un.append(round(eu, 6))
+            inter.append(round(ei, 6))
+            jac.append(round(ei / eu, 6) if eu > 0 else 0.0)
+    return pa.table(
+        {
+            "key_a": pa.array(ka, pa.string()),
+            "key_b": pa.array(kb, pa.string()),
+            "distinct_a": pa.array(da, pa.float64()),
+            "distinct_b": pa.array(db, pa.float64()),
+            "union_est": pa.array(un, pa.float64()),
+            "intersection_est": pa.array(inter, pa.float64()),
+            "jaccard_est": pa.array(jac, pa.float64()),
+        }
+    )
+
+
+def hll_overlap_by_key(ds, key_col: str, val_col: str, p: int = 12) -> pa.Table:
+    """Pairwise audience overlap between key groups via HLL set
+    algebra — "how many users do event types A and B share?" without
+    a distinct-pairs shuffle.
+
+    Map side pre-aggregates one register blob per (batch, key) (the
+    approx_distinct_by_key combiner), the groupby moves sketch rows
+    only, each key folds to ONE final sketch, and the key-cardinality-
+    sized sketch set comes to the driver for the pairwise algebra
+    (bounded: one 2^p-byte blob per DISTINCT key — event types /
+    langs / TLDs, never rows). Registers merge by max => order-free
+    => identical bytes to the sequential fold, so the float estimates
+    are oracle-checkable bit-for-bit."""
+    import pandas as pd
+
+    partial = _hll_partial_fn(key_col, val_col, p)
+
+    def merge_group(df):
+        acc = None
+        for b in df["sk"]:
+            sk = HyperLogLog.from_bytes(b)
+            acc = sk if acc is None else acc.merge(sk)
+        return pd.DataFrame(
+            {key_col: [df[key_col].iloc[0]], "sk": [acc.to_bytes()]}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_SKETCH_BATCH)
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+        .take_all()
+    )
+    sketches = {r[key_col]: HyperLogLog.from_bytes(r["sk"]) for r in rows}
+    return hll_pairwise_overlap(sketches)
+
+
+def approx_distinct_by_key(
+    ds, key_col: str, val_col: str, p: int = 12
+):
+    """Per-group HLL distinct counts -> Dataset (key, distinct_estimate).
+
+    The groupby-aggregate form of ``approx_distinct``: the map side
+    pre-aggregates one HLL PER (batch, key) — the combiner discipline
+    every wide op here follows — so the shuffle moves
+    batches x group-cardinality sketch rows (2^p bytes each), never
+    input rows. map_groups then merges each key's partials (register
+    max => merge-order free, single-process-parity oracle-checkable).
+    Partitioning assumption: one output row per distinct key; suits
+    low-to-mid key cardinality (event types, languages, TLDs). For
+    billions of keys use exact groupby counts instead — the sketch
+    constant (2^p bytes/key) dominates below ~10k values per key.
+    """
+
+    partial = _hll_partial_fn(key_col, val_col, p)
 
     def merge_group(df):
         import pandas as pd

@@ -176,3 +176,31 @@ def test_countmin_properties():
     # serialization round-trip
     back = CountMin.from_bytes(narrow.to_bytes())
     assert np.array_equal(back.table, narrow.table)
+
+
+def test_hll_pairwise_overlap_tracks_truth():
+    """HLL set algebra (stages/approx.hll_pairwise_overlap): union via
+    register max is exact-HLL; intersection by inclusion-exclusion
+    tracks the true overlap within the p=12 error envelope."""
+    import numpy as np
+
+    from commoncrawl_ray.functions.sketches import HyperLogLog
+    from commoncrawl_ray.stages.approx import hll_pairwise_overlap
+
+    a = HyperLogLog(12).add_ints(np.arange(0, 6000, dtype=np.int64))
+    b = HyperLogLog(12).add_ints(np.arange(4000, 10000, dtype=np.int64))
+    c = HyperLogLog(12).add_ints(np.arange(20000, 21000, dtype=np.int64))
+    t = hll_pairwise_overlap({"a": a, "b": b, "c": c})
+    rows = {
+        (r["key_a"], r["key_b"]): r
+        for r in t.to_pylist()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert abs(ab["union_est"] - 10000) / 10000 < 0.1
+    assert abs(ab["intersection_est"] - 2000) / 2000 < 0.25
+    assert 0 < ab["jaccard_est"] < 0.5
+    # disjoint pair: intersection clamps near zero
+    assert rows[("a", "c")]["intersection_est"] < 600
+    # merging copies must not mutate the inputs
+    assert abs(a.estimate() - 6000) / 6000 < 0.05
