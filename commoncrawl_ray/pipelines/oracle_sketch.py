@@ -1599,6 +1599,56 @@ def oracle_lm_score_table(sf_dir: str, path: str = LM_SCORE_ORACLE_PATH) -> str:
     return _write_atomic(out, path, src_key)
 
 
+LM_KN_ORACLE_PATH = "/tmp/ccray_oracle_lm_score_kn.parquet"
+
+
+def oracle_lm_score_kn_table(sf_dir: str, path: str = LM_KN_ORACLE_PATH) -> str:
+    """Single-process interpolated Kneser–Ney fit + score: sequential
+    doc-by-doc count accumulation (vs the distributed partial-bincount
+    merge), then every document scored in file order. Shares the
+    alphabet/gram/KN-table KERNELS with stages/lm_score.py — the
+    parity proven is the distributed aggregation + broadcast plumbing,
+    exactly the oracle_lm_score_table discipline."""
+    from ..stages.lm_score import (
+        N_GRAMS,
+        encode_text,
+        gram_ids,
+        kn_logprob_table,
+        score_nll,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|lm_score_kn|en"
+    if _is_fresh(path, src_key):
+        return path
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    doc_ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    texts = t.column("text").to_pylist()
+    counts = np.zeros(N_GRAMS, dtype=np.int64)
+    for lang, text in zip(langs, texts):
+        if lang == "en" and text:
+            g = gram_ids(encode_text(text))
+            if len(g):
+                counts += np.bincount(g, minlength=N_GRAMS)
+    nz = np.nonzero(counts)[0]
+    logp = kn_logprob_table(nz.astype(np.int64), counts[nz])
+    n_grams = np.zeros(len(texts), dtype=np.int64)
+    nll = np.zeros(len(texts), dtype=np.float64)
+    for i, text in enumerate(texts):
+        n_grams[i], nll[i] = score_nll(text or "", logp)
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_grams": pa.array(n_grams),
+            "nll": pa.array(np.round(nll, 6), pa.float64()),
+        }
+    )
+    return _write_atomic(out, path, src_key)
+
+
 SEMDEDUP_ORACLE_PATH = "/tmp/ccray_oracle_semdedup.parquet"
 
 

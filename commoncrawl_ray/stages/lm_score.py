@@ -136,14 +136,13 @@ class LMScoreStage:
         return out.append_column("nll", pa.array(np.round(nll, 6)))
 
 
-def train_char_lm(train_ds) -> np.ndarray:
-    """Distributed trigram-count fit -> dense log-prob table.
-
-    ``train_ds`` must have a ``text`` column. The groupby moves only
+def corpus_gram_counts(train_ds) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed trigram-count collection: the groupby moves only
     sparse (gram_id, partial_count) rows — bounded per batch by the
-    N_GRAMS constant — and the merged model is pulled to the driver
-    (<= N_GRAMS rows, ~1 MB) where the smoothing expression runs once.
-    """
+    N_GRAMS constant — and the merged counts are pulled to the driver
+    (<= N_GRAMS rows, ~1 MB). Returns sparse (gram_id, count) int64
+    arrays; every smoothing recipe (add-α, Kneser–Ney) is a pure
+    driver-side expression over these exact integer counts."""
 
     def partials(t: pa.Table) -> pa.Table:
         g, c = batch_gram_counts(t.column("text").to_pylist())
@@ -155,9 +154,81 @@ def train_char_lm(train_ds) -> np.ndarray:
         .sum("n")
     )
     tbl = merged.to_pandas()  # bounded: <= N_GRAMS rows
-    return logprob_table(
-        tbl["gram_id"].to_numpy(dtype=np.int64), tbl["sum(n)"].to_numpy(np.int64)
+    return (
+        tbl["gram_id"].to_numpy(dtype=np.int64),
+        tbl["sum(n)"].to_numpy(np.int64),
     )
+
+
+def train_char_lm(train_ds) -> np.ndarray:
+    """Distributed trigram-count fit -> dense add-α log-prob table
+    (one bounded exchange via :func:`corpus_gram_counts`, smoothing
+    expression runs once on the driver)."""
+    g, c = corpus_gram_counts(train_ds)
+    return logprob_table(g, c)
+
+
+# Fixed absolute discount for the interpolated Kneser–Ney table — the
+# standard constant Chen & Goodman (1999) report as near-optimal; a
+# FIXED constant (not a count-of-counts estimate) keeps the float
+# expression independent of corpus pathologies (n1=n2=0) and therefore
+# bit-deterministic for any input.
+KN_DISCOUNT = 0.75
+
+
+def kn_logprob_table(
+    gram: np.ndarray, count: np.ndarray, discount: float = KN_DISCOUNT
+) -> np.ndarray:
+    """Merged (gram_id, count) -> dense float64 log P(w | u v) under
+    interpolated Kneser–Ney smoothing (Kneser & Ney 1995; the
+    formulation of Chen & Goodman 1999 §3 — the smoothing KenLM ships
+    and CCNet's quality filter actually runs). Lower orders use
+    CONTINUATION counts (in how many distinct contexts a gram appears),
+    not raw frequencies — the property that makes KN the empirical
+    best n-gram smoother.
+
+    Everything is a fixed chain of vectorized float64 expressions over
+    the dense (K,K,K) integer tensor, so any implementation that feeds
+    it the same integer counts produces bit-identical doubles (the
+    same contract as :func:`logprob_table`). Each conditional is a
+    PROPER distribution: the discount mass removed from seen trigrams
+    is exactly the backoff weight D·N1+(uv·)/c(uv·), and the base
+    unigram gets an add-α floor so no probability is ever 0."""
+    tri = np.zeros(N_GRAMS, dtype=np.float64)
+    tri[gram] = count
+    T = tri.reshape(K, K, K)  # T[u, v, w] = c(u v w)
+
+    c_uv = T.sum(axis=2)  # c(u v ·)
+    n1p_uv = (T > 0).sum(axis=2).astype(np.float64)  # N1+(u v ·)
+    # continuation bigram counts: in how many left-contexts u was
+    # (v, w) seen — the KN replacement for raw bigram frequency
+    cont_vw = (T > 0).sum(axis=0).astype(np.float64)  # N1+(· v w)
+    cont_v = cont_vw.sum(axis=1)  # N1+(· v ·)
+    n1p_v = (cont_vw > 0).sum(axis=1).astype(np.float64)  # |{w: N1+(·vw)>0}|
+    cont_w = (cont_vw > 0).sum(axis=0).astype(np.float64)  # N1+(· · w)
+    cont_total = float((cont_vw > 0).sum())  # N1+(· · ·)
+
+    # unigram continuation distribution with an add-α floor (never 0)
+    p1 = (cont_w + ALPHA) / (cont_total + ALPHA * K)  # (K,)
+    # bigram: discounted continuation counts interpolated with p1
+    denom_v = np.where(cont_v > 0, cont_v, 1.0)[:, None]
+    lam_v = (discount * n1p_v / np.where(cont_v > 0, cont_v, 1.0))[:, None]
+    p2 = np.maximum(cont_vw - discount, 0.0) / denom_v + lam_v * p1[None, :]
+    p2 = np.where(cont_v[:, None] > 0, p2, p1[None, :])  # unseen v -> p1
+    # trigram: discounted raw counts interpolated with p2
+    denom_uv = np.where(c_uv > 0, c_uv, 1.0)[:, :, None]
+    lam_uv = (discount * n1p_uv / np.where(c_uv > 0, c_uv, 1.0))[:, :, None]
+    p3 = np.maximum(T - discount, 0.0) / denom_uv + lam_uv * p2[None, :, :]
+    p3 = np.where(c_uv[:, :, None] > 0, p3, p2[None, :, :])  # unseen uv -> p2
+    return np.log(p3).reshape(N_GRAMS)
+
+
+def train_char_lm_kn(train_ds, discount: float = KN_DISCOUNT) -> np.ndarray:
+    """Distributed trigram-count fit -> dense interpolated-KN log-prob
+    table. Identical bounded exchange to :func:`train_char_lm`; only
+    the driver-side smoothing expression differs."""
+    g, c = corpus_gram_counts(train_ds)
+    return kn_logprob_table(g, c, discount)
 
 
 def lm_score(score_ds, logp: np.ndarray, concurrency=(1, 8), batch_size: int = 256):

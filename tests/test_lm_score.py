@@ -106,3 +106,84 @@ def test_lmratio_stage_kernel_matches_sequential():
             assert (n_grams[i], ratios[i]) == (0, 0.0)
     assert ratios[0] > ratios[1]  # in-domain text scores higher
     assert "text" not in out.column_names
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney table (kn_logprob_table)
+
+
+def test_kn_is_normalized_per_context():
+    """Every trigram conditional under KN must be a proper
+    distribution — seen contexts (discount mass exactly re-assigned),
+    unseen-bigram contexts (pure P2 backoff) and unseen-unigram
+    contexts (pure P1 backoff) alike."""
+    from commoncrawl_ray.stages.lm_score import kn_logprob_table
+
+    g, c = batch_gram_counts(
+        ["the quick brown fox jumps over the lazy dog 123", "aaa bbb aaa ccc"]
+    )
+    logp = kn_logprob_table(g, c)
+    p = np.exp(logp).reshape(K * K, K).sum(axis=1)
+    assert np.allclose(p, 1.0, atol=1e-10)
+
+
+def test_kn_continuation_beats_raw_frequency():
+    """The defining KN property: in an UNSEEN context the backoff
+    prefers the symbol seen after many distinct contexts over the
+    symbol that is frequent but glued to a single context (the
+    'Francisco' effect — high count, one continuation)."""
+    from commoncrawl_ray.stages.lm_score import kn_logprob_table
+
+    # 'x' follows many distinct 2-symbol contexts once each;
+    # 'q' appears more often in total but always in the same context.
+    corpus = ["abx cdx efx ghx ijx klx", "zq zq zq zq zq zq zq zq zq zq"]
+    g, c = batch_gram_counts(corpus)
+    logp = kn_logprob_table(g, c).reshape(K, K, K)
+    cx = encode_text("x")[0]
+    cq = encode_text("q")[0]
+    # a context never seen in training: both sides fall through to the
+    # continuation-weighted lower orders
+    u, v = encode_text("77")[:2]
+    assert logp[u, v, cx] > logp[u, v, cq]
+
+
+def test_kn_matches_sequential_fold_bitwise():
+    """Feeding the same integer counts must produce bit-identical
+    doubles no matter how the counts were accumulated (the contract
+    the distributed fit relies on)."""
+    from commoncrawl_ray.stages.lm_score import kn_logprob_table
+
+    texts = ["the cat sat on the mat", "el gato 99", "aaa bbb"]
+    g, c = batch_gram_counts(texts)
+    ref = np.zeros(N_GRAMS, dtype=np.int64)
+    for t in texts:
+        ids = gram_ids(encode_text(t))
+        if len(ids):
+            ref += np.bincount(ids, minlength=N_GRAMS)
+    nz = np.nonzero(ref)[0]
+    a = kn_logprob_table(g, c)
+    b = kn_logprob_table(nz.astype(np.int64), ref[nz])
+    assert np.array_equal(a, b)
+
+
+def test_kn_discount_mass_goes_to_backoff():
+    """A seen trigram loses exactly D/c(uv·) of probability relative
+    to its ML estimate plus the backoff share — spot-check the closed
+    form for one seen gram."""
+    from commoncrawl_ray.stages.lm_score import KN_DISCOUNT, kn_logprob_table
+
+    g, c = batch_gram_counts(["abc abd abe"])
+    logp = kn_logprob_table(g, c).reshape(K, K, K)
+    a, b_ = encode_text("ab")[:2]
+    cc = encode_text("c")[0]
+    # context 'ab' seen 3 times with 3 distinct continuations
+    T = np.zeros(N_GRAMS)
+    T[g] = c
+    T = T.reshape(K, K, K)
+    c_ab = T[a, b_].sum()
+    n1p = (T[a, b_] > 0).sum()
+    # reconstruct p2 term indirectly: p3 = (c-D)/c_ab + D*n1p/c_ab * p2
+    p3 = np.exp(logp[a, b_, cc])
+    lower = (T[a, b_, cc] - KN_DISCOUNT) / c_ab
+    assert p3 > lower  # interpolation strictly adds backoff mass
+    assert p3 < lower + KN_DISCOUNT * n1p / c_ab  # p2 < 1
