@@ -40,6 +40,8 @@ SITEMAP_INV_ORACLE_PATH = "/tmp/ccray_oracle_sitemap_inventory.parquet"
 BPE_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_bpe_train.parquet"
 BPE_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_bpe_encode.parquet"
 BPE_VOCAB_ORACLE_PATH = "/tmp/ccray_oracle_bpe_vocab.parquet"
+UNIGRAM_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_unigram_train.parquet"
+UNIGRAM_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_unigram_encode.parquet"
 WARC_REVISIT_ORACLE_PATH = "/tmp/ccray_oracle_warc_revisit.parquet"
 WEBTEXT_ORACLE_PATH = "/tmp/ccray_oracle_webtext.parquet"
 _M64 = (1 << 64) - 1
@@ -423,6 +425,126 @@ def oracle_bpe_encode_table(
         {
             "doc_id": t.column("doc_id"),
             "n_bpe_tokens": pa.array(out, pa.int64()),
+        }
+    )
+    return _write_atomic(tab, path, src_key)
+
+
+# unigram-LM tokenizer fit parameters (stages/unigram.py): sized so
+# the sequential oracle's 5 EM passes over the capped word table stay
+# in seconds at sf0.01 while still exercising multi-round pruning.
+UNI_MAX_WORDS = 8_000
+UNI_SEED_SIZE = 1_500
+UNI_VOCAB_SIZE = 600
+UNI_MAX_PIECE_LEN = 5
+
+
+def _unigram_seq_word_counts(sf_dir: str) -> dict[str, int]:
+    """Sequential word-count + cap with the SHARED pre-tokenizer and
+    the identical deterministic (count desc, word asc) rule the
+    engine's distributed sort+limit applies — _bpe_seq_word_counts at
+    the unigram fit's own cap."""
+    from collections import Counter
+
+    from ..stages.bpe import pretokenize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    c: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        if txt:
+            c.update(pretokenize(txt))
+    kept = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_MAX_WORDS]
+    return dict(kept)
+
+
+def _unigram_seq_fit(sf_dir: str):
+    """Sequential unigram-LM fit: dict-fold word counts, dict-fold
+    seed substring counts, and a plain-loop E-step, all feeding the
+    SHARED pure kernels (stages/unigram.{cap_seed,word_qcounts,
+    run_unigram_em}). The quantized integer merge makes the fitted
+    model bit-identical to the engine's distributed EM, so a registry
+    hash match isolates exactly the map_batches+groupby plumbing.
+    Returns (logp, word_counts)."""
+    from ..stages.unigram import (
+        cap_seed,
+        run_unigram_em,
+        seed_pieces_of_word,
+        word_qcounts,
+    )
+
+    wc = _unigram_seq_word_counts(sf_dir)
+    piece_counts: dict[str, int] = {}
+    for w, f in wc.items():
+        for p, c in seed_pieces_of_word(w, f, UNI_MAX_PIECE_LEN).items():
+            piece_counts[p] = piece_counts.get(p, 0) + c
+    seed = cap_seed(piece_counts, UNI_SEED_SIZE)
+    chars = {p for p in piece_counts if len(p) == 1}
+
+    def qfn(logp: dict[str, float]) -> dict[str, int]:
+        acc: dict[str, int] = {}
+        for w, f in wc.items():
+            qc, _ = word_qcounts(w, f, logp, UNI_MAX_PIECE_LEN)
+            for p, q in qc.items():
+                acc[p] = acc.get(p, 0) + q
+        return acc
+
+    logp = run_unigram_em(
+        qfn, seed, chars, UNI_VOCAB_SIZE, UNI_MAX_PIECE_LEN
+    )
+    return logp, wc
+
+
+def oracle_unigram_train_table(
+    sf_dir: str, path: str = UNIGRAM_TRAIN_ORACLE_PATH
+) -> str:
+    """Sequential unigram-LM training oracle -> (piece, logprob)."""
+    from ..stages.unigram import pieces_logp_table
+
+    src_key = (
+        f"{os.path.abspath(sf_dir)}|uni_train|{UNI_MAX_WORDS}"
+        f"|{UNI_SEED_SIZE}|{UNI_VOCAB_SIZE}|{UNI_MAX_PIECE_LEN}"
+    )
+    if _is_fresh(path, src_key):
+        return path
+    logp, _ = _unigram_seq_fit(sf_dir)
+    return _write_atomic(pieces_logp_table(logp), path, src_key)
+
+
+def oracle_unigram_encode_table(
+    sf_dir: str, path: str = UNIGRAM_ENCODE_ORACLE_PATH
+) -> str:
+    """Sequential Viterbi-encode oracle: the sequentially-fitted model
+    applied doc-by-doc with the shared viterbi_n_pieces kernel."""
+    from ..stages.bpe import pretokenize
+    from ..stages.unigram import viterbi_n_pieces
+
+    src_key = (
+        f"{os.path.abspath(sf_dir)}|uni_encode|{UNI_MAX_WORDS}"
+        f"|{UNI_SEED_SIZE}|{UNI_VOCAB_SIZE}|{UNI_MAX_PIECE_LEN}"
+    )
+    if _is_fresh(path, src_key):
+        return path
+    logp, _ = _unigram_seq_fit(sf_dir)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    memo: dict[str, int] = {}
+    out = []
+    for txt in t.column("text").to_pylist():
+        n = 0
+        for w in pretokenize(txt or ""):
+            k = memo.get(w)
+            if k is None:
+                k = viterbi_n_pieces(w, logp, UNI_MAX_PIECE_LEN)
+                memo[w] = k
+            n += k
+        out.append(n)
+    tab = pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_unigram_tokens": pa.array(out, pa.int64()),
         }
     )
     return _write_atomic(tab, path, src_key)

@@ -3708,6 +3708,8 @@ from .oracle_sketch import (
     SITEMAP_INV_ORACLE_PATH,
     BPE_ENCODE_ORACLE_PATH,
     BPE_VOCAB_ORACLE_PATH,
+    UNIGRAM_TRAIN_ORACLE_PATH,
+    UNIGRAM_ENCODE_ORACLE_PATH,
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
@@ -3778,6 +3780,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_sitemap_inventory_table,
         oracle_bpe_vocab_table,
         oracle_bpe_encode_table,
+        oracle_unigram_train_table,
+        oracle_unigram_encode_table,
         oracle_host_components_table,
         oracle_doc_fp_table,
         oracle_dup_strip_table,
@@ -3817,6 +3821,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_sitemap_inventory_table()
     oracle_bpe_vocab_table(sf_dir)
     oracle_bpe_encode_table(sf_dir)
+    oracle_unigram_train_table(sf_dir)
+    oracle_unigram_encode_table(sf_dir)
     oracle_hll_table(sf_dir)
     oracle_hll_by_type_table(sf_dir)
     oracle_multimodal_table()
@@ -5049,6 +5055,106 @@ def q_bpe_vocab(sf_dir: str):
 SQL_BPE_VOCAB = f"""
 SELECT token, token_id
 FROM read_parquet('{BPE_VOCAB_ORACLE_PATH}')
+"""
+
+
+# --------------------------------------------------------------------
+# Unigram-LM tokenizer training + encoding (stages/unigram.py)
+# --------------------------------------------------------------------
+
+# fitted model cache keyed by sf_dir: train and encode share one
+# distributed fit per scale factor (the fit is the expensive half —
+# 5 EM Ray jobs over the capped word table)
+_UNIGRAM_FIT_CACHE: dict[str, dict] = {}
+
+
+def _unigram_model(sf_dir: str) -> dict[str, float]:
+    """Distributed unigram-LM fit (stages/unigram.py): distributed
+    word count + cap, distributed substring seed, then EM where every
+    E-step is ONE map_batches pass over the word Dataset with the
+    model ray.put-broadcast and ONE piece-scale groupby merging
+    QUANTIZED integer partials — bit-identical to the sequential
+    oracle fit under any sharding (integer sums are order-free)."""
+    import os as _os
+
+    from .oracle_sketch import (
+        UNI_MAX_PIECE_LEN,
+        UNI_MAX_WORDS,
+        UNI_SEED_SIZE,
+        UNI_VOCAB_SIZE,
+    )
+    from ..stages.unigram import (
+        capped_word_counts_ds,
+        distributed_qcounts_fn,
+        run_unigram_em,
+        seed_logp_distributed,
+    )
+
+    key = _os.path.abspath(sf_dir)
+    hit = _UNIGRAM_FIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _pq(sf_dir, "documents", ["text"], min_blocks=8)
+    words, _total = capped_word_counts_ds(docs, UNI_MAX_WORDS)
+    seed, chars = seed_logp_distributed(
+        words, UNI_MAX_PIECE_LEN, UNI_SEED_SIZE
+    )
+    logp = run_unigram_em(
+        distributed_qcounts_fn(words, UNI_MAX_PIECE_LEN),
+        seed,
+        chars,
+        UNI_VOCAB_SIZE,
+        UNI_MAX_PIECE_LEN,
+    )
+    _UNIGRAM_FIT_CACHE[key] = logp
+    return logp
+
+
+def q_unigram_train(sf_dir: str):
+    """Fit a unigram-LM (SentencePiece-default) tokenizer on the
+    corpus and export the (piece, logprob) model. The oracle runs the
+    IDENTICAL pure EM/prune kernels on a sequential fold, so the hash
+    match isolates the distributed count/seed/E-step plumbing."""
+    from .oracle_sketch import oracle_unigram_train_table
+    from ..stages.unigram import pieces_logp_table
+
+    oracle_unigram_train_table(sf_dir)
+    return pieces_logp_table(_unigram_model(sf_dir))
+
+
+SQL_UNIGRAM_TRAIN = f"""
+SELECT piece, logprob
+FROM read_parquet('{UNIGRAM_TRAIN_ORACLE_PATH}')
+"""
+
+
+def q_unigram_encode(sf_dir: str):
+    """Viterbi-encode the corpus under the fitted unigram model:
+    model ray.put-broadcast once, actor-pool stage with a per-actor
+    word memo (Zipf => ~1 hit rate), zero exchanges;
+    (doc_id, n_unigram_tokens) out."""
+    import ray
+
+    from .oracle_sketch import UNI_MAX_PIECE_LEN, oracle_unigram_encode_table
+    from ..stages.unigram import UnigramEncodeStage
+
+    oracle_unigram_encode_table(sf_dir)
+    ref = ray.put(_unigram_model(sf_dir))
+    return _pq(
+        sf_dir, "documents", ["doc_id", "text"], min_blocks=8
+    ).map_batches(
+        UnigramEncodeStage,
+        fn_constructor_args=(ref, UNI_MAX_PIECE_LEN),
+        batch_format="pyarrow",
+        # (min,max) pool — a fixed pool this wide starves the read on
+        # small clusters (see q_bpe_encode's note)
+        concurrency=(1, 4),
+    )
+
+
+SQL_UNIGRAM_ENCODE = f"""
+SELECT doc_id, n_unigram_tokens
+FROM read_parquet('{UNIGRAM_ENCODE_ORACLE_PATH}')
 """
 
 
@@ -12171,6 +12277,8 @@ REGISTRY: dict[str, tuple] = {
     "stale_pages": (q_stale_pages, SQL_STALE_PAGES),
     "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "unigram_train": (q_unigram_train, SQL_UNIGRAM_TRAIN),
+    "unigram_encode": (q_unigram_encode, SQL_UNIGRAM_ENCODE),
     "token_shard_export": (q_token_shard_export, SQL_TOKEN_SHARD_EXPORT),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }
