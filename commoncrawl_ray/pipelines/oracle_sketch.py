@@ -42,6 +42,8 @@ BPE_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_bpe_encode.parquet"
 BPE_VOCAB_ORACLE_PATH = "/tmp/ccray_oracle_bpe_vocab.parquet"
 UNIGRAM_TRAIN_ORACLE_PATH = "/tmp/ccray_oracle_unigram_train.parquet"
 UNIGRAM_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_unigram_encode.parquet"
+WP_VOCAB_ORACLE_PATH = "/tmp/ccray_oracle_wordpiece_vocab.parquet"
+WP_ENCODE_ORACLE_PATH = "/tmp/ccray_oracle_wordpiece_encode.parquet"
 WARC_REVISIT_ORACLE_PATH = "/tmp/ccray_oracle_warc_revisit.parquet"
 WEBTEXT_ORACLE_PATH = "/tmp/ccray_oracle_webtext.parquet"
 _M64 = (1 << 64) - 1
@@ -545,6 +547,92 @@ def oracle_unigram_encode_table(
         {
             "doc_id": t.column("doc_id"),
             "n_unigram_tokens": pa.array(out, pa.int64()),
+        }
+    )
+    return _write_atomic(tab, path, src_key)
+
+
+# WordPiece fit parameters (stages/wordpiece.py): same cap regime as
+# BPE — the synthetic corpus' word vocabulary is far below the cap, so
+# nothing is dropped at test scale.
+WP_MAX_WORDS = 8_000
+WP_N_MERGES = 150
+
+
+def _wordpiece_seq_word_counts(sf_dir: str) -> dict[str, int]:
+    """Sequential word-count + deterministic cap at the WordPiece fit's
+    own parameters (shared pre-tokenizer, (count desc, word asc) rule)."""
+    from collections import Counter
+
+    from ..stages.bpe import pretokenize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    c: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        if txt:
+            c.update(pretokenize(txt))
+    kept = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:WP_MAX_WORDS]
+    return dict(kept)
+
+
+def oracle_wordpiece_vocab_table(
+    sf_dir: str, path: str = WP_VOCAB_ORACLE_PATH
+) -> str:
+    """Sequential WordPiece training oracle: single-process word counts
+    feeding the SHARED likelihood-scored merge kernel
+    (stages/wordpiece.learn_wordpiece — exact-integer score compare,
+    pure + deterministic), exported as the (token, token_id) vocab."""
+    from ..stages.wordpiece import (
+        learn_wordpiece,
+        vocab_to_table,
+        wordpiece_vocab,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|wp_vocab|{WP_MAX_WORDS}|{WP_N_MERGES}"
+    if _is_fresh(path, src_key):
+        return path
+    wc = _wordpiece_seq_word_counts(sf_dir)
+    vocab = wordpiece_vocab(wc, learn_wordpiece(wc, WP_N_MERGES))
+    return _write_atomic(vocab_to_table(vocab), path, src_key)
+
+
+def oracle_wordpiece_encode_table(
+    sf_dir: str, path: str = WP_ENCODE_ORACLE_PATH
+) -> str:
+    """Sequential greedy longest-match encode oracle under the
+    sequentially-trained vocabulary."""
+    from ..stages.bpe import pretokenize
+    from ..stages.wordpiece import (
+        encode_word_wordpiece,
+        learn_wordpiece,
+        wordpiece_vocab,
+    )
+
+    src_key = f"{os.path.abspath(sf_dir)}|wp_encode|{WP_MAX_WORDS}|{WP_N_MERGES}"
+    if _is_fresh(path, src_key):
+        return path
+    wc = _wordpiece_seq_word_counts(sf_dir)
+    vocab = set(wordpiece_vocab(wc, learn_wordpiece(wc, WP_N_MERGES)))
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    memo: dict[str, int] = {}
+    out = []
+    for txt in t.column("text").to_pylist():
+        n = 0
+        for w in pretokenize(txt or ""):
+            k = memo.get(w)
+            if k is None:
+                k = len(encode_word_wordpiece(w, vocab))
+                memo[w] = k
+            n += k
+        out.append(n)
+    tab = pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_wordpiece_tokens": pa.array(out, pa.int64()),
         }
     )
     return _write_atomic(tab, path, src_key)

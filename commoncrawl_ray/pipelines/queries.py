@@ -3710,6 +3710,8 @@ from .oracle_sketch import (
     BPE_VOCAB_ORACLE_PATH,
     UNIGRAM_TRAIN_ORACLE_PATH,
     UNIGRAM_ENCODE_ORACLE_PATH,
+    WP_VOCAB_ORACLE_PATH,
+    WP_ENCODE_ORACLE_PATH,
     HLL_BY_TYPE_ORACLE_PATH,
     HLL_ORACLE_PATH,
     MINHASH_ORACLE_PATH,
@@ -3782,6 +3784,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
         oracle_bpe_encode_table,
         oracle_unigram_train_table,
         oracle_unigram_encode_table,
+        oracle_wordpiece_vocab_table,
+        oracle_wordpiece_encode_table,
         oracle_host_components_table,
         oracle_doc_fp_table,
         oracle_dup_strip_table,
@@ -3823,6 +3827,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_bpe_encode_table(sf_dir)
     oracle_unigram_train_table(sf_dir)
     oracle_unigram_encode_table(sf_dir)
+    oracle_wordpiece_vocab_table(sf_dir)
+    oracle_wordpiece_encode_table(sf_dir)
     oracle_hll_table(sf_dir)
     oracle_hll_by_type_table(sf_dir)
     oracle_multimodal_table()
@@ -5155,6 +5161,72 @@ def q_unigram_encode(sf_dir: str):
 SQL_UNIGRAM_ENCODE = f"""
 SELECT doc_id, n_unigram_tokens
 FROM read_parquet('{UNIGRAM_ENCODE_ORACLE_PATH}')
+"""
+
+
+# --------------------------------------------------------------------
+# WordPiece tokenizer training + encoding (stages/wordpiece.py)
+# --------------------------------------------------------------------
+
+
+def _wordpiece_vocab(sf_dir: str) -> list[str]:
+    """Distributed word-count -> shared likelihood-scored merge kernel
+    (the bpe two-regime split with WordPiece's score: exact-integer
+    cross-product comparison, never floats)."""
+    from .oracle_sketch import WP_MAX_WORDS, WP_N_MERGES
+    from ..stages.bpe import corpus_word_counts
+    from ..stages.wordpiece import learn_wordpiece, wordpiece_vocab
+
+    docs = _pq(sf_dir, "documents", ["text"], min_blocks=8)
+    wc = corpus_word_counts(docs, max_words=WP_MAX_WORDS)
+    counts = dict(
+        zip(wc.column("word").to_pylist(), wc.column("count").to_pylist())
+    )
+    return wordpiece_vocab(counts, learn_wordpiece(counts, WP_N_MERGES))
+
+
+def q_wordpiece_vocab(sf_dir: str):
+    """Train a WordPiece (BERT) tokenizer — likelihood-scored merges
+    over distributed word counts — and export the (token, token_id)
+    vocabulary. Hash-checked vs the sequential-count oracle sharing
+    the pure merge kernel."""
+    from .oracle_sketch import oracle_wordpiece_vocab_table
+    from ..stages.wordpiece import vocab_to_table
+
+    oracle_wordpiece_vocab_table(sf_dir)
+    return vocab_to_table(_wordpiece_vocab(sf_dir))
+
+
+SQL_WORDPIECE_VOCAB = f"""
+SELECT token, token_id
+FROM read_parquet('{WP_VOCAB_ORACLE_PATH}')
+"""
+
+
+def q_wordpiece_encode(sf_dir: str):
+    """Greedy longest-match WordPiece encode of the corpus: vocab
+    ray.put-broadcast once, actor-pool stage with per-actor word memo,
+    zero exchanges; (doc_id, n_wordpiece_tokens) out."""
+    import ray
+
+    from .oracle_sketch import oracle_wordpiece_encode_table
+    from ..stages.wordpiece import WordPieceEncodeStage
+
+    oracle_wordpiece_encode_table(sf_dir)
+    ref = ray.put(sorted(_wordpiece_vocab(sf_dir)))
+    return _pq(
+        sf_dir, "documents", ["doc_id", "text"], min_blocks=8
+    ).map_batches(
+        WordPieceEncodeStage,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+SQL_WORDPIECE_ENCODE = f"""
+SELECT doc_id, n_wordpiece_tokens
+FROM read_parquet('{WP_ENCODE_ORACLE_PATH}')
 """
 
 
@@ -12279,6 +12351,8 @@ REGISTRY: dict[str, tuple] = {
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "unigram_train": (q_unigram_train, SQL_UNIGRAM_TRAIN),
     "unigram_encode": (q_unigram_encode, SQL_UNIGRAM_ENCODE),
+    "wordpiece_vocab": (q_wordpiece_vocab, SQL_WORDPIECE_VOCAB),
+    "wordpiece_encode": (q_wordpiece_encode, SQL_WORDPIECE_ENCODE),
     "token_shard_export": (q_token_shard_export, SQL_TOKEN_SHARD_EXPORT),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }
