@@ -207,6 +207,31 @@ def _suite(sf_dir: str, num_cpus: int) -> dict:
     n_docs = _pqm.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     extras["curated_docs_per_sec"] = round(n_docs / wall, 1)
 
+    # --- tokenizer last mile (r5): distributed BPE train -> uint32 id
+    # encode -> Megatron-style binary shard pack — the pipeline stage a
+    # training job actually consumes. Oracle fixture built untimed in
+    # setup (verification artifact, not engine work); throughput is
+    # emitted TOKENS/sec straight from the shard stats rows.
+    def tokens_setup():
+        from commoncrawl_ray.pipelines.oracle_sketch import (
+            oracle_token_shards_table,
+        )
+
+        oracle_token_shards_table(sf_dir)
+        return None
+
+    def run_tokens(_ctx):
+        from commoncrawl_ray.pipelines import queries as Q
+
+        rows = Q.q_token_shard_export(sf_dir).take_all()
+        return sum(r["n_tokens"] for r in rows)
+
+    wall, n_tokens = _best_of(
+        run_tokens, num_cpus, setup=tokens_setup, teardown=lambda _c: None
+    )
+    timings["token_shard_export"] = wall
+    extras["encoded_tokens_per_sec"] = round(n_tokens / wall, 1)
+
     ray.shutdown()
     return {"timings": timings, "extras": extras, "sf": sf, "n_pages": n_pages}
 
