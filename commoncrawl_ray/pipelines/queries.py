@@ -5230,6 +5230,193 @@ FROM read_parquet('{WP_ENCODE_ORACLE_PATH}')
 """
 
 
+class _TokenizerCompareStage:
+    """Fused three-tokenizer encode: BPE merges, unigram model and
+    WordPiece vocab all ray.put-broadcast once per actor; ONE text
+    pass pre-tokenizes each doc ONCE (all three tokenizers consume the
+    same word stream), per-actor word memos for each tokenizer, and
+    the batch output is pre-aggregated per (batch, lang) — the wire
+    carries lang-scale partial sums, never per-doc rows."""
+
+    def __init__(self, bpe_ref, uni_ref, uni_maxlen: int, wp_ref):
+        import ray
+
+        from ..stages.bpe import encode_word
+
+        self._ranks = {m: i for i, m in enumerate(ray.get(bpe_ref))}
+        self._logp = ray.get(uni_ref)
+        self._maxlen = uni_maxlen
+        self._vocab = set(ray.get(wp_ref))
+        self._encode_word = encode_word
+        self._memo_b: dict[str, int] = {}
+        self._memo_u: dict[str, int] = {}
+        self._memo_w: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.bpe import pretokenize
+        from ..stages.unigram import viterbi_n_pieces
+        from ..stages.wordpiece import encode_word_wordpiece
+
+        n_words = (
+            pc.cast(
+                pc.count_substring_regex(batch.column("text"), pattern=r"\S+"),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        acc: dict[str, list[int]] = {}
+        for lang, txt, w in zip(
+            batch.column("lang").to_pylist(),
+            batch.column("text").to_pylist(),
+            n_words,
+        ):
+            nb = nu = nw = 0
+            for word in pretokenize(txt or ""):
+                kb = self._memo_b.get(word)
+                if kb is None:
+                    kb = len(self._encode_word(word, self._ranks))
+                    self._memo_b[word] = kb
+                ku = self._memo_u.get(word)
+                if ku is None:
+                    ku = viterbi_n_pieces(word, self._logp, self._maxlen)
+                    self._memo_u[word] = ku
+                kw = self._memo_w.get(word)
+                if kw is None:
+                    kw = len(encode_word_wordpiece(word, self._vocab))
+                    self._memo_w[word] = kw
+                nb += kb
+                nu += ku
+                nw += kw
+            a = acc.get(lang)
+            if a is None:
+                acc[lang] = [1, int(w), nb, nu, nw]
+            else:
+                a[0] += 1
+                a[1] += int(w)
+                a[2] += nb
+                a[3] += nu
+                a[4] += nw
+        langs = sorted(acc)
+        cols = list(zip(*(acc[l] for l in langs))) if langs else [[]] * 5
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array(cols[0], pa.int64()),
+                "n_words": pa.array(cols[1], pa.int64()),
+                "n_bpe_tokens": pa.array(cols[2], pa.int64()),
+                "n_unigram_tokens": pa.array(cols[3], pa.int64()),
+                "n_wordpiece_tokens": pa.array(cols[4], pa.int64()),
+            }
+        )
+
+
+def q_tokenizer_compare(sf_dir: str):
+    """Head-to-head tokenizer evaluation — per-language fertility
+    (tokens per whitespace word) of all three trainers (BPE, unigram
+    LM, WordPiece) fitted on THIS corpus: the eval a team runs to pick
+    a tokenizer before burning training compute.
+
+    Scale shape: the three fitted models are ray.put-broadcast into
+    ONE fused actor-pool stage that pre-tokenizes each document ONCE
+    (the three tokenizers share the word stream and per-actor word
+    memos), pre-aggregates per (batch, lang), and ships only
+    lang-scale partial sums; ONE lang-scale groupby + a float
+    finalize. Zero corpus-scale exchanges, one text pass — strictly
+    cheaper than running the three encode queries separately.
+
+    SQL oracle: documents joined to the three sequential-encode
+    oracle parquets with the same integer/ROUND(6) formulas."""
+    import ray
+
+    from .oracle_sketch import (
+        UNI_MAX_PIECE_LEN,
+        oracle_bpe_encode_table,
+        oracle_unigram_encode_table,
+        oracle_wordpiece_encode_table,
+    )
+
+    oracle_bpe_encode_table(sf_dir)
+    oracle_unigram_encode_table(sf_dir)
+    oracle_wordpiece_encode_table(sf_dir)
+
+    bpe_ref = ray.put(_bpe_merges(sf_dir))
+    uni_ref = ray.put(_unigram_model(sf_dir))
+    wp_ref = ray.put(sorted(_wordpiece_vocab(sf_dir)))
+
+    partials = _pq(
+        sf_dir, "documents", ["lang", "text"], min_blocks=8
+    ).map_batches(
+        _TokenizerCompareStage,
+        fn_constructor_args=(bpe_ref, uni_ref, UNI_MAX_PIECE_LEN, wp_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    agg = partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_words", alias_name="n_words"),
+        Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        Sum("n_unigram_tokens", alias_name="n_unigram_tokens"),
+        Sum("n_wordpiece_tokens", alias_name="n_wordpiece_tokens"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        w = t.column("n_words").to_numpy(zero_copy_only=False).astype(np.float64)
+        safe_w = np.maximum(w, 1)
+        out = {
+            "lang": t.column("lang"),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_words": t.column("n_words").cast(pa.int64()),
+        }
+        for col, fert in (
+            ("n_bpe_tokens", "fert_bpe"),
+            ("n_unigram_tokens", "fert_unigram"),
+            ("n_wordpiece_tokens", "fert_wordpiece"),
+        ):
+            k = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            out[col] = t.column(col).cast(pa.int64())
+            out[fert] = pa.array(
+                np.where(w > 0, np.round(k / safe_w, 6), 0.0) + 0.0,
+                pa.float64(),
+            )
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_TOKENIZER_COMPARE = rf"""
+WITH m AS (
+  SELECT d.lang,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE length(string_split_regex(trim(d.text), '\s+')) END AS w,
+         b.n_bpe_tokens AS kb,
+         u.n_unigram_tokens AS ku,
+         p.n_wordpiece_tokens AS kp
+  FROM documents d
+  JOIN read_parquet('{BPE_ENCODE_ORACLE_PATH}') b ON b.doc_id = d.doc_id
+  JOIN read_parquet('{UNIGRAM_ENCODE_ORACLE_PATH}') u ON u.doc_id = d.doc_id
+  JOIN read_parquet('{WP_ENCODE_ORACLE_PATH}') p ON p.doc_id = d.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(kb) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN SUM(w) > 0
+            THEN ROUND(SUM(kb) * 1.0 / SUM(w), 6) ELSE 0.0 END + 0.0
+         AS fert_bpe,
+       CAST(SUM(ku) AS BIGINT) AS n_unigram_tokens,
+       CASE WHEN SUM(w) > 0
+            THEN ROUND(SUM(ku) * 1.0 / SUM(w), 6) ELSE 0.0 END + 0.0
+         AS fert_unigram,
+       CAST(SUM(kp) AS BIGINT) AS n_wordpiece_tokens,
+       CASE WHEN SUM(w) > 0
+            THEN ROUND(SUM(kp) * 1.0 / SUM(w), 6) ELSE 0.0 END + 0.0
+         AS fert_wordpiece
+FROM m GROUP BY lang
+"""
+
+
 def q_token_shard_export(sf_dir: str):
     """Token-shard binary export — the pipeline's last mile to a
     training job: BPE-encode the corpus to uint32 id streams
@@ -12353,6 +12540,7 @@ REGISTRY: dict[str, tuple] = {
     "unigram_encode": (q_unigram_encode, SQL_UNIGRAM_ENCODE),
     "wordpiece_vocab": (q_wordpiece_vocab, SQL_WORDPIECE_VOCAB),
     "wordpiece_encode": (q_wordpiece_encode, SQL_WORDPIECE_ENCODE),
+    "tokenizer_compare": (q_tokenizer_compare, SQL_TOKENIZER_COMPARE),
     "token_shard_export": (q_token_shard_export, SQL_TOKEN_SHARD_EXPORT),
     "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }
