@@ -825,47 +825,71 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 
 
 def q_events_quantiles(sf_dir: str):
-    """Exact per-group quantiles (percentile_disc semantics): sort the
-    single group column so every event_type's rows co-locate in one
-    range partition, then one vectorized block pass picks the discrete
-    p50/p95 values. Values are exact copies of input doubles => hash-
-    safe against the DuckDB oracle. Partitioning assumption: one
-    group's rows fit a sort block (group count is small; a
-    high-cardinality variant would pre-aggregate per-block histograms
-    instead)."""
+    """Exact per-group quantiles (percentile_disc semantics) as a
+    DISTRIBUTED rank-select: stages/rank.grouped_sorted_prefix_sum in
+    row-count mode over sort(["event_type", "value", "event_id"]) gives
+    every row its within-group value rank without co-locating a group
+    (the key ends in unique event_id, so a dominant event_type spans
+    many blocks); the fold's per-group totals pick the percentile_disc
+    target ranks ceil(q*n), and a stateless filter + tiny G-row groupby
+    assembles the answer. p50/p95 are exact copies of input doubles =>
+    hash-safe against the DuckDB oracle. (Ties in value are harmless:
+    any row at rank ceil(q*n) carries the right value.)"""
+    import math
 
-    def quantiles_block(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
+    from ray.data.aggregate import Max
+
+    from ..stages.rank import grouped_sorted_prefix_sum
+
+    base = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    ranked, totals = grouped_sorted_prefix_sum(
+        base, ["event_type", "value", "event_id"], None, out_name="rnk"
+    )
+    r50 = {g: int(math.ceil(0.5 * n)) for g, n in totals.items()}
+    r95 = {g: int(math.ceil(0.95 * n)) for g, n in totals.items()}
+
+    def mark(t: pa.Table, _r50=r50, _r95=r95) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
                 {
-                    "event_type": pd.Series([], dtype=object),
-                    "n": pd.Series([], dtype=np.int64),
-                    "p50": pd.Series([], dtype=np.float64),
-                    "p95": pd.Series([], dtype=np.float64),
+                    "event_type": pa.array([], pa.string()),
+                    "p50": pa.array([], pa.float64()),
+                    "p95": pa.array([], pa.float64()),
                 }
             )
-        df = df.sort_values(["event_type", "value"], kind="mergesort")
-        et = df["event_type"].to_numpy()
-        v = df["value"].to_numpy()
-        starts = np.r_[0, np.flatnonzero(et[1:] != et[:-1]) + 1]
-        counts = np.diff(np.r_[starts, len(et)])
-        # percentile_disc(q): value at ceil(q*n)-1 in sorted order
-        p50_idx = starts + np.ceil(0.5 * counts).astype(np.int64) - 1
-        p95_idx = starts + np.ceil(0.95 * counts).astype(np.int64) - 1
-        return pd.DataFrame(
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        t50 = np.array([_r50[u] for u in uniq], np.int64)[inv]
+        t95 = np.array([_r95[u] for u in uniq], np.int64)[inv]
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)
+        is50, is95 = rnk == t50, rnk == t95
+        keep = is50 | is95
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "event_type": et[starts],
-                "n": counts.astype(np.int64),
-                "p50": v[p50_idx],
-                "p95": v[p95_idx],
+                "event_type": pa.array(et[keep]),
+                "p50": pa.array(np.where(is50[keep], v[keep], -np.inf)),
+                "p95": pa.array(np.where(is95[keep], v[keep], -np.inf)),
             }
         )
 
-    return (
-        _pq(sf_dir, "events", ["event_type", "value"])
-        .sort("event_type")
-        .map_batches(quantiles_block, batch_format="pandas", batch_size=None)
+    hits = ranked.map_batches(mark, batch_format="pyarrow")
+    agg = hits.groupby("event_type").aggregate(
+        Max("p50", alias_name="p50"), Max("p95", alias_name="p95")
     )
+
+    def finish(t: pa.Table, _n=totals) -> pa.Table:
+        et = t.column("event_type").to_pylist()  # <= G rows
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array([_n[g] for g in et], pa.int64()),
+                "p50": t.column("p50"),
+                "p95": t.column("p95"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_EVENTS_QUANTILES = """
@@ -6594,8 +6618,11 @@ def q_events_running_total(sf_dir: str):
     PRECEDING). Shape: sort(user_id) co-locates each user's rows in
     one range partition, then a single vectorized block pass — lexsort
     within the block, one np.cumsum, per-group offset subtraction.
-    Same partitioning assumption as q_events_quantiles (one group fits
-    a sort block)."""
+    Partitioning assumption: ONE USER's events fit a sort block — safe
+    for a high-cardinality user key (unlike the former low-cardinality
+    event_type/lang sorts, now on grouped_sorted_prefix_sum); the float
+    chain must also stay per-user for bit-identical sums, which is why
+    this one keeps the in-block cumsum rather than the int64 fold."""
 
     def running(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -6644,41 +6671,41 @@ def q_events_percent_rank(sf_dir: str):
     """percent_rank window per event_type over (value, event_id) —
     with event_id in the ORDER BY every row's peer group is itself, so
     percent_rank = (rank-1)/(n-1) with rank = 1-based position, and
-    the float arithmetic is identical on both sides. Same shape as
-    q_events_running_total: sort(event_type) range co-partition + one
-    vectorized lexsort block pass."""
+    the float arithmetic is identical on both sides. Shape: distributed
+    rank via stages/rank.grouped_sorted_prefix_sum (high-cardinality
+    sort key ending in unique event_id — no whole-group block), with
+    the fold's per-group totals broadcast for the (n-1) denominator."""
 
-    def prank(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
+    from ..stages.rank import grouped_sorted_prefix_sum
+
+    base = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    ranked, totals = grouped_sorted_prefix_sum(
+        base, ["event_type", "value", "event_id"], None, out_name="rnk"
+    )
+    denom = {g: float(max(n - 1, 1)) for g, n in totals.items()}
+
+    def prank(t: pa.Table, _d=denom) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
                 {
-                    "event_id": pd.Series([], dtype=np.int64),
-                    "event_type": pd.Series([], dtype=object),
-                    "pr": pd.Series([], dtype=np.float64),
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "pr": pa.array([], pa.float64()),
                 }
             )
-        et = df["event_type"].to_numpy()
-        eid = df["event_id"].to_numpy()
-        val = df["value"].to_numpy()
-        order = np.lexsort((eid, val, et))
-        et, eid = et[order], eid[order]
-        starts = np.r_[0, np.flatnonzero(et[1:] != et[:-1]) + 1]
-        counts = np.diff(np.r_[starts, len(et)])
-        pos = np.arange(len(et)) - np.repeat(starts, counts)
-        denom = np.repeat(np.maximum(counts - 1, 1), counts)
-        return pd.DataFrame(
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        d = np.array([_d[u] for u in uniq], np.float64)[inv]
+        pos = t.column("rnk").to_numpy(zero_copy_only=False) - 1
+        return pa.table(
             {
-                "event_id": eid,
-                "event_type": et,
-                "pr": pos.astype(np.float64) / denom,
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "pr": pa.array(pos.astype(np.float64) / d),
             }
         )
 
-    return (
-        _pq(sf_dir, "events", ["event_id", "event_type", "value"])
-        .sort("event_type")
-        .map_batches(prank, batch_format="pandas", batch_size=None)
-    )
+    return ranked.map_batches(prank, batch_format="pyarrow")
 
 
 SQL_EVENTS_PERCENT_RANK = """
@@ -8510,38 +8537,52 @@ def q_docs_stratified_sample(sf_dir: str):
     """Stratified 10%% sample: per-language, the ceil(0.1*n) docs with
     the smallest (knuth32(doc_id), doc_id) — deterministic, so the
     sample is reproducible AND proportionally balanced across strata
-    (plain hash sampling under-represents small languages). Shape:
-    sort(lang) co-locates each stratum in one range partition, then
-    one vectorized lexsort block pass picks each group's prefix —
-    same partitioning assumption as q_events_quantiles (a stratum
-    fits a sort block; documented there)."""
+    (plain hash sampling under-represents small languages). Shape: a
+    distributed exact rank-select — stages/rank.grouped_sorted_prefix_sum
+    in row-count mode over sort(["lang", h, doc_id]) gives every row its
+    1-based within-language rank WITHOUT co-locating a stratum (the sort
+    key ends in unique doc_id, so a dominant language spans many blocks),
+    and the same bounded summary fold hands back per-language totals for
+    the ceil(0.1*n) cut; the keep mask is then a stateless compare."""
+    import math
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
+    from ..stages.rank import grouped_sorted_prefix_sum
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        h = _knuth32_np(t.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    base = _pq(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        with_hash, batch_format="pyarrow"
+    )
+    ranked, totals = grouped_sorted_prefix_sum(
+        base, ["lang", "h", "doc_id"], None, out_name="rnk"
+    )
+    take = {lg: int(math.ceil(0.1 * n)) for lg, n in totals.items()}
+
+    def pick(t: pa.Table, _take=take) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
                 {
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "lang": pd.Series([], dtype=object),
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
                 }
             )
-        ids = df["doc_id"].to_numpy()
-        langs = df["lang"].to_numpy()
-        h = _knuth32_np(ids)
-        order = np.lexsort((ids, h, langs))  # by lang, then (h, id)
-        ids, langs, h = ids[order], langs[order], h[order]
-        starts = np.r_[0, np.flatnonzero(langs[1:] != langs[:-1]) + 1]
-        counts = np.diff(np.r_[starts, len(langs)])
-        take = np.ceil(0.1 * counts).astype(np.int64)
-        idx = np.concatenate(
-            [np.arange(s, s + t) for s, t in zip(starts, take)]
-        )
-        return pd.DataFrame({"doc_id": ids[idx], "lang": langs[idx]})
+        la = t.column("lang").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(la, return_inverse=True)
+        thr = np.array([_take[u] for u in uniq], np.int64)[inv]
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)
+        keep = rnk <= thr
+        kept = t.filter(pa.array(keep))
+        return pa.table({"doc_id": kept.column("doc_id"), "lang": kept.column("lang")})
 
-    return (
-        _pq(sf_dir, "documents", ["doc_id", "lang"])
-        .sort("lang")
-        .map_batches(pick, batch_format="pandas", batch_size=None)
-    )
+    return ranked.map_batches(pick, batch_format="pyarrow")
 
 
 SQL_DOCS_STRATIFIED_SAMPLE = """
@@ -9147,13 +9188,17 @@ def q_pack_sequences(sf_dir: str):
     sequences — each doc's (tok_start, seq_first, seq_last) span is
     pure integer arithmetic over a per-bucket exclusive cumsum.
 
-    Shape: one in-batch token-count pass, ONE sort(bucket)
-    co-partition, one vectorized per-bucket cumsum block pass. The
-    bucket count is the parallelism unit and bounds per-block state —
-    at 100 TB you raise _PACK_BUCKETS so a bucket's doc list fits a
-    sort block (the documented group-fits-a-block assumption shared
-    with the window family)."""
+    Shape: one in-batch token-count pass, then the per-bucket running
+    token offset comes from stages/rank.grouped_sorted_prefix_sum —
+    sort(["bucket", "doc_id"]) is HIGH-cardinality (doc_id last), so a
+    bucket splits across as many blocks as its size needs and no block
+    ever holds a whole packing stream; the bounded (block, bucket-run)
+    summaries fold to exact exclusive offsets on the driver. All-int64,
+    so the distributed cumsum is exact; the span math is a stateless
+    vectorized pass on top."""
     import pyarrow.compute as pc
+
+    from ..stages.rank import grouped_sorted_prefix_sum
 
     def tokens_and_bucket(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -9167,48 +9212,32 @@ def q_pack_sequences(sf_dir: str):
             }
         )
 
-    def pack_block(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "bucket": pd.Series([], dtype=np.int64),
-                    "n_words": pd.Series([], dtype=np.int64),
-                    "tok_start": pd.Series([], dtype=np.int64),
-                    "seq_first": pd.Series([], dtype=np.int64),
-                    "seq_last": pd.Series([], dtype=np.int64),
-                }
-            )
-        df = df.sort_values(["bucket", "doc_id"], kind="mergesort").reset_index(
-            drop=True
-        )
-        n = df["n_words"].to_numpy(np.int64)
-        b = df["bucket"].to_numpy(np.int64)
-        cum = np.cumsum(n) - n  # exclusive prefix within the block
-        starts = np.r_[0, np.flatnonzero(b[1:] != b[:-1]) + 1]
-        base = np.repeat(cum[starts], np.diff(np.r_[starts, len(b)]))
-        tok_start = cum - base
+    base = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4).map_batches(
+        tokens_and_bucket, batch_format="pyarrow"
+    )
+    cum, _totals = grouped_sorted_prefix_sum(
+        base, ["bucket", "doc_id"], "n_words", out_name="cum"
+    )
+
+    def spans(t: pa.Table) -> pa.Table:
+        n = t.column("n_words").to_numpy(zero_copy_only=False)
+        tok_start = t.column("cum").to_numpy(zero_copy_only=False) - n
         seq_first = tok_start // _PACK_SEQ_TOKENS
         seq_last = np.where(
             n == 0, seq_first, (tok_start + n - 1) // _PACK_SEQ_TOKENS
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(np.int64),
-                "bucket": b,
-                "n_words": n,
-                "tok_start": tok_start,
-                "seq_first": seq_first,
-                "seq_last": seq_last,
+                "doc_id": t.column("doc_id"),
+                "bucket": t.column("bucket"),
+                "n_words": t.column("n_words"),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "seq_first": pa.array(seq_first, pa.int64()),
+                "seq_last": pa.array(seq_last, pa.int64()),
             }
         )
 
-    return (
-        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
-        .map_batches(tokens_and_bucket, batch_format="pyarrow")
-        .sort("bucket")
-        .map_batches(pack_block, batch_format="pandas", batch_size=None)
-    )
+    return cum.map_batches(spans, batch_format="pyarrow")
 
 
 SQL_PACK_SEQUENCES = r"""

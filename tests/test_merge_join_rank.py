@@ -181,3 +181,78 @@ def test_global_sorted_rank_matches_sequential(ray_session):
     order = sorted(range(n), key=lambda i: (val[i], key[i]))
     for rank0, i in enumerate(order):
         assert out[key[i]] == rank0 + 1
+
+
+def test_grouped_sorted_prefix_sum_matches_sequential(ray_session):
+    """grouped_sorted_prefix_sum = SUM OVER (PARTITION BY g ORDER BY
+    k, uid) — exact against a pandas oracle, with a DOMINANT group
+    (90% of rows) so the check covers groups that span many sort
+    blocks; rank mode (value_col=None) and the totals dict too."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from commoncrawl_ray.stages.rank import grouped_sorted_prefix_sum
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    g = np.where(rng.random(n) < 0.9, "big", rng.choice(["a", "b"], n))
+    df = pd.DataFrame(
+        {
+            "g": g,
+            "k": rng.integers(0, 50, n).astype(np.int64),  # heavy ties
+            "uid": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(17)
+
+    out, totals = grouped_sorted_prefix_sum(ds, ["g", "k", "uid"], "v", "cum")
+    got = out.to_pandas().sort_values(["g", "k", "uid"]).reset_index(drop=True)
+    want = df.sort_values(["g", "k", "uid"]).reset_index(drop=True)
+    want["cum"] = want.groupby("g")["v"].cumsum()
+    assert (got["cum"].to_numpy() == want["cum"].to_numpy()).all()
+    assert totals == want.groupby("g")["v"].sum().to_dict()
+
+    out2, tot2 = grouped_sorted_prefix_sum(ds, ["g", "k", "uid"], None, "rnk")
+    got2 = out2.to_pandas().sort_values(["g", "k", "uid"]).reset_index(drop=True)
+    want["rnk"] = want.groupby("g").cumcount() + 1
+    assert (got2["rnk"].to_numpy() == want["rnk"].to_numpy()).all()
+    assert tot2 == want.groupby("g").size().to_dict()
+
+
+def test_grouped_sorted_prefix_sum_splits_dominant_group(ray_session):
+    """The scale property itself: with a group holding ~all rows, the
+    sorted stage must SPLIT it across blocks (the former sort(group)
+    co-partition shape would put it in one) — asserted by counting
+    distinct blocks that carry the dominant group."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from commoncrawl_ray.stages.rank import grouped_sorted_prefix_sum
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": np.array(["mega"] * n),
+            "uid": np.arange(n, dtype=np.int64),
+            "v": np.ones(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    out, totals = grouped_sorted_prefix_sum(ds, ["g", "uid"], "v", "cum")
+    assert totals == {"mega": n}
+
+    def block_span(t):
+        import pyarrow as pa
+
+        if len(t) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        u = t.column("cum").to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(u.min())]), "hi": pa.array([int(u.max())])})
+
+    spans = out.map_batches(
+        block_span, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    assert len(spans) > 1, "dominant group must span multiple blocks"
+    covered = sorted((r["lo"], r["hi"]) for r in spans)
+    assert covered[0][0] == 1 and covered[-1][1] == n
