@@ -83,13 +83,26 @@ _LOG_COLS = [f.name for f in FETCH_LOG]
 # --------------------------------------------------------------------
 
 
-def make_robots_fn(robots_actors, epoch: int):
+def make_robots_fn(
+    robots_actors,
+    epoch: int,
+    policy=None,
+    base_budget: int | None = None,
+    robots_kind: str = "sim",
+):
     """Adds 'blocked' via the robots cache pool. Stateless task fn (the
     durable cache state lives in the shared actor pool, not the stage):
     task-pool workers are reused across epochs, so there is no per-epoch
     actor-spawn cost. Hosts are deduped per batch before the fan-out, so
-    each batch costs one round-trip per touched pool partition."""
+    each batch costs one round-trip per touched pool partition.
+
+    When ``policy.epoch_seconds`` is set, also appends ``host_budget``
+    (int64): the politeness budget capped by each host's declared
+    Crawl-delay — from the parsed RFC 9309 rules object in http mode,
+    from the deterministic fp model (state/robots.delays_from_fps) in
+    sim mode. Downstream (combine + select) enforce it per host."""
     num_actors = len(robots_actors)
+    delays_on = policy is not None and policy.epoch_seconds is not None
 
     def robots_check(batch: pa.Table) -> pa.Table:
         hosts = batch.column("host").to_pylist()
@@ -106,12 +119,17 @@ def make_robots_fn(robots_actors, epoch: int):
         # only hosts WITH rules need the per-URL path check — the vast
         # majority of hosts have an empty rule set and short-circuit
         hosts_with_rules: dict[str, tuple] = {}
+        host_delay: dict[str, float] = {}
         for sel, rules_list in zip(groups, ray.get(refs)):
             for h, rules in zip(sel, rules_list):
                 if rules:  # sim: non-empty prefix tuple; http: RobotsRules.__bool__
                     hosts_with_rules[h] = (
                         tuple(rules) if isinstance(rules, (list, tuple)) else rules
                     )
+                if delays_on and robots_kind == "http":
+                    cd = getattr(rules, "crawl_delay", None)
+                    if cd is not None:
+                        host_delay[h] = cd
         blocked = np.zeros(n, dtype=bool)
         if hosts_with_rules:
             urls = batch.column("canon_url").to_pylist()
@@ -119,7 +137,23 @@ def make_robots_fn(robots_actors, epoch: int):
                 r = hosts_with_rules.get(h)
                 if r is not None:
                     blocked[i] = is_blocked(u, r)
-        return batch.append_column("blocked", pa.array(blocked))
+        batch = batch.append_column("blocked", pa.array(blocked))
+        if delays_on:
+            from ..state.robots import delays_from_fps
+
+            if robots_kind == "http":
+                uniq_delays = np.array(
+                    [host_delay.get(h, np.nan) for h in missing], np.float64
+                )
+            else:
+                uniq_delays = delays_from_fps(host_fps)
+            uniq_budget = policy.host_budgets(base_budget, uniq_delays)
+            lut = dict(zip(missing, uniq_budget.tolist()))
+            per_row = np.fromiter(
+                (lut[h] for h in hosts), dtype=np.int64, count=n
+            )
+            batch = batch.append_column("host_budget", pa.array(per_row))
+        return batch
 
     return robots_check
 
@@ -136,7 +170,12 @@ def make_combine_fn(budget: int, epoch: int, raw_log_dir: str, next_frontier_dir
     budget × num_blocks rows per host no matter how skewed the
     frontier is: a 10^7-URL mega-host costs the shuffle the same as a
     small host. Selection downstream stays EXACT (same fetched set,
-    same deferred set, same log)."""
+    same deferred set, same log).
+
+    With Crawl-delay honoring on, the robots stage attached a per-row
+    ``host_budget`` (<= the scalar budget); the per-block trim uses it
+    instead — the containment argument (global top-B_h ⊆ union of
+    per-block top-B_h) holds per host for any per-host B_h."""
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -165,7 +204,12 @@ def make_combine_fn(budget: int, epoch: int, raw_log_dir: str, next_frontier_dir
         starts = np.r_[0, np.flatnonzero(host[1:] != host[:-1]) + 1]
         counts = np.diff(np.r_[starts, n])
         rank = np.arange(n) - np.repeat(starts, counts)
-        keep = rank < budget
+        eff = (
+            df["host_budget"].to_numpy()
+            if "host_budget" in df.columns
+            else budget
+        )
+        keep = rank < eff
         deferred = df[~keep]
         if len(deferred):
             _side_write(_log_table(epoch, deferred, None, "budget_deferred"), raw_log_dir, "bd")
@@ -313,11 +357,17 @@ def make_select_fn(budget: int, epoch: int, raw_log_dir: str, next_frontier_dir:
         starts = np.r_[0, np.flatnonzero(host[1:] != host[:-1]) + 1]
         counts = np.diff(np.r_[starts, n])
         rank = np.arange(n) - np.repeat(starts, counts)
-        deferred = df[rank >= budget]
+        # per-host Crawl-delay cap when the robots stage attached one
+        eff = (
+            df["host_budget"].to_numpy()
+            if "host_budget" in df.columns
+            else budget
+        )
+        deferred = df[rank >= eff]
         if len(deferred):
             _side_write(_log_table(epoch, deferred, None, "budget_deferred"), raw_log_dir, "a")
             _side_write(_frontier_table(deferred), next_frontier_dir, "def")
-        return df[rank < budget][cols]
+        return df[rank < eff][cols]
 
     return run
 
@@ -1058,7 +1108,13 @@ def crawl(
         epoch_job = (
             dedup_candidates(
                 frontier.map_batches(
-                    make_robots_fn(robots_pool.actors, epoch),
+                    make_robots_fn(
+                        robots_pool.actors,
+                        epoch,
+                        policy=cfg.policy,
+                        base_budget=budget,
+                        robots_kind=getattr(cfg, "robots_kind", "sim"),
+                    ),
                     batch_format="pyarrow",
                     batch_size=None,  # preserve input blocks -> keep shuffle width
                 )

@@ -16,7 +16,7 @@ import numpy as np
 from ..functions.canonicalize import url_fpv2
 from ..functions.fingerprint import fp64
 from ..sources.synth import get_universe
-from ..state.robots import is_blocked, robots_rules_for_host
+from ..state.robots import delay_from_fp, is_blocked, robots_rules_for_host
 from .common import CrawlConfig, discover_links, log_sort_key
 
 
@@ -135,8 +135,14 @@ def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
         deferred: list[_Candidate] = []
         for host_fp, rows in by_host.items():
             rows.sort(key=lambda c: (-c.priority, c.url_fp))
-            selected.extend(rows[:budget])
-            deferred.extend(rows[budget:])
+            b = budget
+            if cfg.policy.epoch_seconds is not None:
+                # same Crawl-delay cap rule as the engine's robots stage
+                d = delay_from_fp(host_fp)
+                if d is not None:
+                    b = min(b, max(1, int(cfg.policy.epoch_seconds // d)))
+            selected.extend(rows[:b])
+            deferred.extend(rows[b:])
         for c in deferred:
             epoch_rows.append(_row(epoch, c, "budget_deferred", 0))
 

@@ -24,10 +24,35 @@ from dataclasses import dataclass
 class PolitenessPolicy:
     burst: int = 4  # max fetches per host per epoch (bucket capacity)
     refill: int = 4  # tokens added per epoch
+    # Crawl-delay honoring (RFC 9309's de-facto extension): when set,
+    # an epoch is treated as a nominal window of this many wall
+    # seconds, so a host declaring ``Crawl-delay: d`` gets a per-epoch
+    # budget cap of max(1, floor(epoch_seconds / d)) — at least one
+    # fetch per epoch so the frontier always drains. None (default)
+    # ignores declared delays entirely, preserving the historical
+    # scalar-budget behavior bit-for-bit.
+    epoch_seconds: float | None = None
 
     def budget_for_epoch(self, carried_tokens: int) -> int:
         """Tokens available this epoch given carry-over (capped)."""
         return min(self.burst, carried_tokens + self.refill)
+
+    def host_budgets(self, base: int, delays) -> "np.ndarray":
+        """Vectorized per-host budgets: ``base`` capped by each host's
+        declared Crawl-delay under the epoch_seconds window. ``delays``
+        is a float array with NaN for hosts that declare no delay."""
+        import numpy as np
+
+        delays = np.asarray(delays, dtype=np.float64)
+        out = np.full(len(delays), base, dtype=np.int64)
+        if self.epoch_seconds is None:
+            return out
+        has = np.isfinite(delays) & (delays > 0)
+        caps = np.maximum(
+            1, np.floor(self.epoch_seconds / delays[has]).astype(np.int64)
+        )
+        out[has] = np.minimum(base, caps)
+        return out
 
 
 def select_within_host(

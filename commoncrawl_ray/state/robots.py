@@ -52,6 +52,26 @@ def robots_rules_for_host(host: str) -> tuple[str, ...]:
     return rules_from_fp(fp64(host))
 
 
+def delay_from_fp(h: int) -> float | None:
+    """Simulated ``Crawl-delay`` declared by a host fingerprint:
+    ~1/13 of hosts declare a 1-4 second delay, the rest none. Pure
+    function of the fp so the sim crawl, the loopback robots.txt
+    server in tests, and the sequential oracle all agree."""
+    if h % 13 == 5:
+        return float(1 + h % 4)
+    return None
+
+
+def delays_from_fps(fps) -> "np.ndarray":
+    """Vectorized :func:`delay_from_fp` over an int64 fp array —
+    float64 output with NaN where no delay is declared (the
+    PolitenessPolicy.host_budgets input convention)."""
+    fps = np.asarray(fps, dtype=np.int64)
+    mod13 = np.mod(fps, 13)  # numpy mod: non-negative for negative fps
+    out = np.where(mod13 == 5, 1.0 + np.mod(fps, 4), np.nan)
+    return out.astype(np.float64)
+
+
 def path_of(canon_url: str) -> str:
     rest = canon_url.split("://", 1)[-1]
     slash = rest.find("/")
@@ -162,7 +182,13 @@ def parse_robots_txt(text: str, agent: str = "ccray") -> RobotsRules:
                     delay = cd
         return RobotsRules(rules, delay) if found else None
 
-    return merged(agent_lc) or merged("*") or ALLOW_ALL
+    # explicit None checks, NOT `or`: a selected group with zero path
+    # rules is falsy (RobotsRules.__bool__) yet still carries metadata
+    # (Crawl-delay) that must not fall through to ALLOW_ALL
+    sel = merged(agent_lc)
+    if sel is None:
+        sel = merged("*")
+    return sel if sel is not None else ALLOW_ALL
 
 
 def parse_robots_sitemaps(text: str) -> list[str]:

@@ -263,3 +263,43 @@ def test_sitemap_seed_parity(ray_session, tmp_path_factory):
     assert fetched_hosts & sm_hosts
     anchor_only = oracle_crawl(CFG)
     assert len(want.seen) > len(anchor_only.seen)
+
+
+def test_engine_matches_oracle_with_crawl_delay(ray_session, tmp_path_factory):
+    """Crawl-delay honoring (policy.epoch_seconds) must preserve exact
+    engine/oracle parity: per-host budgets capped by the declared delay
+    flow through the skew combiner AND the sort-block select, and the
+    capped selection is still the global per-host top-B_h."""
+    from commoncrawl_ray.pipelines.crawl import crawl
+    from commoncrawl_ray.state.politeness import PolitenessPolicy
+    from commoncrawl_ray.state.robots import delay_from_fp
+
+    cfg = CrawlConfig(
+        sf=0.001,
+        seed=42,
+        max_epochs=3,
+        num_seen_partitions=8,
+        policy=PolitenessPolicy(burst=4, refill=4, epoch_seconds=3.0),
+    )
+    want = oracle_crawl(cfg)
+    ckpt = str(tmp_path_factory.mktemp("delay_ckpt"))
+    res = crawl(cfg, ckpt)
+
+    assert set(res.seen_table().column("url_fp").to_pylist()) == want.seen
+    keys = (
+        "epoch", "seq", "url_fp", "host_fp", "canon_url",
+        "action", "http_status", "priority", "depth",
+    )
+    got = [{k: r[k] for k in keys} for r in res.log_table().to_pylist()]
+    assert got == [{k: r[k] for k in keys} for r in want.log]
+
+    # the cap visibly bit: a delay-declaring host fetched <= its cap
+    per: dict = {}
+    for r in got:
+        if r["action"] == "fetched":
+            per[(r["epoch"], r["host_fp"])] = per.get((r["epoch"], r["host_fp"]), 0) + 1
+    assert any(delay_from_fp(hf) is not None for (_e, hf) in per)
+    for (_e, hf), n in per.items():
+        d = delay_from_fp(hf)
+        if d is not None:
+            assert n <= max(1, int(3.0 // d))

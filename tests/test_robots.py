@@ -211,10 +211,16 @@ class _SynthWithRobotsHandler(socketserver.StreamRequestHandler):
                 host = v.strip()
         try:
             if path == "/robots.txt":
+                from commoncrawl_ray.functions.fingerprint import fp64
+                from commoncrawl_ray.state.robots import delay_from_fp
+
                 rules = robots_rules_for_host(host)
                 body = "User-agent: *\n" + "".join(
                     f"Disallow: {r}\n" for r in rules
                 )
+                d = delay_from_fp(fp64(host))
+                if d is not None:
+                    body += f"Crawl-delay: {d}\n"
                 self.wfile.write(
                     f"HTTP/1.1 200 OK\r\nContent-Length: {len(body)}\r\n\r\n".encode()
                     + body.encode()
@@ -293,3 +299,97 @@ Sitemap: /relative/ignored.xml
         "http://example.com/sitemap-b.xml",
     ]
     assert parse_robots_sitemaps("User-agent: *\nDisallow:") == []
+
+
+def test_crawl_delay_budget_math():
+    """host_budgets: floor(epoch_seconds/d) capped to base, floored at
+    1 fetch/epoch; NaN (no declared delay) keeps the base budget."""
+    import numpy as np
+
+    from commoncrawl_ray.state.politeness import PolitenessPolicy
+
+    p = PolitenessPolicy(burst=8, refill=8, epoch_seconds=6.0)
+    got = p.host_budgets(8, np.array([np.nan, 1.0, 2.0, 3.0, 100.0, 0.5]))
+    assert got.tolist() == [8, 6, 3, 2, 1, 8]
+    # disabled policy: every host keeps the base budget
+    off = PolitenessPolicy(burst=8, refill=8)
+    assert off.host_budgets(8, np.array([np.nan, 1.0])).tolist() == [8, 8]
+
+
+def test_delays_from_fps_matches_scalar():
+    import numpy as np
+
+    from commoncrawl_ray.state.robots import delay_from_fp, delays_from_fps
+
+    fps = np.array([5, 18, -8, 31, 0, 12345, -98765], dtype=np.int64)
+    vec = delays_from_fps(fps)
+    for f, v in zip(fps.tolist(), vec.tolist()):
+        want = delay_from_fp(f)
+        assert (want is None and np.isnan(v)) or want == v
+
+
+def test_http_crawl_delay_matches_sim_crawl(ray_session, tmp_path_factory):
+    """Crawl-delay end-to-end over BOTH rule planes: with
+    policy.epoch_seconds set, the sim crawl (delays from the fp model)
+    and the http crawl (delays parsed from the loopback's real
+    ``Crawl-delay:`` lines per RFC 9309) must produce the identical
+    log and URL-seen set — and delay-capped hosts must actually fetch
+    fewer pages per epoch than the scalar budget allows."""
+    from commoncrawl_ray.functions.fingerprint import fp64
+    from commoncrawl_ray.pipelines.common import CrawlConfig
+    from commoncrawl_ray.pipelines.crawl import crawl
+    from commoncrawl_ray.sources.synth import get_universe
+    from commoncrawl_ray.state.politeness import PolitenessPolicy
+    from commoncrawl_ray.state.robots import delay_from_fp
+
+    uni = get_universe(0.001, 42)
+    srv = socketserver.ThreadingTCPServer(
+        ("127.0.0.1", 0), _SynthWithRobotsHandler
+    )
+    srv.daemon_threads = True
+    srv.universe = uni
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        pol = PolitenessPolicy(burst=8, refill=8, epoch_seconds=4.0)
+        base = dict(
+            sf=0.001, seed=42, max_epochs=2, num_seen_partitions=4, policy=pol
+        )
+        sim = crawl(CrawlConfig(**base), str(tmp_path_factory.mktemp("simd_ck")))
+        http = crawl(
+            CrawlConfig(
+                **base,
+                fetch_kind="http",
+                robots_kind="http",
+                http_opts={
+                    "dns_override": {"*": ("127.0.0.1", srv.server_address[1])}
+                },
+            ),
+            str(tmp_path_factory.mktemp("httpd_ck")),
+        )
+        sim_log = sim.log_table().to_pylist()
+        http_log = http.log_table().to_pylist()
+        assert len(sim_log) == len(http_log)
+        for a, b in zip(sim_log, http_log):
+            assert a == b
+        assert sim.seen_table().to_pydict() == http.seen_table().to_pydict()
+        # the delay must have bitten: some host with a declared delay
+        # fetched <= its cap in an epoch where more candidates existed
+        per = {}
+        for r in sim_log:
+            if r["action"] == "fetched":
+                per.setdefault((r["epoch"], r["host_fp"]), 0)
+                per[(r["epoch"], r["host_fp"])] += 1
+        capped = {
+            hf
+            for (_e, hf), n in per.items()
+            if delay_from_fp(hf) is not None
+        }
+        assert capped, "test universe must contain delay-declaring hosts"
+        for (e, hf), n in per.items():
+            d = delay_from_fp(hf)
+            if d is not None:
+                assert n <= max(1, int(4.0 // d))
+    finally:
+        srv.shutdown()
+        srv.server_close()
