@@ -3708,6 +3708,76 @@ def ensure_crawl_oracle_table(path: str = _CRAWL_ORACLE_PATH) -> str:
     return path
 
 
+_CRAWL_DELAY_ORACLE_PATH = "/tmp/ccray_oracle_crawl_delay_log.parquet"
+
+
+def _crawl_delay_cfg():
+    from ..state.politeness import PolitenessPolicy
+    from .common import CrawlConfig
+
+    return CrawlConfig(
+        sf=0.001,
+        seed=42,
+        max_epochs=2,
+        num_seen_partitions=8,
+        policy=PolitenessPolicy(burst=4, refill=4, epoch_seconds=3.0),
+    )
+
+
+def ensure_crawl_delay_oracle_table(path: str = _CRAWL_DELAY_ORACLE_PATH) -> str:
+    """Oracle log for the Crawl-delay-honoring crawl (same protocol as
+    ensure_crawl_oracle_table, with policy.epoch_seconds set so
+    delay-declaring hosts are budget-capped on both sides)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqm
+
+    from .oracle import oracle_crawl
+
+    res = oracle_crawl(_crawl_delay_cfg())
+    t = pa.table(
+        {
+            c: pa.array(
+                [r[c] for r in res.log],
+                pa.string() if c in ("canon_url", "action") else pa.int64(),
+            )
+            for c in _CRAWL_LOG_COLS
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    pqm.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_crawl_delay_log(sf_dir: str):
+    """The Crawl-delay-honoring crawl (RFC 9309's de-facto rate
+    extension wired into the politeness budget): same engine run as
+    crawl_log but with ``PolitenessPolicy.epoch_seconds`` set, so each
+    host declaring ``Crawl-delay: d`` (the deterministic sim model —
+    state/robots.delay_from_fp; the http robots plane parses the same
+    directive from real robots.txt bodies) is capped at
+    max(1, floor(epoch_seconds/d)) fetches per epoch in BOTH the skew
+    combiner and the sort-block select. Hash-checked row-for-row
+    against the sequential oracle crawler under the same policy."""
+    import tempfile
+
+    from .crawl import crawl
+
+    ensure_crawl_delay_oracle_table()
+    with tempfile.TemporaryDirectory(prefix="cc_ray_crawl_cd_") as ckpt:
+        res = crawl(_crawl_delay_cfg(), ckpt)
+        return res.log_table().select(_CRAWL_LOG_COLS)
+
+
+SQL_CRAWL_DELAY_LOG = f"""
+SELECT epoch, seq, url_fp, host_fp, canon_url, action, http_status, depth
+FROM read_parquet('{_CRAWL_DELAY_ORACLE_PATH}')
+"""
+
+
 SQL_CRAWL_LOG = f"""
 SELECT epoch, seq, url_fp, host_fp, canon_url, action, http_status, depth
 FROM read_parquet('{_CRAWL_ORACLE_PATH}')
@@ -3840,6 +3910,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
 
     ensure_crawl_oracle_table()
+    ensure_crawl_delay_oracle_table()
     oracle_simhash_table(sf_dir)
     oracle_minhash_pairs_table(sf_dir)
     oracle_parse_extract_table(sf_dir)
@@ -12546,6 +12617,7 @@ REGISTRY: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "crawl_log": (q_crawl_log, SQL_CRAWL_LOG),
+    "crawl_delay_log": (q_crawl_delay_log, SQL_CRAWL_DELAY_LOG),
     "crawl_host_stats": (q_crawl_host_stats, SQL_CRAWL_HOST_STATS),
     "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
