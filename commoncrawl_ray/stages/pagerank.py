@@ -1223,20 +1223,24 @@ def rwr_choice_score(w, step: int, v) -> np.ndarray:
     the neighbor minimizing (score, v) — argmin of an i.i.d. uniform
     hash IS a uniform choice, and the v tiebreak makes the pick
     independent of row order on either side."""
-    return _mix64(
-        (np.asarray(w, np.uint64) * _MIX_K1)
-        ^ (np.uint64(step) * _MIX_K2)
-        ^ np.asarray(v, np.uint64)
-    )
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        return _mix64(
+            (np.asarray(w, np.uint64) * _MIX_K1)
+            ^ (np.uint64(step) * _MIX_K2)
+            ^ np.asarray(v, np.uint64)
+        )
 
 
 def rwr_restarts(w, step: int, restart_p: float) -> np.ndarray:
     """Per-(walker, step) restart decision: mix < p * 2^64."""
     thr = np.uint64(int(restart_p * 2.0**64))
-    return (
-        _mix64((np.asarray(w, np.uint64) * _MIX_K1) ^ (np.uint64(step) * _MIX_K3))
-        < thr
-    )
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        return (
+            _mix64(
+                (np.asarray(w, np.uint64) * _MIX_K1) ^ (np.uint64(step) * _MIX_K3)
+            )
+            < thr
+        )
 
 
 def random_walk_visits(
