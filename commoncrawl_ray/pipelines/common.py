@@ -18,7 +18,13 @@ from dataclasses import dataclass, field
 
 from ..state.politeness import PolitenessPolicy
 
-ACTION_RANK = {"fetched": 0, "robots_blocked": 1, "budget_deferred": 2, "dup_skipped": 3}
+ACTION_RANK = {
+    "fetched": 0,
+    "revisit_unchanged": 1,  # recrawl: payload digest matched the previous snapshot
+    "robots_blocked": 2,
+    "budget_deferred": 3,
+    "dup_skipped": 4,
+}
 
 
 @dataclass(frozen=True)
@@ -73,6 +79,18 @@ class CrawlConfig:
     # oracle crawler derives the same set from the shared kernel, so
     # crawl parity also validates the XML path end to end).
     seed_source: str = "list"
+    # incremental recrawl: ``snapshot`` selects the synthetic web's
+    # content version under the deterministic churn model
+    # (sources/synth.Universe.content_version; 0 = the original
+    # universe). ``revisit_from`` points at a PREVIOUS crawl's
+    # checkpoint dir; its (url_fp, digest64, ts_ms) side-writes load
+    # into a fp-range-partitioned DigestStorePool (state/digests.py)
+    # and every 200-fetch whose payload digest matches the previous
+    # capture is logged as ``revisit_unchanged`` and archived as a
+    # WARC revisit record (WARC 1.0 §6.7.2) instead of re-storing the
+    # payload bytes — the monthly-snapshot dedup real archives run.
+    snapshot: int = 0
+    revisit_from: str | None = None
 
     def priority_for_depth(self, depth: int) -> float:
         return 1.0 / (depth + 1)

@@ -238,7 +238,7 @@ def _frontier_table(df: pd.DataFrame) -> pa.Table:
 
 
 def _archive_warc(
-    archive_dir: str, epoch: int, urls: list, recs: list
+    archive_dir: str, epoch: int, urls: list, recs: list, prev_ts=None
 ) -> None:
     """Idempotent WARC side-archive of one fetch batch's 200-status
     records (the production 'keep what you crawled' sink): the file
@@ -246,24 +246,31 @@ def _archive_warc(
     rewrites the identical file (the _side_write rule). WARC-Date uses
     the deterministic epoch clock — epoch seconds since epoch 0 —
     never the wall clock, so resumed and fresh runs produce identical
-    archives."""
+    archives. ``prev_ts[i]`` non-None marks a recrawl capture whose
+    payload already sits in the previous snapshot's archive at that
+    ts — written as a WARC revisit record (headers only) instead of
+    re-storing the payload."""
     import hashlib
 
-    from ..sources.warc import write_warc_file
+    from ..sources.warc import write_warc_file_mixed
 
-    fetched = [(u, r) for u, r in zip(urls, recs) if r is not None]
+    if prev_ts is None:
+        prev_ts = [None] * len(urls)
+    fetched = [
+        (u, r, pt) for u, r, pt in zip(urls, recs, prev_ts) if r is not None
+    ]
     if not fetched:
         return
     os.makedirs(archive_dir, exist_ok=True)
     h = hashlib.blake2b(digest_size=12)
     h.update(str(epoch).encode())
-    for u, _ in fetched:
+    for u, _, _ in fetched:
         h.update(u.encode())
     name = f"a{h.hexdigest()}.warc.gz"
     tmp = os.path.join(archive_dir, f".{name}.tmp{os.getpid()}")
     with open(tmp, "wb") as f:
-        write_warc_file(
-            f, name, ((u, epoch * 1000, r) for u, r in fetched)
+        write_warc_file_mixed(
+            f, name, ((u, epoch * 1000, r, pt) for u, r, pt in fetched)
         )
     os.replace(tmp, os.path.join(archive_dir, name))
 
@@ -381,6 +388,9 @@ def make_fetch_discover_fn(
     http_opts: dict | None = None,
     edges_dir: str | None = None,
     archive_dir: str | None = None,
+    snapshot: int = 0,
+    digests_dir: str | None = None,
+    revisit_pool=None,
 ):
     """Fused fetch + parse + link-explosion over REBALANCED blocks of
     selected rows: fetch (simulated synthetic web, or real sockets via
@@ -393,7 +403,16 @@ def make_fetch_discover_fn(
     The Universe / the AsyncHttpFetcher are cheap read-only structures
     cached per worker process (``get_universe`` lru_cache /
     ``get_fetcher`` — SURVEY §2.3 T1 pattern); task-pool workers reuse
-    them across batches AND epochs."""
+    them across batches AND epochs.
+
+    Incremental-recrawl hooks: ``digests_dir`` side-writes every
+    200-fetch's slim (url_fp, digest64, ts_ms) row (the next crawl's
+    revisit state); ``revisit_pool`` (state/digests.DigestStorePool,
+    loaded from the PREVIOUS crawl's digest side-writes) turns fetches
+    whose payload digest matches the previous capture into
+    ``revisit_unchanged`` log rows + WARC revisit records — link
+    discovery is unaffected (revisit dedups the ARCHIVE, not the
+    frontier)."""
 
     def run(batch: pa.Table) -> pa.Table:
         from ..sources.synth import get_universe
@@ -425,7 +444,7 @@ def make_fetch_discover_fn(
         else:
             uni = get_universe(sf, seed)
             for i, u in enumerate(urls):
-                rec = uni.synth_page(u)
+                rec = uni.synth_page(u, snapshot)
                 recs.append(rec)
                 if rec is None:
                     status[i] = 404
@@ -433,14 +452,69 @@ def make_fetch_discover_fn(
                 else:
                     status[i] = 200
                     links_col.append(discover_links(u, rec))
+        # --- recrawl digests + revisit detection ----------------------
+        prev_ts: list[int | None] = [None] * n
+        if digests_dir is not None or revisit_pool is not None:
+            from ..sources.warc import payload_digest64
+
+            dig64 = np.zeros(n, dtype=np.int64)
+            ok_idx = [i for i, r in enumerate(recs) if r is not None]
+            for i in ok_idx:
+                dig64[i] = payload_digest64(recs[i])
+            fps_all = batch.column("url_fp").to_numpy(zero_copy_only=False)
+            if revisit_pool is not None and ok_idx:
+                sel = np.array(ok_idx, dtype=np.int64)
+                prev, prev_t = revisit_pool.lookup(fps_all[sel])
+                same = (prev != 0) & (prev == dig64[sel])
+                for j, i in enumerate(sel.tolist()):
+                    if same[j]:
+                        prev_ts[i] = int(prev_t[j])
+            if digests_dir is not None and ok_idx:
+                sel = np.array(ok_idx, dtype=np.int64)
+                _side_write(
+                    pa.table(
+                        {
+                            "url_fp": pa.array(fps_all[sel], pa.int64()),
+                            "digest64": pa.array(dig64[sel], pa.int64()),
+                            "ts_ms": pa.array(
+                                np.full(len(sel), epoch * 1000, np.int64)
+                            ),
+                        }
+                    ),
+                    digests_dir,
+                    "dg",
+                )
         if archive_dir is not None:
-            _archive_warc(archive_dir, epoch, urls, recs)
+            _archive_warc(archive_dir, epoch, urls, recs, prev_ts)
         df = batch.to_pandas()
-        _side_write(
-            _log_table(epoch, df, np.ones(n, dtype=bool), "fetched", status),
-            raw_log_dir,
-            "f",
-        )
+        if revisit_pool is not None:
+            revisit_mask = np.array([t is not None for t in prev_ts], bool)
+            if revisit_mask.any():
+                _side_write(
+                    _log_table(
+                        epoch,
+                        df,
+                        revisit_mask,
+                        "revisit_unchanged",
+                        status[revisit_mask],
+                    ),
+                    raw_log_dir,
+                    "rv",
+                )
+            if (~revisit_mask).any():
+                _side_write(
+                    _log_table(
+                        epoch, df, ~revisit_mask, "fetched", status[~revisit_mask]
+                    ),
+                    raw_log_dir,
+                    "f",
+                )
+        else:
+            _side_write(
+                _log_table(epoch, df, np.ones(n, dtype=bool), "fetched", status),
+                raw_log_dir,
+                "f",
+            )
         if edges_dir is not None:
             # host-edge side-write for pagerank frontier priority:
             # (fetched page's host -> host of each canonicalizable
@@ -928,6 +1002,19 @@ def crawl(
         http_opts=cfg.http_opts,
     )
 
+    revisit_pool = None
+    if getattr(cfg, "revisit_from", None):
+        from ..state.digests import DigestStorePool
+
+        dig_dirs = sorted(
+            os.path.join(cfg.revisit_from, d)
+            for d in os.listdir(cfg.revisit_from)
+            if d.startswith("digests_")
+        )
+        if dig_dirs:
+            revisit_pool = DigestStorePool(cfg.num_seen_partitions)
+            revisit_pool.load_from_parquet(dig_dirs)
+
     start_epoch = 0
     if resume:
         last = latest_complete_epoch(ckpt_dir)
@@ -1026,9 +1113,15 @@ def crawl(
             if cfg.archive_format == "warc"
             else None
         )
-        for d in (raw_log_dir, log_dir, next_dir, seen_dir, edges_dir) + (
-            (archive_dir,) if archive_dir else ()
-        ):
+        digests_dir = os.path.join(ckpt_dir, f"digests_{epoch}")
+        for d in (
+            raw_log_dir,
+            log_dir,
+            next_dir,
+            seen_dir,
+            edges_dir,
+            digests_dir,
+        ) + ((archive_dir,) if archive_dir else ()):
             _shutil.rmtree(d, ignore_errors=True)
 
         stage_t: dict[str, float] = {}
@@ -1151,6 +1244,9 @@ def crawl(
                             edges_dir if cfg.priority_kind == "pagerank" else None
                         ),
                         archive_dir=archive_dir,
+                        snapshot=cfg.snapshot,
+                        digests_dir=digests_dir,
+                        revisit_pool=revisit_pool,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,

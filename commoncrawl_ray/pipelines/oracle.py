@@ -61,6 +61,10 @@ class OracleResult:
     seen: set = field(default_factory=set)
     epochs_run: int = 0
     frontier_left: int = 0
+    # url_fp -> (payload digest64, capture ts_ms) of every 200 fetch —
+    # the revisit state a later oracle recrawl consumes (mirrors the
+    # engine's digests_<epoch>/ side-writes)
+    digests: dict = field(default_factory=dict)
 
 
 def _admit(url: str, depth: int, epoch: int, cfg: CrawlConfig) -> _Candidate | None:
@@ -84,7 +88,14 @@ def _admit(url: str, depth: int, epoch: int, cfg: CrawlConfig) -> _Candidate | N
     )
 
 
-def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
+def oracle_crawl(
+    cfg: CrawlConfig, revisit_digests: dict | None = None
+) -> OracleResult:
+    """``revisit_digests``: a previous oracle run's ``.digests`` map
+    (url_fp -> (digest64, ts_ms)) — same semantics as the engine's
+    ``cfg.revisit_from``: a 200 fetch whose payload digest matches is
+    logged ``revisit_unchanged``. Overrides cfg.revisit_from (the
+    oracle never reads engine checkpoints)."""
     uni = get_universe(cfg.sf, cfg.seed)
     res = OracleResult()
     frontier: list[_Candidate] = []
@@ -148,10 +159,21 @@ def oracle_crawl(cfg: CrawlConfig) -> OracleResult:
 
         # --- fetch + discover -----------------------------------------
         discovered: dict[int, _Candidate] = {}
+        snapshot = getattr(cfg, "snapshot", 0)
         for c in selected:
-            rec = uni.synth_page(c.canon_url)
+            rec = uni.synth_page(c.canon_url, snapshot)
             status = 200 if rec is not None else 404
-            epoch_rows.append(_row(epoch, c, "fetched", status))
+            action = "fetched"
+            if rec is not None:
+                from ..sources.warc import payload_digest64
+
+                d64 = payload_digest64(rec)
+                if revisit_digests is not None:
+                    prev = revisit_digests.get(c.url_fp)
+                    if prev is not None and prev[0] == d64:
+                        action = "revisit_unchanged"
+                res.digests[c.url_fp] = (d64, epoch * 1000)
+            epoch_rows.append(_row(epoch, c, action, status))
             if rec is None:
                 continue
             for link in discover_links(c.canon_url, rec):

@@ -295,12 +295,10 @@ def oracle_warc_revisit_table(path: str = WARC_REVISIT_ORACLE_PATH) -> str:
     groupby(digest) keeper pick -> per-file rewrite -> read-back cycle
     reassigned every capture to the right record type with the right
     keeper reference."""
-    import base64
-    import hashlib
-
     from ..sources.synth import get_universe
+    from ..sources.warc import payload_digest
 
-    src_key = "warc_revisit|0.001|42|2crawls"
+    src_key = "warc_revisit|0.001|42|2crawls|lf-tolerant-digest"
     if _is_fresh(path, src_key):
         return path
     uni = get_universe(0.001, 42)
@@ -308,9 +306,7 @@ def oracle_warc_revisit_table(path: str = WARC_REVISIT_ORACLE_PATH) -> str:
     for host in uni.hosts[:8]:
         for k in range(min(20, uni.page_counts[host])):
             url, ts, rec, _lang = uni.page_row(host, k)
-            end = rec.find(b"\r\n\r\n")
-            body = rec[end + 4 :] if end != -1 else b""
-            dig = "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+            dig = payload_digest(rec)  # shared LF-tolerant kernel
             # WARC-Date is second-granular, so every ts the engine
             # sees after the write -> read cycle is floor-truncated
             ts = (ts // 1000) * 1000

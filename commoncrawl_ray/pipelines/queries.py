@@ -3778,6 +3778,86 @@ FROM read_parquet('{_CRAWL_DELAY_ORACLE_PATH}')
 """
 
 
+_RECRAWL_ORACLE_PATH = "/tmp/ccray_oracle_recrawl_log.parquet"
+
+
+def _recrawl_cfgs():
+    from .common import CrawlConfig
+
+    base = dict(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=8)
+    return CrawlConfig(**base), CrawlConfig(**base, snapshot=1)
+
+
+def ensure_recrawl_oracle_table(path: str = _RECRAWL_ORACLE_PATH) -> str:
+    """Oracle log of the snapshot-1 RECRAWL: the sequential crawler
+    runs snapshot 0, keeps its (url_fp -> digest) map, then reruns at
+    snapshot 1 with revisit detection — same two-run chain the engine
+    query executes."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqm
+
+    from .oracle import oracle_crawl
+
+    cfg0, cfg1 = _recrawl_cfgs()
+    o0 = oracle_crawl(cfg0)
+    o1 = oracle_crawl(cfg1, revisit_digests=o0.digests)
+    t = pa.table(
+        {
+            c: pa.array(
+                [r[c] for r in o1.log],
+                pa.string() if c in ("canon_url", "action") else pa.int64(),
+            )
+            for c in _CRAWL_LOG_COLS
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    pqm.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_recrawl_revisit_log(sf_dir: str):
+    """Incremental recrawl with WARC-revisit semantics — the monthly
+    Common-Crawl-snapshot pattern: crawl the snapshot-0 universe, then
+    recrawl snapshot 1 (deterministic churn model,
+    sources/synth.Universe.content_version) seeded with the first
+    run's (url_fp, digest64, ts_ms) side-writes, loaded into the
+    fp-range-partitioned DigestStorePool (state/digests.py — URL-seen
+    routing, batched RPC lookups, never a driver-side broadcast).
+    Re-fetched pages whose payload sha1 is unchanged log as
+    ``revisit_unchanged`` (and, with archiving on, write WARC 1.0
+    §6.7.2 identical-payload-digest revisit records instead of
+    re-storing bytes). Returns the recrawl's full ordered log,
+    hash-checked row-for-row vs the sequential two-run oracle."""
+    import shutil
+    import tempfile
+
+    from .crawl import crawl
+
+    ensure_recrawl_oracle_table()
+    cfg0, cfg1 = _recrawl_cfgs()
+    ck0 = tempfile.mkdtemp(prefix="cc_ray_recrawl0_")
+    ck1 = tempfile.mkdtemp(prefix="cc_ray_recrawl1_")
+    try:
+        crawl(cfg0, ck0)
+        from dataclasses import replace
+
+        res = crawl(replace(cfg1, revisit_from=ck0), ck1)
+        return res.log_table().select(_CRAWL_LOG_COLS)
+    finally:
+        shutil.rmtree(ck0, ignore_errors=True)
+        shutil.rmtree(ck1, ignore_errors=True)
+
+
+SQL_RECRAWL_REVISIT_LOG = f"""
+SELECT epoch, seq, url_fp, host_fp, canon_url, action, http_status, depth
+FROM read_parquet('{_RECRAWL_ORACLE_PATH}')
+"""
+
+
 SQL_CRAWL_LOG = f"""
 SELECT epoch, seq, url_fp, host_fp, canon_url, action, http_status, depth
 FROM read_parquet('{_CRAWL_ORACLE_PATH}')
@@ -3911,6 +3991,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     ensure_crawl_oracle_table()
     ensure_crawl_delay_oracle_table()
+    ensure_recrawl_oracle_table()
     oracle_simhash_table(sf_dir)
     oracle_minhash_pairs_table(sf_dir)
     oracle_parse_extract_table(sf_dir)
@@ -12618,6 +12699,7 @@ REGISTRY: dict[str, tuple] = {
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "crawl_log": (q_crawl_log, SQL_CRAWL_LOG),
     "crawl_delay_log": (q_crawl_delay_log, SQL_CRAWL_DELAY_LOG),
+    "recrawl_revisit_log": (q_recrawl_revisit_log, SQL_RECRAWL_REVISIT_LOG),
     "crawl_host_stats": (q_crawl_host_stats, SQL_CRAWL_HOST_STATS),
     "arc_roundtrip": (q_arc_roundtrip, SQL_ARC_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),

@@ -221,18 +221,39 @@ class Universe:
 
     # --- page synthesis -------------------------------------------------
 
-    def synth_page(self, canon_url: str) -> bytes | None:
+    @staticmethod
+    def content_version(url_fp: int, snapshot: int) -> int:
+        """Deterministic page-churn model: the content version of a URL
+        at snapshot t = number of change events in 1..t, where a change
+        fires at snapshot s iff (url_fp + s*s) % 4 == 0 (~1/4 of pages
+        change per snapshot — the q_snapshot_churn arithmetic family).
+        snapshot 0 is always version 0, so the historical single-
+        snapshot universe is byte-identical."""
+        v = 0
+        for s in range(1, snapshot + 1):
+            if (url_fp + s * s) % 4 == 0:
+                v += 1
+        return v
+
+    def synth_page(self, canon_url: str, snapshot: int = 0) -> bytes | None:
         """Pure fetch simulation: canonical URL -> raw record bytes or
-        None (404)."""
+        None (404). ``snapshot`` selects the page's content version
+        under the deterministic churn model (default 0 = the original
+        universe, byte-identical to every prior round)."""
         hit = self.resolve(canon_url)
         if hit is None:
             return None
         host, k = hit
-        return self._build_record(host, k)
+        return self._build_record(host, k, snapshot=snapshot)
 
-    def _build_record(self, host: str, k: int) -> bytes:
+    def _build_record(self, host: str, k: int, snapshot: int = 0) -> bytes:
         canon_url = self.canon_page_url(host, k)
-        rng = random.Random((fp64(canon_url) ^ (self.seed * 0x9E3779B9)) & 0xFFFFFFFFFFFF)
+        fp = fp64(canon_url)
+        version = self.content_version(fp, snapshot) if snapshot else 0
+        rng = random.Random(
+            (fp ^ (self.seed * 0x9E3779B9) ^ (version * 0x517CC1B727220A95))
+            & 0xFFFFFFFFFFFF
+        )
         lang = self._lang_by_host[host]
 
         mime_roll = rng.random()

@@ -92,6 +92,37 @@ def response_record(url: str, ts_ms: int, http_message: bytes) -> bytes:
     )
 
 
+def write_warc_file_mixed(f, filename: str, records) -> tuple[int, int]:
+    """``records``: iterable of (url, ts_ms, http_message_bytes,
+    prev_ts_ms_or_None). ``prev_ts_ms`` None writes a normal response
+    record; set, the capture's payload is already archived at
+    (same url, prev_ts_ms) and an identical-payload-digest ``revisit``
+    record is written instead (header section only — WARC 1.0 §6.7.2).
+    The incremental-recrawl sink. Returns (responses, revisits)."""
+    first = True
+    n_resp = n_rev = 0
+    for url, ts_ms, msg, prev_ts in records:
+        if first:
+            first = False
+            f.write(_gzip_member(warcinfo_record(filename, ts_ms)))
+        if prev_ts is None:
+            f.write(_gzip_member(response_record(url, ts_ms, msg)))
+            n_resp += 1
+        else:
+            head, _body = split_http_message(msg)
+            f.write(
+                _gzip_member(
+                    revisit_record(
+                        url, ts_ms, payload_digest(msg), url, prev_ts, head
+                    )
+                )
+            )
+            n_rev += 1
+    if first:  # empty file still carries its warcinfo
+        f.write(_gzip_member(warcinfo_record(filename, 0)))
+    return n_resp, n_rev
+
+
 def write_warc_file(f, filename: str, records) -> int:
     """``records``: iterable of (url, ts_ms, http_message_bytes).
     Returns the number of response records written."""
@@ -470,13 +501,36 @@ def write_warc(ds, out_dir: str, prefix: str = "part"):
 REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
 
 
+def split_http_message(msg: bytes) -> tuple[bytes, bytes]:
+    """(header-section-incl-terminator, payload body). Tolerates the
+    bare-LF header terminator real crawls encounter (and ~2% of the
+    synthetic universe deliberately emits, sources/synth.py:298) —
+    without the fallback every bare-LF page digests an EMPTY body and
+    the whole class aliases as one identical payload."""
+    end = msg.find(_CRLF + _CRLF)
+    if end != -1:
+        return msg[: end + 4], msg[end + 4 :]
+    end = msg.find(b"\n\n")
+    if end != -1:
+        return msg[: end + 2], msg[end + 2 :]
+    return msg, b""
+
+
 def payload_digest(msg: bytes) -> str:
     """``sha1:<base32>`` of the HTTP payload body (bytes after the
-    header CRLF CRLF) — the convention real WARC/CDX tooling uses for
+    header terminator) — the convention real WARC/CDX tooling uses for
     WARC-Payload-Digest."""
-    end = msg.find(_CRLF + _CRLF)
-    body = msg[end + 4 :] if end != -1 else b""
+    _head, body = split_http_message(msg)
     return "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+
+
+def payload_digest64(msg: bytes) -> int:
+    """Signed-int64 view of the SAME sha1 payload digest (first 8
+    bytes, big-endian) — the slim wire/store form the recrawl digest
+    actors hold; the full base32 string form is recomputed from the
+    payload at WARC-write time, so both derive from one hash."""
+    _head, body = split_http_message(msg)
+    return int.from_bytes(hashlib.sha1(body).digest()[:8], "big", signed=True)
 
 
 def revisit_record(
@@ -611,8 +665,7 @@ def deduplicate_warc(paths, out_dir: str, suffix: str = "dedup"):
                 key = (rec.url or "", rec.ts_ms)
                 if rec.rec_type == "response" and key in dup:
                     ru, rt = dup[key]
-                    end = rec.block.find(_CRLF + _CRLF)
-                    head = rec.block[: end + 4] if end != -1 else rec.block
+                    head, _body = split_http_message(rec.block)
                     fout.write(
                         _gzip_member(
                             revisit_record(

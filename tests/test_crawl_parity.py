@@ -303,3 +303,114 @@ def test_engine_matches_oracle_with_crawl_delay(ray_session, tmp_path_factory):
         d = delay_from_fp(hf)
         if d is not None:
             assert n <= max(1, int(3.0 // d))
+
+
+def test_recrawl_revisit_parity_and_archive(ray_session, tmp_path_factory):
+    """Incremental recrawl: snapshot-1 crawl seeded with the snapshot-0
+    crawl's digest side-writes must (a) match the sequential oracle
+    row-for-row — fetched pages whose payload is unchanged become
+    ``revisit_unchanged`` log rows — and (b) write WARC revisit records
+    (identical-payload-digest profile) for exactly those captures, with
+    full response records for changed/new pages."""
+    from dataclasses import replace
+
+    from commoncrawl_ray.pipelines.crawl import crawl
+    from commoncrawl_ray.pipelines.oracle import oracle_crawl
+    from commoncrawl_ray.sources.warc import iter_warc_records
+
+    keys = (
+        "epoch", "seq", "url_fp", "host_fp", "canon_url",
+        "action", "http_status", "priority", "depth",
+    )
+
+    cfg0 = CrawlConfig(sf=0.001, seed=42, max_epochs=2, num_seen_partitions=8)
+    o0 = oracle_crawl(cfg0)
+    ck0 = str(tmp_path_factory.mktemp("rv0"))
+    r0 = crawl(cfg0, ck0)
+    assert [
+        {k: r[k] for k in keys} for r in r0.log_table().to_pylist()
+    ] == [{k: r[k] for k in keys} for r in o0.log]
+
+    cfg1 = CrawlConfig(
+        sf=0.001,
+        seed=42,
+        max_epochs=2,
+        num_seen_partitions=8,
+        snapshot=1,
+        revisit_from=ck0,
+        archive_format="warc",
+    )
+    o1 = oracle_crawl(replace(cfg1, revisit_from=None), revisit_digests=o0.digests)
+    ck1 = str(tmp_path_factory.mktemp("rv1"))
+    r1 = crawl(cfg1, ck1)
+    got = [{k: r[k] for k in keys} for r in r1.log_table().to_pylist()]
+    assert got == [{k: r[k] for k in keys} for r in o1.log]
+
+    by_action = {}
+    for r in got:
+        by_action.setdefault(r["action"], set()).add(r["canon_url"])
+    assert by_action.get("revisit_unchanged"), "churn model must leave revisits"
+    assert by_action.get("fetched"), "churn model must change some pages"
+
+    # archive audit: revisit records == revisit_unchanged log rows,
+    # response records == fetched 200s; revisit blocks carry headers
+    # only + the netpreserve profile + a refers-date in the past
+    import glob
+    import os
+
+    rev_urls, resp_urls = set(), set()
+    for f in glob.glob(os.path.join(ck1, "archive_*", "*.warc.gz")):
+        with open(f, "rb") as fh:
+            raw = fh.read()
+        for rec in iter_warc_records(raw, rec_type=None):
+            if rec.rec_type == "revisit":
+                rev_urls.add(rec.url)
+                assert rec.fields["warc-profile"].endswith(
+                    "identical-payload-digest"
+                )
+                assert rec.fields["warc-refers-to-target-uri"] == rec.url
+                # headers only (either terminator style), never a body
+                assert rec.block.endswith(b"\r\n\r\n") or rec.block.endswith(
+                    b"\n\n"
+                )
+                assert b"<html" not in rec.block
+            elif rec.rec_type == "response":
+                resp_urls.add(rec.url)
+    assert rev_urls == by_action["revisit_unchanged"]
+    fetched_200 = {
+        r["canon_url"]
+        for r in got
+        if r["action"] == "fetched" and r["http_status"] == 200
+    }
+    assert resp_urls == fetched_200
+
+
+def test_digest_store_pool_latest_wins(ray_session, tmp_path):
+    """DigestStorePool: routed load + searchsorted lookup; duplicate
+    fps keep the LATEST capture (max ts)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commoncrawl_ray.state.digests import DigestStorePool
+
+    d = tmp_path / "digests_0"
+    d.mkdir()
+    fps = np.array([10, 20, 30, 10], dtype=np.int64)
+    digs = np.array([111, 222, 333, 999], dtype=np.int64)
+    tss = np.array([0, 0, 0, 1000], dtype=np.int64)  # fp 10 recaptured later
+    pq.write_table(
+        pa.table(
+            {
+                "url_fp": pa.array(fps),
+                "digest64": pa.array(digs),
+                "ts_ms": pa.array(tss),
+            }
+        ),
+        str(d / "dg-x.parquet"),
+    )
+    pool = DigestStorePool(4)
+    assert pool.load_from_parquet([str(d)]) == 3  # dup fp collapsed
+    dig, ts = pool.lookup(np.array([10, 20, 30, 40], dtype=np.int64))
+    assert dig.tolist() == [999, 222, 333, 0]
+    assert ts.tolist() == [1000, 0, 0, 0]
