@@ -70,7 +70,14 @@ def _cmd_crawl(args) -> int:
         seed=args.seed,
         max_epochs=args.epochs,
         num_seen_partitions=args.seen_partitions,
-        policy=PolitenessPolicy(burst=args.burst, refill=args.burst),
+        policy=PolitenessPolicy(
+            burst=args.burst,
+            refill=args.burst,
+            epoch_seconds=args.epoch_seconds,
+        ),
+        snapshot=args.snapshot,
+        revisit_from=args.revisit_from,
+        archive_format="warc" if args.archive else None,
     )
     res = crawl(cfg, args.ckpt, resume=args.resume)
     print(
@@ -404,6 +411,25 @@ def main(argv=None) -> int:
     c.add_argument("--burst", type=int, default=4)
     c.add_argument("--seen-partitions", type=int, default=8)
     c.add_argument("--resume", action="store_true")
+    c.add_argument(
+        "--epoch-seconds",
+        type=float,
+        default=None,
+        help="honor robots Crawl-delay: cap each host at "
+        "floor(epoch_seconds/delay) fetches per epoch",
+    )
+    c.add_argument(
+        "--snapshot", type=int, default=0, help="universe content version"
+    )
+    c.add_argument(
+        "--revisit-from",
+        default=None,
+        help="previous crawl's ckpt dir: unchanged payloads become WARC "
+        "revisit records (use with --archive)",
+    )
+    c.add_argument(
+        "--archive", action="store_true", help="side-write .warc.gz archives"
+    )
     c.set_defaults(fn=_cmd_crawl)
 
     pp = sub.add_parser("parse", help="pages parquet -> docs parquet")

@@ -1340,6 +1340,7 @@ def crawl(
         counters = {
             "epoch": epoch,
             "fetched": epoch_counts.get("fetched", 0),
+            "revisit_unchanged": epoch_counts.get("revisit_unchanged", 0),
             "robots_blocked": epoch_counts.get("robots_blocked", 0),
             "budget_deferred": epoch_counts.get("budget_deferred", 0),
             "dup_skipped": epoch_counts.get("dup_skipped", 0),
