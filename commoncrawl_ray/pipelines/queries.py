@@ -819,8 +819,9 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 
 
 # --------------------------------------------------------------------
-# non-SQL-expressible pipelines (rows-only driver check; strong checks
-# in tests/)
+# window / quantile / sampling pipelines (historical banner said
+# "non-SQL-expressible" — every entry below now carries a full DuckDB
+# value-hash oracle; zero rows-only checks remain in the registry)
 # --------------------------------------------------------------------
 
 
