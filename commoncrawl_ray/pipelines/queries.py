@@ -12504,7 +12504,76 @@ FROM documents d JOIN dim ON d.lang = dim.lang
 """
 
 
+# --------------------------------------------------------------------
+# boilerplate removal + structured-data extraction (stages/boilerplate)
+# --------------------------------------------------------------------
+
+
+def q_boilerplate_extract(sf_dir: str):
+    """JusText-style main-content extraction (Pomikálek 2011) over the
+    deterministic boilerplate-wrapped documents universe. GENUINE
+    independent oracle: the wrapper guarantees the content paragraphs
+    reassemble to exactly ``documents.text`` and that the good-block
+    count equals ceil(words/12), both pure SQL — the classifier must
+    actually separate nav/sidebar/related/footer junk from content to
+    match. Stateless map stage, zero exchange; at 100 TB the input is
+    the pages html column and the shape is identical."""
+    from ..stages.boilerplate import boilerplate_batch
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "text", "lang", "source"], min_blocks=8)
+        .map_batches(boilerplate_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.drop_columns(["n_blocks"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_BOILERPLATE_EXTRACT = """
+SELECT doc_id,
+       text AS main_text,
+       CAST(length(text) AS BIGINT) AS main_len,
+       CAST(ceil((length(text) - length(replace(text, ' ', '')) + 1) / 12.0)
+            AS BIGINT) AS n_good
+FROM documents
+"""
+
+
+def q_structured_data(sf_dir: str):
+    """JSON-LD / OpenGraph / microdata extraction exploded to
+    (doc_id, kind, key, value) rows. The wrapper embeds each field as
+    a pure SQL function of the documents columns, so DuckDB
+    reconstructs the expected rows independently — the extractor must
+    parse real script-JSON, og: meta and itemprop spans to match."""
+    from ..stages.boilerplate import structured_batch
+
+    return _pq(
+        sf_dir, "documents", ["doc_id", "text", "lang", "source"], min_blocks=8
+    ).map_batches(structured_batch, batch_format="pyarrow")
+
+
+SQL_STRUCTURED_DATA = """
+WITH d AS (
+  SELECT doc_id, text, lang, source,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+  FROM documents
+)
+SELECT doc_id, 'jsonld' AS kind, '@type' AS key, 'Article' AS value FROM d
+UNION ALL SELECT doc_id, 'jsonld', 'identifier', CAST(doc_id AS VARCHAR) FROM d
+UNION ALL SELECT doc_id, 'jsonld', 'inLanguage', lang FROM d
+UNION ALL SELECT doc_id, 'jsonld', 'publisher', source FROM d
+UNION ALL SELECT doc_id, 'jsonld', 'wordCount', CAST(n_words AS VARCHAR) FROM d
+UNION ALL SELECT doc_id, 'og', 'og:title', 'Doc ' || doc_id FROM d
+UNION ALL SELECT doc_id, 'og', 'og:locale', lang FROM d
+UNION ALL SELECT doc_id, 'og', 'og:site_name', source FROM d
+UNION ALL SELECT doc_id, 'microdata', 'name', 'doc-' || doc_id FROM d
+UNION ALL SELECT doc_id, 'microdata', 'genre', lang FROM d
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "boilerplate_extract": (q_boilerplate_extract, SQL_BOILERPLATE_EXTRACT),
+    "structured_data": (q_structured_data, SQL_STRUCTURED_DATA),
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),

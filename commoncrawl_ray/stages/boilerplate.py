@@ -1,0 +1,373 @@
+"""Boilerplate removal + structured-data extraction over web pages.
+
+Two operators real Common-Crawl-derived corpora (C4, CCNet, RefinedWeb,
+Dolma) apply between the raw archive and the training set, absent from
+the reference (its NodeWalker — ``util/shared/NodeWalker.java:21`` —
+strips tags wholesale and keeps nav/footer junk):
+
+1. **JusText-style block classification** (Pomikálek 2011, "Removing
+   boilerplate and duplicate content from web corpora"): segment the
+   DOM into text blocks at block-level tags, score each by link
+   density and length, classify context-free (bad / short / good),
+   then relabel ``short`` blocks by their nearest good/bad neighbours
+   (the context-sensitive pass). The main content is the concatenation
+   of good blocks.
+
+2. **Structured-data extraction**: JSON-LD ``<script
+   type="application/ld+json">`` blocks, OpenGraph ``<meta
+   property="og:*">`` tags and HTML5 microdata ``itemprop``
+   attributes, exploded to (kind, key, value) rows — the WAT-adjacent
+   metadata modern pipelines mine for publisher/date/license signals.
+
+Both kernels run as stateless ``map_batches`` stages (zero exchange:
+per-page work only). The test harness wraps each ``documents`` row in
+a deterministic boilerplate-laden page (``wrap_document_html``) whose
+content paragraphs are EXACTLY the document text and whose structured
+data are pure SQL functions of the documents columns — so both
+operators get genuine independent DuckDB oracles instead of
+sequential-kernel parity: the classifier must recover byte-identical
+text, the extractor must recover values DuckDB reconstructs from the
+table directly.
+
+Scale notes (100 TB): pure map stage, no shuffle; the HTML parser is
+the stdlib HTMLParser (same per-row cost class as parse_extract);
+output text rides the wire exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.fingerprint import fp64
+
+# --- deterministic page wrapper (test/bench universe) ----------------
+
+_NAV_WORDS = ["home", "about", "contact", "login", "register", "help",
+              "terms", "privacy", "sitemap", "archive", "categories", "tags"]
+_PARA_WORDS = 12  # words per content paragraph
+
+
+def wrap_document_html(doc_id: int, text: str, lang: str, source: str) -> str:
+    """Wrap one documents row in a deterministic boilerplate-laden
+    page. Invariants the oracles rely on:
+
+    - the ``<article>`` paragraphs, joined with a single space, are
+      byte-identical to ``text`` (paragraph split every ``_PARA_WORDS``
+      words, whitespace preserved by construction);
+    - JSON-LD / OpenGraph / microdata values are pure SQL functions of
+      (doc_id, text, lang, source).
+    """
+    rng = fp64(f"boiler:{doc_id}") & 0xFFFFFFFF
+    words = text.split(" ")
+    n_words = len(words)
+    paras = [
+        " ".join(words[i : i + _PARA_WORDS])
+        for i in range(0, n_words, _PARA_WORDS)
+    ]
+    n_nav = 4 + (rng % 5)
+    nav = "".join(
+        f'<li><a href="/{_NAV_WORDS[(rng + i) % len(_NAV_WORDS)]}">'
+        f"{_NAV_WORDS[(rng + i) % len(_NAV_WORDS)]}</a></li>"
+        for i in range(n_nav)
+    )
+    related = "".join(
+        f'<a href="/doc/{(doc_id * 7 + i) % 1000}">related item {i}</a> '
+        for i in range(3)
+    )
+    ld = json.dumps(
+        {
+            "@context": "https://schema.org",
+            "@type": "Article",
+            "identifier": str(doc_id),
+            "inLanguage": lang,
+            "publisher": source,
+            "wordCount": n_words,
+        },
+        sort_keys=True,
+    )
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    # microdata rides in a meta list between two all-link blocks so the
+    # short itemprop blocks resolve BAD in the context-sensitive pass
+    # (their nearest non-short neighbours are the related-links div and
+    # the link-heavy footer)
+    meta_ul = (
+        '<ul class="meta" itemscope itemtype="https://schema.org/Article">'
+        f'<li><span itemprop="name">doc-{doc_id}</span></li>'
+        f'<li><span itemprop="genre">{lang}</span></li></ul>'
+    )
+    return (
+        "<html><head>"
+        f"<title>Doc {doc_id}</title>"
+        f'<meta property="og:title" content="Doc {doc_id}">'
+        f'<meta property="og:locale" content="{lang}">'
+        f'<meta property="og:site_name" content="{source}">'
+        f'<script type="application/ld+json">{ld}</script>'
+        "</head><body>"
+        f"<nav><ul>{nav}</ul></nav>"
+        '<aside class="sidebar"><a href="/ads">sponsored</a> '
+        '<a href="/promo">promo</a></aside>'
+        f"<article>{body}</article>"
+        f'<div class="related">{related}</div>'
+        f"{meta_ul}"
+        f"<footer>&copy; 2026 {source} · "
+        '<a href="/terms">terms</a> <a href="/privacy">privacy</a> '
+        '<a href="/sitemap">sitemap</a></footer>'
+        "</body></html>"
+    )
+
+
+# --- DOM block segmentation -------------------------------------------
+
+_BLOCK_TAGS = {
+    "p", "div", "article", "section", "nav", "aside", "footer", "header",
+    "ul", "ol", "li", "table", "tr", "td", "h1", "h2", "h3", "h4", "h5",
+    "h6", "blockquote", "pre", "main", "form", "body", "html", "head",
+    "title",
+}
+_SKIP_TAGS = {"script", "style"}
+_WS = re.compile(r"\s+")
+
+
+class _BlockWalker(HTMLParser):
+    """Single-pass segmentation into text blocks at block-level tag
+    boundaries, tracking per-block total vs anchor-enclosed character
+    counts (JusText's link density numerator) — plus the structured-
+    data channels (JSON-LD script bodies, og: meta, itemprop spans)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._chunks: list[str] = []
+        self._link_chars = 0
+        self._anchor_depth = 0
+        self._skip_depth = 0
+        # structured data
+        self._ld_depth = 0
+        self._ld_chunks: list[str] = []
+        self.jsonld_raw: list[str] = []
+        self.og: list[tuple[str, str]] = []
+        self.microdata: list[tuple[str, str]] = []
+        self._itemprop: str | None = None
+        self._itemprop_chunks: list[str] = []
+
+    def _flush(self):
+        raw = "".join(self._chunks)
+        textn = _WS.sub(" ", raw).strip()
+        if textn:
+            self.blocks.append(
+                {
+                    "text": textn,
+                    "chars": len(textn),
+                    "link_chars": min(self._link_chars, len(textn)),
+                }
+            )
+        self._chunks = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            if tag == "script":
+                d = dict(attrs)
+                if (d.get("type") or "").strip().lower() == "application/ld+json":
+                    self._ld_depth = self._skip_depth
+                    self._ld_chunks = []
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._anchor_depth += 1
+        elif tag == "meta":
+            d = {k: v for k, v in attrs if v is not None}
+            prop = d.get("property", "")
+            if prop.startswith("og:"):
+                self.og.append((prop, d.get("content", "")))
+        d = dict(attrs)
+        if "itemprop" in d and tag != "meta":
+            self._itemprop = d["itemprop"] or ""
+            self._itemprop_chunks = []
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            if self._ld_depth and self._skip_depth == self._ld_depth:
+                self.jsonld_raw.append("".join(self._ld_chunks))
+                self._ld_depth = 0
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a" and self._anchor_depth > 0:
+            self._anchor_depth -= 1
+        if self._itemprop is not None and tag in ("span", "div", "p", "a", "time"):
+            self.microdata.append(
+                (self._itemprop, _WS.sub(" ", "".join(self._itemprop_chunks)).strip())
+            )
+            self._itemprop = None
+            self._itemprop_chunks = []
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            if self._ld_depth:
+                self._ld_chunks.append(data)
+            return
+        if not data:
+            return
+        self._chunks.append(data)
+        if self._anchor_depth:
+            self._link_chars += len(_WS.sub(" ", data).strip())
+        if self._itemprop is not None:
+            self._itemprop_chunks.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def walk_blocks(html: str) -> _BlockWalker:
+    w = _BlockWalker()
+    try:
+        w.feed(html)
+        w.close()
+    except Exception:
+        pass
+    return w
+
+
+# --- JusText-style classification -------------------------------------
+
+GOOD, BAD, SHORT = 1, 0, 2
+MAX_LINK_DENSITY = 0.33
+LEN_SHORT = 20  # chars; below → context-sensitive
+
+
+def classify_blocks(blocks: list[dict]) -> list[int]:
+    """Context-free pass (link density / length), then the
+    context-sensitive relabel of SHORT blocks: a short block is good
+    iff its nearest non-short neighbour on either side is good
+    (JusText §3.3 simplified to the two-class case)."""
+    labels = []
+    for b in blocks:
+        ld = b["link_chars"] / b["chars"] if b["chars"] else 1.0
+        if ld > MAX_LINK_DENSITY:
+            labels.append(BAD)
+        elif b["chars"] < LEN_SHORT:
+            labels.append(SHORT)
+        else:
+            labels.append(GOOD)
+    # context-sensitive: resolve SHORT by nearest decided neighbours
+    n = len(labels)
+    prev_good = [False] * n
+    state = False
+    for i in range(n):
+        if labels[i] != SHORT:
+            state = labels[i] == GOOD
+        prev_good[i] = state
+    nxt_good = [False] * n
+    state = False
+    for i in range(n - 1, -1, -1):
+        if labels[i] != SHORT:
+            state = labels[i] == GOOD
+        nxt_good[i] = state
+    return [
+        (GOOD if (prev_good[i] or nxt_good[i]) else BAD)
+        if lab == SHORT
+        else lab
+        for i, lab in enumerate(labels)
+    ]
+
+
+def extract_main_text(html: str) -> tuple[str, int, int]:
+    """-> (main_text, n_blocks, n_good)."""
+    w = walk_blocks(html)
+    labels = classify_blocks(w.blocks)
+    good = [b["text"] for b, lab in zip(w.blocks, labels) if lab == GOOD]
+    return " ".join(good), len(w.blocks), sum(1 for l in labels if l == GOOD)
+
+
+# --- structured data ---------------------------------------------------
+
+def extract_structured(html: str) -> list[tuple[str, str, str]]:
+    """-> [(kind, key, value)] for jsonld (scalar top-level fields),
+    og meta tags and microdata itemprops. Values stringified; nested
+    JSON-LD objects are skipped (scalar signal mining only)."""
+    w = walk_blocks(html)
+    out: list[tuple[str, str, str]] = []
+    for raw in w.jsonld_raw:
+        try:
+            obj = json.loads(raw)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                if k.startswith("@") and k != "@type":
+                    continue
+                if isinstance(v, (str, int, float, bool)):
+                    out.append(("jsonld", k, str(v)))
+    for k, v in w.og:
+        out.append(("og", k, v))
+    for k, v in w.microdata:
+        out.append(("microdata", k, v))
+    return out
+
+
+# --- batch kernels -----------------------------------------------------
+
+def boilerplate_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, source) -> wrapped page ->
+    classified main content. The wrapper is part of the kernel so the
+    raw page never rides the wire at all (at 100 TB the input would be
+    the pages table's html column; here the synthetic universe is
+    derived in-task from the documents row)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    srcs = batch.column("source").to_pylist()
+    n = len(ids)
+    main = [""] * n
+    n_blocks = np.zeros(n, dtype=np.int64)
+    n_good = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        html = wrap_document_html(ids[i], texts[i] or "", langs[i], srcs[i])
+        main[i], n_blocks[i], n_good[i] = extract_main_text(html)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "main_text": pa.array(main, pa.string()),
+            "main_len": pa.array([len(t) for t in main], pa.int64()),
+            "n_blocks": pa.array(n_blocks),
+            "n_good": pa.array(n_good),
+        }
+    )
+
+
+def structured_batch(batch: pa.Table) -> pa.Table:
+    """documents -> wrapped page -> exploded (doc_id, kind, key, value)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    srcs = batch.column("source").to_pylist()
+    out_id: list[int] = []
+    out_kind: list[str] = []
+    out_key: list[str] = []
+    out_val: list[str] = []
+    for i in range(len(ids)):
+        html = wrap_document_html(ids[i], texts[i] or "", langs[i], srcs[i])
+        for kind, key, val in extract_structured(html):
+            out_id.append(ids[i])
+            out_kind.append(kind)
+            out_key.append(key)
+            out_val.append(val)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "kind": pa.array(out_kind, pa.string()),
+            "key": pa.array(out_key, pa.string()),
+            "value": pa.array(out_val, pa.string()),
+        }
+    )
