@@ -4098,6 +4098,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_freshness_table(sf_dir)
     oracle_robots_audit_table(sf_dir)
     oracle_orphan_table(sf_dir)
+    ensure_phash_oracle_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -12571,9 +12572,138 @@ UNION ALL SELECT doc_id, 'microdata', 'genre', lang FROM d
 """
 
 
+def q_dust_rules(sf_dir: str):
+    """DUST URL-rewrite-rule mining (Bar-Yossef et al., WWW 2007) over
+    the deterministic alias universe: every document is served under
+    four systematic URL aliases (php-query, bare, /index.html,
+    ?print=1) with a doc-unique content digest; the miner must recover
+    exactly the four site-wide substitution rules at full support from
+    the same-digest pair evidence, while the ~2·|docs| id-specific
+    coincidence rules fall under min_support. GENUINE independent
+    oracle: the planted rules and their supports are pure SQL over the
+    documents table. One sort(digest) exchange, capped groups with
+    skip counters, rule-scale groupby."""
+    from ..stages.dust import alias_rows, mine_dust_rules
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8)
+
+    def to_aliases(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        us: list[str] = []
+        dg: list[str] = []
+        for i, x in zip(ids, texts):
+            u, d = alias_rows(i, x or "")
+            us.extend(u)
+            dg.extend(d)
+        return pa.table(
+            {
+                "url": pa.array(us, pa.string()),
+                "digest": pa.array(dg, pa.string()),
+            }
+        )
+
+    return mine_dust_rules(
+        docs.map_batches(to_aliases, batch_format="pyarrow"), min_support=3
+    )
+
+
+SQL_DUST_RULES = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+SELECT '' AS alpha, '/index.html' AS beta, c AS support FROM n
+UNION ALL SELECT '', '?print=1', c FROM n
+UNION ALL SELECT '.php?id=', '/', c FROM n
+UNION ALL SELECT '/index.html', '?print=1', c FROM n
+"""
+
+
+_PHASH_ORACLE_PATH = "/tmp/ccray_oracle_phash.parquet"
+_PHASH_MAX_HAMMING = 4
+
+
+def _phash_corpus_n(sf_dir: str) -> int:
+    from ..sources.synth import sf_from_dir
+
+    return max(64, int(sf_from_dir(sf_dir) * 20000))
+
+
+def ensure_phash_oracle_table(sf_dir: str, path: str = _PHASH_ORACLE_PATH) -> str:
+    """Brute-force all-pairs pHash hamming oracle — INDEPENDENT of the
+    distributed path's band-LSH candidate generation (it enumerates
+    every pair, so an LSH recall bug or bucket-cap mistake surfaces as
+    a hash mismatch, not just a plan-integrity miss). Pure numpy, no
+    Ray session; idempotent tmp+rename."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqm
+
+    from ..stages.multimodal import _dct_basis_int, phash_grid, synth_image_corpus
+
+    n = _phash_corpus_n(sf_dir)
+    t = synth_image_corpus(n)
+    basis = _dct_basis_int()
+    hs = np.array(
+        [
+            phash_grid(
+                np.frombuffer(p, np.uint8).reshape(
+                    m["height"], m["width"]
+                ),
+                basis,
+            )
+            for p, m in zip(
+                t.column("payload").to_pylist(), t.column("meta").to_pylist()
+            )
+        ],
+        dtype=np.int64,
+    ).view(np.uint64)
+    iu, ju = np.triu_indices(n, k=1)
+    x = hs[iu] ^ hs[ju]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+        axis=1, dtype=np.int64
+    )
+    hit = ham <= _PHASH_MAX_HAMMING
+    out = pa.table(
+        {
+            "id_a": pa.array(iu[hit].astype(np.int64)),
+            "id_b": pa.array(ju[hit].astype(np.int64)),
+            "hamming": pa.array(ham[hit]),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    pqm.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_phash_neardup(sf_dir: str):
+    """Perceptual-hash image near-dup (the LAION-style multimodal
+    dedup): pHash per image on an actor pool (exact fixed-point DCT),
+    8x8-bit band LSH bucketing + exact hamming verify, distinct pairs
+    — stages/multimodal.phash_near_dup. Input is the deterministic
+    planted-near-dup image corpus scaled by sf (at 100 TB the media
+    table arrives from parquet; the pipeline shape is identical).
+    Oracle: brute-force ALL-PAIRS hamming (independent of the LSH
+    candidate path) written to parquet for DuckDB."""
+    from ..stages.multimodal import phash_near_dup, synth_image_corpus
+
+    ensure_phash_oracle_table(sf_dir)
+    media = rd.from_arrow(synth_image_corpus(_phash_corpus_n(sf_dir))).repartition(8)
+    return phash_near_dup(media, max_hamming=_PHASH_MAX_HAMMING, fake=True)
+
+
+SQL_PHASH_NEARDUP = f"""
+SELECT id_a, id_b, hamming
+FROM read_parquet('{_PHASH_ORACLE_PATH}')
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "boilerplate_extract": (q_boilerplate_extract, SQL_BOILERPLATE_EXTRACT),
     "structured_data": (q_structured_data, SQL_STRUCTURED_DATA),
+    "dust_rules": (q_dust_rules, SQL_DUST_RULES),
+    "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),

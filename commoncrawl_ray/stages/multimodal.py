@@ -390,3 +390,259 @@ def resize_images(ds, width: int = 16, height: int = 16, fake: bool = True,
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+# --------------------------------------------------------------------
+# perceptual hashing (pHash) + banded near-dup — the image counterpart
+# of simhash_near_dup (LAION-style multimodal dedup)
+# --------------------------------------------------------------------
+
+_PH_N = 32  # DCT input side
+_PH_LOW = 8  # low-frequency band side (64 bits incl. the dropped DC)
+_DCT_SCALE = 1 << 15
+
+
+def _dct_basis_int(n: int = _PH_N) -> np.ndarray:
+    """Orthonormal DCT-II basis rounded to 15-bit fixed point. The
+    whole hash pipeline below is EXACT int64 arithmetic on top of this
+    basis, so the hash is bit-identical under any blocking, thread
+    count or BLAS build (the repo's integer-determinism rule — float
+    DCT + a median threshold could flip a bit on an ulp tie)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return np.round(c * _DCT_SCALE).astype(np.int64)
+
+
+def _block_sum_int(grid: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Integer block-sum downsample to (th, tw). Exact (and
+    scale-uniform) when the dims divide evenly — the fixture
+    guarantees that; ragged dims still hash deterministically, the
+    blocks just weigh unevenly."""
+    h, w = grid.shape
+    re = (np.arange(th, dtype=np.int64) * h) // th
+    ce = (np.arange(tw, dtype=np.int64) * w) // tw
+    rows = np.add.reduceat(grid.astype(np.int64), re, axis=0)
+    return np.add.reduceat(rows, ce, axis=1)
+
+
+def phash_grid(grid: np.ndarray, basis: np.ndarray | None = None) -> int:
+    """Grayscale uint8 grid -> 64-bit perceptual hash (the classic
+    pHash recipe: 32x32 resample, 2D DCT-II, 8x8 low band, DC dropped,
+    median threshold — Zauner 2010, "Implementation and benchmarking
+    of perceptual image hash functions"). Returns the hash as a
+    signed int64 (the repo's hash-wire convention)."""
+    if basis is None:
+        basis = _dct_basis_int()
+    g = _block_sum_int(np.asarray(grid), _PH_N, _PH_N)
+    d = basis @ g @ basis.T  # exact int64: |d| <= 2^15*32*255*32*2^15*32 < 2^63
+    low = d[:_PH_LOW, :_PH_LOW].ravel()[1:]  # drop DC
+    med = np.sort(low)[len(low) // 2]  # upper median of 63 values
+    bits = low > med
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v  # int64 view
+
+
+class PHashStage:
+    """Actor-pool pHash stage: media rows -> (media_id, phash int64).
+    The DCT basis is built once per actor (__init__), the hash math is
+    exact int64 (see _dct_basis_int). Pixel acquisition follows the
+    DecodeImageStage gate: fake=True reads the payload as a raw
+    (height, width) grayscale grid per the metadata (the synthetic
+    fixture's layout); fake=False decodes via Pillow when importable."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        self.basis = _dct_basis_int()
+        self._pil = None
+        if not fake:
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                self._pil = Image
+            except ImportError:
+                raise NotImplementedError(
+                    "image decode requires Pillow, which is not present in "
+                    "this container; construct with fake=True for the "
+                    "deterministic stub"
+                ) from None
+
+    def _grid(self, payload: bytes, meta: dict) -> np.ndarray:
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8)
+        h, w = int(meta["height"]), int(meta["width"])
+        return np.resize(np.frombuffer(payload, dtype=np.uint8), h * w).reshape(h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, p, meta in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            ids.append(mid)
+            hashes.append(phash_grid(self._grid(p, meta), self.basis))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def phash_near_dup(
+    media_ds,
+    max_hamming: int = 4,
+    fake: bool = True,
+    max_bucket_docs: int | None = 4096,
+    concurrency=(1, 2),
+    batch_size: int = 16,
+):
+    """Perceptual-hash image near-dup pairs: pHash per image (actor
+    pool), bucket by the 8 8-bit sub-bands (pigeonhole: any pair
+    within hamming<=7 of 64 bits shares an exact 8-bit band), exact
+    vectorized hamming verify within buckets, distinct pairs via a
+    final groupby — the simhash_near_dup shape transplanted to the
+    image column. ONE sort exchange over slim (id, band, key, phash)
+    rows; payloads never leave the hash stage. Buckets wider than
+    ``max_bucket_docs`` are skipped with counters (flat-color corpora
+    collapse bands; the dedup-family cap rule)."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from ..schemas import arrow_out
+    from ..state.counters import count_skip
+    from .dedup import _group_slices
+
+    hashes = media_ds.map_batches(
+        PHashStage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch.column("media_id").combine_chunks().cast(pa.int64())
+        u = batch.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
+        keys = np.empty(8 * n, dtype=np.int64)
+        for b in range(8):
+            keys[b * n : (b + 1) * n] = (
+                (u >> np.uint64(8 * b)) & np.uint64(0xFF)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.concat_arrays([ids] * 8),
+                "band": pa.array(np.repeat(np.arange(8, dtype=np.int32), n)),
+                "key": pa.array(keys),
+                "phash": pa.array(np.tile(u.view(np.int64), 8)),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "hamming": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.drop_duplicates(["band", "key", "id"]).sort_values(
+            ["band", "key", "id"], kind="mergesort"
+        )
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
+        ids = df["id"].to_numpy()
+        ph = df["phash"].to_numpy()
+        starts, counts = _group_slices(band, key)
+        a_out, b_out, h_out = [], [], []
+        skipped_b = skipped_r = avoided = 0
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            if max_bucket_docs is not None and c > max_bucket_docs:
+                skipped_b += 1
+                skipped_r += int(c)
+                avoided += int(c) * (int(c) - 1) // 2
+                continue
+            gi = ids[s : s + c]
+            gs = np.ascontiguousarray(ph[s : s + c]).view(np.uint64)
+            iu, ju = np.triu_indices(int(c), k=1)
+            x = gs[iu] ^ gs[ju]
+            h = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+                axis=1, dtype=np.int64
+            )
+            hit = h <= max_hamming
+            if hit.any():
+                a_out.append(gi[iu[hit]])
+                b_out.append(gi[ju[hit]])
+                h_out.append(h[hit])
+        if skipped_b:
+            count_skip(
+                "phash_near_dup",
+                buckets=skipped_b,
+                rows=skipped_r,
+                pairs_avoided=avoided,
+            )
+        if not a_out:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "hamming": np.concatenate(h_out),
+            }
+        )
+
+    pairs = (
+        hashes.map_batches(explode, batch_format="pyarrow", batch_size=512)
+        .sort(["band", "key"])
+        .map_batches(arrow_out(bucket_pairs), batch_format="pandas", batch_size=None)
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def synth_image_corpus(n: int = 128, seed: int = 42) -> pa.Table:
+    """Deterministic image corpus with planted near-dups: smooth
+    low-frequency 64x64 grayscale fields (8x8 coarse grid upsampled by
+    np.kron — pHash keys on exactly this band), and every 4th image a
+    lightly perturbed copy of its predecessor (a few +-2 pixel nudges
+    — hamming stays tiny while distinct fields land ~32 apart)."""
+    rows_p: list[bytes] = []
+    metas = []
+    prev: np.ndarray | None = None
+    for i in range(n):
+        rs = np.random.RandomState(seed * 1_000_003 + i)
+        if prev is not None and i % 4 == 3:
+            grid = prev.astype(np.int64)
+            idx = rs.randint(0, 64, size=(160, 2))
+            grid[idx[:, 0], idx[:, 1]] += rs.randint(-20, 21, size=160)
+            grid = np.clip(grid, 0, 255).astype(np.uint8)
+        else:
+            coarse = rs.randint(0, 256, size=(8, 8))
+            grid = np.kron(coarse, np.ones((8, 8), dtype=np.int64))
+            grid = np.clip(grid, 0, 255).astype(np.uint8)
+        prev = grid
+        rows_p.append(grid.tobytes())
+        metas.append({"width": 64, "height": 64, "sample_rate": 0})
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(rows_p, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        }
+    )
