@@ -4099,6 +4099,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_robots_audit_table(sf_dir)
     oracle_orphan_table(sf_dir)
     ensure_phash_oracle_table(sf_dir)
+    ensure_suffix_oracle_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -12699,11 +12700,70 @@ FROM read_parquet('{_PHASH_ORACLE_PATH}')
 """
 
 
+_SUFFIX_ORACLE_PATH = "/tmp/ccray_oracle_suffix_census.parquet"
+
+
+def ensure_suffix_oracle_table(sf_dir: str, path: str = _SUFFIX_ORACLE_PATH) -> str:
+    """Sequential duplicated-window census oracle — an INDEPENDENT
+    algorithm (per-level Counter over actual token tuples) computing
+    the same definition the distributed prefix-doubling ranks compute
+    (no shared kernels beyond str.split). tmp+rename idempotent."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqm
+
+    from ..stages.suffix import sequential_dup_window_census
+
+    t = pqm.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    res = sequential_dup_window_census(t.to_pylist())
+    ids = sorted(res)
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "max_dup_len": pa.array([res[d][0] for d in ids], pa.int64()),
+            "n_dup_1": pa.array([res[d][1] for d in ids], pa.int64()),
+            "n_dup_8": pa.array([res[d][2] for d in ids], pa.int64()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    pqm.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_dup_window_census(sf_dir: str):
+    """Exact-substring duplication census via distributed suffix
+    ranking (prefix doubling — the Lee et al. 2021 suffix-array
+    dedup primitive; stages/suffix.py): per doc, the longest
+    power-of-2 token window duplicated anywhere in the corpus and the
+    duplicated-position counts at window sizes 1 and 8. Oracle: a
+    sequential per-level token-tuple Counter — a DIFFERENT algorithm
+    for the same definition, so a ranking/join/fuse bug anywhere in
+    the doubling lattice breaks the hash."""
+    from ..stages.suffix import dup_window_census
+
+    ensure_suffix_oracle_table(sf_dir)
+    return dup_window_census(
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+    )
+
+
+SQL_DUP_WINDOW_CENSUS = f"""
+SELECT doc_id, max_dup_len, n_dup_1, n_dup_8
+FROM read_parquet('{_SUFFIX_ORACLE_PATH}')
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "boilerplate_extract": (q_boilerplate_extract, SQL_BOILERPLATE_EXTRACT),
     "structured_data": (q_structured_data, SQL_STRUCTURED_DATA),
     "dust_rules": (q_dust_rules, SQL_DUST_RULES),
     "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
+    "dup_window_census": (q_dup_window_census, SQL_DUP_WINDOW_CENSUS),
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),
