@@ -4100,6 +4100,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_orphan_table(sf_dir)
     ensure_phash_oracle_table(sf_dir)
     ensure_suffix_oracle_table(sf_dir)
+    ensure_suffix_strip_oracle_table(sf_dir)
 
 
 def q_crawl_log(sf_dir: str):
@@ -12758,12 +12759,68 @@ FROM read_parquet('{_SUFFIX_ORACLE_PATH}')
 """
 
 
+_SUFFIX_STRIP_ORACLE_PATH = "/tmp/ccray_oracle_suffix_strip.parquet"
+
+
+def ensure_suffix_strip_oracle_table(
+    sf_dir: str, path: str = _SUFFIX_STRIP_ORACLE_PATH
+) -> str:
+    """Sequential strip oracle (Counter + coverage mask — independent
+    of the doubling lattice). tmp+rename idempotent."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqm
+
+    from ..stages.suffix import sequential_dup_window_strip
+
+    t = pqm.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    res = sequential_dup_window_strip(t.to_pylist())
+    ids = sorted(res)
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "stripped_text": pa.array([res[d][0] for d in ids], pa.string()),
+            "n_kept": pa.array([res[d][1] for d in ids], pa.int64()),
+            "n_stripped": pa.array([res[d][2] for d in ids], pa.int64()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    pqm.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_dup_window_strip(sf_dir: str):
+    """The Lee-et-al dedup step: strip every token covered by a
+    duplicated 8-token window found by exact distributed suffix
+    ranking (stages/suffix.dup_window_strip) — the suffix-array
+    counterpart of the fixed-gram dup_passage_strip. Oracle: the
+    independent sequential Counter+mask fold."""
+    from ..stages.suffix import dup_window_strip
+
+    ensure_suffix_strip_oracle_table(sf_dir)
+    return dup_window_strip(
+        _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=4)
+    )
+
+
+SQL_DUP_WINDOW_STRIP = f"""
+SELECT doc_id, stripped_text, n_kept, n_stripped
+FROM read_parquet('{_SUFFIX_STRIP_ORACLE_PATH}')
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "boilerplate_extract": (q_boilerplate_extract, SQL_BOILERPLATE_EXTRACT),
     "structured_data": (q_structured_data, SQL_STRUCTURED_DATA),
     "dust_rules": (q_dust_rules, SQL_DUST_RULES),
     "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
     "dup_window_census": (q_dup_window_census, SQL_DUP_WINDOW_CENSUS),
+    "dup_window_strip": (q_dup_window_strip, SQL_DUP_WINDOW_STRIP),
     # name -> (ray_fn, oracle_sql | None)
     "events_histogram": (q_events_histogram, SQL_EVENTS_HISTOGRAM),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),

@@ -173,22 +173,16 @@ def _level_census(level_rows, k: int):
     return level_rows.map_batches(per_batch, batch_format="pyarrow")
 
 
-def dup_window_census(docs_ds, max_level: int = 7, parts: int = 8):
-    """documents(doc_id, text) -> per-doc duplicated-window census:
-    (doc_id, max_dup_len, n_dup_1, n_dup_8) where max_dup_len is the
-    longest power-of-2 token window duplicated anywhere in the corpus
-    (0 = the doc shares not even one token), n_dup_1 / n_dup_8 the
-    duplicated-position counts at window sizes 1 and 8. Exact — no
-    hashing anywhere on the class path."""
-    from ray.data.aggregate import Max, Sum
-
+def window_class_levels(rows, max_level: int, parts: int = 8):
+    """(gid, tok) position rows -> [(k, level_ds)] for k = 0..max_level
+    (stopping early once no full window remains), level_ds = (gid,
+    cls, dup) with cls canonical per 2^k-token window. The doubling
+    loop shared by the census and the strip."""
     from .joins import merge_join
 
-    rows = docs_ds.map_batches(explode_tokens_batch, batch_format="pyarrow")
     n_total = rows.count()
     level = _canon_classes(rows, "tok").repartition(parts).materialize()
-
-    censuses = [_level_census(level, 0)]
+    out = [(0, level)]
     for k in range(1, max_level + 1):
         half = 1 << (k - 1)
         fuse_m = n_total + 1
@@ -227,7 +221,26 @@ def dup_window_census(docs_ds, max_level: int = 7, parts: int = 8):
         if fused.count() == 0:
             break
         level = _canon_classes(fused, "key").repartition(parts).materialize()
-        censuses.append(_level_census(level, k))
+        out.append((k, level))
+    return out
+
+
+def dup_window_census(docs_ds, max_level: int = 7, parts: int = 8):
+    """documents(doc_id, text) -> per-doc duplicated-window census:
+    (doc_id, max_dup_len, n_dup_1, n_dup_8) where max_dup_len is the
+    longest power-of-2 token window duplicated anywhere in the corpus
+    (0 = the doc shares not even one token), n_dup_1 / n_dup_8 the
+    duplicated-position counts at window sizes 1 and 8. Exact — no
+    hashing anywhere on the class path."""
+    from ray.data.aggregate import Max, Sum
+
+    from .joins import merge_join
+
+    rows = docs_ds.map_batches(explode_tokens_batch, batch_format="pyarrow")
+    censuses = [
+        _level_census(level, k)
+        for k, level in window_class_levels(rows, max_level, parts)
+    ]
 
     per_level = censuses[0]
     for c in censuses[1:]:
@@ -285,6 +298,170 @@ def dup_window_census(docs_ds, max_level: int = 7, parts: int = 8):
         )
 
     return out.map_batches(fill, batch_format="pyarrow")
+
+
+def dup_window_strip(docs_ds, window_level: int = 3, parts: int = 8):
+    """The Lee-et-al dedup step itself: remove every token covered by
+    a duplicated 2^window_level-token window (default 8 — the
+    dup_passage_strip width, here found by exact suffix ranking
+    instead of a fixed gram dictionary). -> (doc_id, stripped_text,
+    n_kept, n_stripped).
+
+    Shape: the shared doubling lattice up to ``window_level`` (ONE
+    sort per level + one shift join), duplicated window starts explode
+    x2^k into covered positions (bounded fan-out), ONE sort-distinct,
+    ONE anti merge_join removes covered tokens, and the rebuild is a
+    sort(doc_id) co-partitioned block-local ordered join (a doc's
+    surviving tokens fit a block — the standing group-fits-a-block
+    assumption of the window family). Text rides the wire once, in
+    the explode."""
+    import pyarrow.compute as pc
+
+    from .joins import merge_join
+    from .pagerank import _distinct_sorted
+
+    rows = docs_ds.map_batches(
+        explode_tokens_batch, batch_format="pyarrow"
+    ).materialize()
+    levels = window_class_levels(rows, window_level, parts)
+    w = 1 << window_level
+    top = [lv for k, lv in levels if k == window_level]
+
+    def no_cover(t: pa.Table) -> pa.Table:
+        return pa.table({"gid": pa.array([], pa.int64())})
+
+    if not top:
+        covered = rows.map_batches(no_cover, batch_format="pyarrow")
+    else:
+
+        def explode_cover(t: pa.Table, _w=w) -> pa.Table:
+            gid = (
+                t.filter(t.column("dup"))
+                .column("gid")
+                .to_numpy(zero_copy_only=False)
+            )
+            if len(gid) == 0:
+                return pa.table({"gid": pa.array([], pa.int64())})
+            cov = (gid[:, None] + np.arange(_w, dtype=np.int64)[None, :]).ravel()
+            return pa.table({"gid": pa.array(cov, pa.int64())})
+
+        covered = _distinct_sorted(
+            top[0].map_batches(explode_cover, batch_format="pyarrow"), ["gid"]
+        )
+
+    kept = merge_join(rows, covered, "gid", "gid", [], how="anti")
+
+    def rebuild_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "stripped_text": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        gid = t.column("gid").to_numpy(zero_copy_only=False)
+        toks = t.column("tok").to_pylist()
+        order = np.argsort(gid, kind="stable")
+        gid_s = gid[order]
+        doc = gid_s >> _POS_BITS
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        ends = np.r_[starts[1:], len(doc)]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "stripped_text": pa.array(
+                    [
+                        " ".join(toks[order[i]] for i in range(s, e))
+                        for s, e in zip(starts, ends)
+                    ],
+                    pa.string(),
+                ),
+                "n_kept": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    def doc_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "doc_id",
+            pa.array(
+                t.column("gid").to_numpy(zero_copy_only=False) >> _POS_BITS,
+                pa.int64(),
+            ),
+        )
+
+    rebuilt = (
+        kept.map_batches(doc_key, batch_format="pyarrow")
+        .sort("doc_id")
+        .map_batches(rebuild_block, batch_format="pyarrow", batch_size=None)
+    )
+
+    # token totals per doc (for n_stripped) + docs stripped to nothing
+    def doc_totals(t: pa.Table) -> pa.Table:
+        gid = t.column("gid").to_numpy(zero_copy_only=False)
+        doc = gid >> _POS_BITS
+        u, c = np.unique(doc, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        rows.map_batches(doc_totals, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_total"))
+    )
+    out = merge_join(
+        totals,
+        rebuilt,
+        "doc_id",
+        "doc_id",
+        ["stripped_text", "n_kept"],
+        how="left",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        total = t.column("n_total").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = np.nan_to_num(
+            t.column("n_kept").to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "stripped_text": pc.fill_null(t.column("stripped_text"), ""),
+                "n_kept": pa.array(nk),
+                "n_stripped": pa.array(total - nk),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def sequential_dup_window_strip(doc_rows: list[dict], window_level: int = 3) -> dict:
+    """Independent sequential strip oracle (token-tuple Counter +
+    coverage mask). -> {doc_id: (stripped_text, n_kept, n_stripped)}."""
+    from collections import Counter
+
+    w = 1 << window_level
+    toks = {r["doc_id"]: (r["text"] or "").split() for r in doc_rows}
+    counts: Counter = Counter()
+    for ws in toks.values():
+        for p in range(len(ws) - w + 1):
+            counts[tuple(ws[p : p + w])] += 1
+    out = {}
+    for d, ws in toks.items():
+        cover = np.zeros(len(ws), dtype=bool)
+        for p in range(len(ws) - w + 1):
+            if counts[tuple(ws[p : p + w])] >= 2:
+                cover[p : p + w] = True
+        kept = [t for t, c in zip(ws, cover) if not c]
+        out[d] = (" ".join(kept), len(kept), int(cover.sum()))
+    return out
 
 
 def sequential_dup_window_census(doc_rows: list[dict], max_level: int = 7) -> dict:

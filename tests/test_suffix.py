@@ -49,6 +49,42 @@ def test_overlapping_self_repeat():
     assert res[0][0] == 2 and res[0][1] == 3
 
 
+def test_sequential_strip_planted():
+    from commoncrawl_ray.stages.suffix import sequential_dup_window_strip
+
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8"  # an exact 8-token window
+    rows = [
+        (0, f"{shared} tail0 only0"),
+        (1, f"head1 {shared} tail1"),
+        (2, "u v w x y z q r"),
+    ]
+    res = sequential_dup_window_strip(
+        [{"doc_id": d, "text": x} for d, x in rows]
+    )
+    assert res[0] == ("tail0 only0", 2, 8)
+    assert res[1] == ("head1 tail1", 2, 8)
+    assert res[2][2] == 0  # untouched
+
+
+def test_distributed_strip_matches_sequential(ray_session):
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.suffix import (
+        dup_window_strip,
+        sequential_dup_window_strip,
+    )
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 150)
+    want = sequential_dup_window_strip(t.to_pylist())
+    got = {
+        r["doc_id"]: (r["stripped_text"], r["n_kept"], r["n_stripped"])
+        for r in dup_window_strip(rd.from_arrow(t).repartition(5)).take_all()
+    }
+    assert got == want
+
+
 def test_distributed_matches_sequential_any_partitioning(ray_session):
     import ray.data as rd
 
