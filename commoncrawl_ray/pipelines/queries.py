@@ -4099,6 +4099,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> None:
     oracle_robots_audit_table(sf_dir)
     oracle_orphan_table(sf_dir)
     ensure_phash_oracle_table(sf_dir)
+    ensure_audio_fp_oracle_table(sf_dir)
     ensure_suffix_oracle_table(sf_dir)
     ensure_suffix_strip_oracle_table(sf_dir)
 
@@ -12701,6 +12702,68 @@ FROM read_parquet('{_PHASH_ORACLE_PATH}')
 """
 
 
+_AFP_ORACLE_PATH = "/tmp/ccray_oracle_audiofp.parquet"
+_AFP_MAX_HAMMING = 6
+
+
+def ensure_audio_fp_oracle_table(sf_dir: str, path: str = _AFP_ORACLE_PATH) -> str:
+    """Brute-force all-pairs audio-fingerprint hamming oracle —
+    independent of the distributed band-LSH candidate path (the
+    phash oracle discipline). Pure numpy, tmp+rename idempotent."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqm
+
+    from ..stages.multimodal import audio_fp_samples, synth_audio_corpus
+
+    n = _phash_corpus_n(sf_dir)
+    t = synth_audio_corpus(n)
+    hs = np.array(
+        [
+            audio_fp_samples(np.frombuffer(p, np.uint8).astype(np.int64) - 128)
+            for p in t.column("payload").to_pylist()
+        ],
+        dtype=np.int64,
+    ).view(np.uint64)
+    iu, ju = np.triu_indices(n, k=1)
+    x = hs[iu] ^ hs[ju]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+        axis=1, dtype=np.int64
+    )
+    hit = ham <= _AFP_MAX_HAMMING
+    out = pa.table(
+        {
+            "id_a": pa.array(iu[hit].astype(np.int64)),
+            "id_b": pa.array(ju[hit].astype(np.int64)),
+            "hamming": pa.array(ham[hit]),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    pqm.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_audio_fp_neardup(sf_dir: str):
+    """Audio near-dup via Haitsma-Kalker band-energy fingerprints
+    (stages/multimodal.audio_fp_near_dup — exact integer energies,
+    actor-pool hashing, shared banded-hamming reduction). Oracle:
+    brute-force all-pairs hamming, independent of the LSH path."""
+    from ..stages.multimodal import audio_fp_near_dup, synth_audio_corpus
+
+    ensure_audio_fp_oracle_table(sf_dir)
+    media = rd.from_arrow(synth_audio_corpus(_phash_corpus_n(sf_dir))).repartition(8)
+    return audio_fp_near_dup(media, max_hamming=_AFP_MAX_HAMMING, fake=True)
+
+
+SQL_AUDIO_FP_NEARDUP = f"""
+SELECT id_a, id_b, hamming
+FROM read_parquet('{_AFP_ORACLE_PATH}')
+"""
+
+
 _SUFFIX_ORACLE_PATH = "/tmp/ccray_oracle_suffix_census.parquet"
 
 
@@ -12819,6 +12882,7 @@ REGISTRY: dict[str, tuple] = {
     "structured_data": (q_structured_data, SQL_STRUCTURED_DATA),
     "dust_rules": (q_dust_rules, SQL_DUST_RULES),
     "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
+    "audio_fp_neardup": (q_audio_fp_neardup, SQL_AUDIO_FP_NEARDUP),
     "dup_window_census": (q_dup_window_census, SQL_DUP_WINDOW_CENSUS),
     "dup_window_strip": (q_dup_window_strip, SQL_DUP_WINDOW_STRIP),
     # name -> (ray_fn, oracle_sql | None)

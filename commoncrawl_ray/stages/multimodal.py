@@ -500,23 +500,22 @@ class PHashStage:
         )
 
 
-def phash_near_dup(
-    media_ds,
-    max_hamming: int = 4,
-    fake: bool = True,
+def banded_hamming_pairs(
+    hash_ds,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
     max_bucket_docs: int | None = 4096,
-    concurrency=(1, 2),
-    batch_size: int = 16,
+    skip_op: str = "banded_hamming",
 ):
-    """Perceptual-hash image near-dup pairs: pHash per image (actor
-    pool), bucket by the 8 8-bit sub-bands (pigeonhole: any pair
-    within hamming<=7 of 64 bits shares an exact 8-bit band), exact
-    vectorized hamming verify within buckets, distinct pairs via a
-    final groupby — the simhash_near_dup shape transplanted to the
-    image column. ONE sort exchange over slim (id, band, key, phash)
-    rows; payloads never leave the hash stage. Buckets wider than
-    ``max_bucket_docs`` are skipped with counters (flat-color corpora
-    collapse bands; the dedup-family cap rule)."""
+    """(id, hash64) Dataset -> distinct (id_a, id_b, hamming) pairs
+    with hamming <= max_hamming (must be <= 7: pigeonhole over the 8
+    8-bit sub-bands guarantees a shared exact band). The
+    simhash_near_dup shape as a reusable reduction: band explode, ONE
+    sort exchange over slim (id, band, key, hash) rows, vectorized
+    XOR-popcount verify inside buckets, buckets wider than
+    ``max_bucket_docs`` skipped with counters, final (id_a, id_b)
+    groupby for distinctness."""
     import pandas as pd
     from ray.data.aggregate import Min
 
@@ -524,18 +523,10 @@ def phash_near_dup(
     from ..state.counters import count_skip
     from .dedup import _group_slices
 
-    hashes = media_ds.map_batches(
-        PHashStage,
-        fn_constructor_kwargs={"fake": fake},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        batch_size=batch_size,
-    )
-
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        ids = batch.column("media_id").combine_chunks().cast(pa.int64())
-        u = batch.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        u = batch.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
         keys = np.empty(8 * n, dtype=np.int64)
         for b in range(8):
             keys[b * n : (b + 1) * n] = (
@@ -546,7 +537,7 @@ def phash_near_dup(
                 "id": pa.concat_arrays([ids] * 8),
                 "band": pa.array(np.repeat(np.arange(8, dtype=np.int32), n)),
                 "key": pa.array(keys),
-                "phash": pa.array(np.tile(u.view(np.int64), 8)),
+                "h": pa.array(np.tile(u.view(np.int64), 8)),
             }
         )
 
@@ -566,7 +557,7 @@ def phash_near_dup(
         band = df["band"].to_numpy()
         key = df["key"].to_numpy()
         ids = df["id"].to_numpy()
-        ph = df["phash"].to_numpy()
+        ph = df["h"].to_numpy()
         starts, counts = _group_slices(band, key)
         a_out, b_out, h_out = [], [], []
         skipped_b = skipped_r = avoided = 0
@@ -590,7 +581,7 @@ def phash_near_dup(
                 h_out.append(h[hit])
         if skipped_b:
             count_skip(
-                "phash_near_dup",
+                skip_op,
                 buckets=skipped_b,
                 rows=skipped_r,
                 pairs_avoided=avoided,
@@ -606,12 +597,182 @@ def phash_near_dup(
         )
 
     pairs = (
-        hashes.map_batches(explode, batch_format="pyarrow", batch_size=512)
+        hash_ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
         .sort(["band", "key"])
         .map_batches(arrow_out(bucket_pairs), batch_format="pandas", batch_size=None)
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
+    )
+
+
+def phash_near_dup(
+    media_ds,
+    max_hamming: int = 4,
+    fake: bool = True,
+    max_bucket_docs: int | None = 4096,
+    concurrency=(1, 2),
+    batch_size: int = 16,
+):
+    """Perceptual-hash image near-dup pairs: pHash per image (actor
+    pool), then the shared banded-hamming reduction — payloads never
+    leave the hash stage."""
+    hashes = media_ds.map_batches(
+        PHashStage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    return banded_hamming_pairs(
+        hashes,
+        "media_id",
+        "phash",
+        max_hamming,
+        max_bucket_docs,
+        skip_op="phash_near_dup",
+    )
+
+
+# --------------------------------------------------------------------
+# audio fingerprint near-dup (Haitsma & Kalker 2002, "A highly robust
+# audio fingerprinting system") — the third leg of the multimodal
+# dedup triple (text simhash / image pHash / audio band-energy bits)
+# --------------------------------------------------------------------
+
+_AFP_BANDS = 17  # 16 energy-difference bits per frame
+_AFP_FRAMES = 5  # 4 delta frames x 16 bits = 64-bit fingerprint
+
+
+def audio_fp_samples(samples: np.ndarray) -> int:
+    """Integer samples -> 64-bit fingerprint. The Haitsma-Kalker bit
+    rule: bit(f, b) = sign of the time-and-band double difference of
+    band energies, E[f,b]-E[f,b+1]-(E[f-1,b]-E[f-1,b+1]) > 0 — robust
+    to volume scaling and mild noise. Energies are EXACT int64 sums of
+    squared int samples over contiguous band slices (the fixed-point
+    determinism rule: no float anywhere, so the hash is bit-identical
+    under any blocking; the original uses FFT Bark bands — contiguous
+    time-slice bands keep the bit rule and the robustness-to-noise
+    property while staying integer-exact)."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    if n < _AFP_FRAMES * _AFP_BANDS:
+        s = np.resize(s, _AFP_FRAMES * _AFP_BANDS)
+        n = len(s)
+    frame_len = n // _AFP_FRAMES
+    band_len = frame_len // _AFP_BANDS
+    e = np.zeros((_AFP_FRAMES, _AFP_BANDS), dtype=np.int64)
+    for f in range(_AFP_FRAMES):
+        base = f * frame_len
+        for b in range(_AFP_BANDS):
+            seg = s[base + b * band_len : base + (b + 1) * band_len]
+            e[f, b] = int((seg * seg).sum())
+    d = e[:, :-1] - e[:, 1:]  # band differences, 16 per frame
+    bits = (d[1:] - d[:-1]) > 0  # time difference, 4x16
+    v = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class AudioFPStage:
+    """Actor-pool audio fingerprint stage: media rows -> (media_id,
+    afp int64). fake=True reads payload bytes as uint8 samples center
+    -128 (the synthetic fixture convention); fake=False decodes real
+    RIFF/WAVE via the stdlib wave module (AudioFeatureStage's
+    decoder)."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        self._wav = None if fake else AudioFeatureStage(fake=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for mid, kind, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            if self.fake:
+                s = np.frombuffer(p, dtype=np.uint8).astype(np.int64) - 128
+            else:
+                s, _dur = self._wav._real_samples(p)
+                s = s.astype(np.int64)
+            ids.append(mid)
+            fps.append(audio_fp_samples(s))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "afp": pa.array(fps, pa.int64()),
+            }
+        )
+
+
+def audio_fp_near_dup(
+    media_ds,
+    max_hamming: int = 6,
+    fake: bool = True,
+    max_bucket_docs: int | None = 4096,
+    concurrency=(1, 2),
+    batch_size: int = 16,
+):
+    """Audio near-dup pairs: Haitsma-Kalker fingerprints on an actor
+    pool, then the shared banded-hamming reduction."""
+    hashes = media_ds.map_batches(
+        AudioFPStage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    return banded_hamming_pairs(
+        hashes,
+        "media_id",
+        "afp",
+        max_hamming,
+        max_bucket_docs,
+        skip_op="audio_fp_near_dup",
+    )
+
+
+def synth_audio_corpus(n: int = 128, seed: int = 42) -> pa.Table:
+    """Deterministic audio corpus with planted near-dups: smooth
+    random-walk uint8 sample streams (band energies vary across
+    frames), every 4th row its predecessor with mild noise on a few
+    samples."""
+    payloads: list[bytes] = []
+    metas = []
+    prev: np.ndarray | None = None
+    band_len = 24
+    total = _AFP_FRAMES * _AFP_BANDS * band_len
+    wave_sign = np.where(np.arange(band_len) % 2 == 0, 1, -1)
+    for i in range(n):
+        rs = np.random.RandomState(seed * 2_000_003 + i)
+        if prev is not None and i % 4 == 3:
+            s = prev.astype(np.int64) - 128
+            idx = rs.randint(0, total, size=40)
+            s[idx] += rs.randint(-6, 7, size=40)
+            s = np.clip(s + 128, 0, 255).astype(np.uint8)
+        else:
+            # per-(frame, band) amplitude square waves: band energies
+            # are amp^2-scale apart, so the H-K sign bits sit far from
+            # zero and mild noise can't flip them
+            amp = rs.randint(4, 101, size=(_AFP_FRAMES, _AFP_BANDS))
+            s = (amp[:, :, None] * wave_sign[None, None, :]).ravel()
+            s = np.clip(s + 128, 0, 255).astype(np.uint8)
+        prev = s
+        payloads.append(s.tobytes())
+        metas.append({"width": 0, "height": 0, "sample_rate": 16000})
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        }
     )
 
 

@@ -70,6 +70,46 @@ def test_near_dup_finds_planted_pairs(ray_session):
     assert len(pairs) <= len(planted) + 3
 
 
+def test_audio_fp_properties():
+    import numpy as np
+
+    from commoncrawl_ray.stages.multimodal import (
+        audio_fp_samples,
+        synth_audio_corpus,
+    )
+
+    t = synth_audio_corpus(32)
+    sams = [
+        np.frombuffer(p, np.uint8).astype(np.int64) - 128
+        for p in t.column("payload").to_pylist()
+    ]
+    fps = [audio_fp_samples(s) for s in sams]
+    # deterministic + gain-invariant (sign bits survive volume scaling)
+    assert fps[0] == audio_fp_samples(sams[0]) == audio_fp_samples(3 * sams[0])
+    for i in range(3, 32, 4):  # planted near-dups
+        assert _ham(fps[i - 1], fps[i]) <= 6
+    assert _ham(fps[0], fps[4]) > 10  # distinct streams far apart
+
+
+def test_audio_near_dup_finds_planted_pairs(ray_session):
+    import ray.data as rd
+
+    from commoncrawl_ray.stages.multimodal import (
+        audio_fp_near_dup,
+        synth_audio_corpus,
+    )
+
+    n = 64
+    media = rd.from_arrow(synth_audio_corpus(n)).repartition(5)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_fp_near_dup(media, max_hamming=6, fake=True).take_all()
+    }
+    planted = {(i - 1, i) for i in range(3, n, 4)}
+    assert planted <= pairs
+    assert len(pairs) <= len(planted) + 3
+
+
 def test_bucket_cap_skips_flat_corpus(ray_session):
     import ray.data as rd
 
