@@ -12702,6 +12702,212 @@ FROM read_parquet('{_PHASH_ORACLE_PATH}')
 """
 
 
+def q_crawl_fairness(sf_dir: str):
+    """Crawl fairness audit: the Gini coefficient of per-host fetched
+    counts over a short crawl's log — the crawl-ops metric for 'is the
+    politeness scheduler starving the tail while mega-hosts eat the
+    budget'. G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with x ascending
+    (i = 1-based rank): 0 = perfectly even, ->1 = one host dominates.
+
+    Shape: log consumed lazily, one host-scale groupby, the ascending
+    rank via stages/rank.global_sorted_rank (O(blocks) driver
+    summaries), then ONE three-scalar aggregate — integer sums
+    throughout, a single float expression at the end, written in the
+    same operation order as the SQL oracle so the 6-dp rounds agree
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.rank import global_sorted_rank
+    from .crawl import crawl
+
+    ensure_crawl_oracle_table()
+    ckpt = tempfile.mkdtemp(prefix="cc_ray_crawl_fair_")
+    try:
+        res = crawl(_crawl_cfg(), ckpt)
+        counts = (
+            res.log_dataset()
+            .map_batches(
+                lambda t: t.filter(
+                    pc.equal(t.column("action"), "fetched")
+                ).select(["host_fp"]),
+                batch_format="pyarrow",
+            )
+            .groupby("host_fp")
+            .count()
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "host_fp": t.column("host_fp"),
+                        "x": t.column("count()").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        ranked = global_sorted_rank(counts, ["x", "host_fp"], rank_name="i")
+        parts = ranked.map_batches(
+            lambda t: pa.table(
+                {
+                    "x": t.column("x"),
+                    "ix": pa.array(
+                        t.column("i").to_numpy(zero_copy_only=False)
+                        * t.column("x").to_numpy(zero_copy_only=False),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        agg = parts.aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("ix", alias_name="six"),
+        )
+        n, sx, six = int(agg["n"]), int(agg["sx"]), int(agg["six"])
+        gini = round(2.0 * six / (n * sx) - (n + 1.0) / n, 6)
+        return pa.table(
+            {
+                "n_hosts": pa.array([n], pa.int64()),
+                "total_fetched": pa.array([sx], pa.int64()),
+                "gini": pa.array([gini], pa.float64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_CRAWL_FAIRNESS = f"""
+WITH c AS (
+  SELECT host_fp, CAST(count(*) AS BIGINT) AS x
+  FROM read_parquet('{_CRAWL_ORACLE_PATH}')
+  WHERE action = 'fetched' GROUP BY host_fp
+),
+r AS (SELECT x, row_number() OVER (ORDER BY x, host_fp) AS i FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(x) AS BIGINT) AS total_fetched,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+"""
+
+
+def q_cocitation_hosts(sf_dir: str):
+    """Host co-citation similarity (Small 1973 — two hosts are related
+    when the same pages link BOTH): for every src host, its distinct
+    out-neighbor pairs, counted across all srcs; pairs co-cited >= 2
+    times survive. The IR-classic related-sites signal beside HITS/
+    SALSA on the same host graph.
+
+    Shape: the triangle wedge discipline over host STRINGS (the SQL
+    oracle compares d1 < d2 as varchar, so the wire stays strings) —
+    edges via ONE _distinct_sorted(src) exchange whose blocks are
+    already src-co-partitioned, per-src np.triu pair emission capped
+    at ``max_out`` with skip counters (never hit at test scale; the
+    oracle is uncapped plain SQL over the sequential edge table),
+    per-batch Counter pre-agg, ONE pair-scale groupby."""
+    import os
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import _distinct_sorted, extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_edges_table
+
+    max_out = 4096
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_edges_table(sf_dir)
+    edges = _distinct_sorted(
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        ["src", "dst"],
+    )
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        from ..state.counters import count_skip
+
+        empty = pa.table(
+            {
+                "host_a": pa.array([], pa.string()),
+                "host_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_pylist()
+        order = np.argsort(src, kind="stable")
+        src_s = src[order]
+        starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+        ends = np.r_[starts[1:], len(src_s)]
+        agg: Counter = Counter()
+        skipped = 0
+        for s, e in zip(starts, ends):
+            if e - s > max_out:
+                skipped += 1
+                continue
+            nb = sorted({dst[order[k]] for k in range(s, e)})
+            for i in range(len(nb) - 1):
+                for j in range(i + 1, len(nb)):
+                    agg[(nb[i], nb[j])] += 1
+        if skipped:
+            count_skip("cocitation", buckets=skipped)
+        if not agg:
+            return empty
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "host_a": pa.array([a for (a, _b), _n in items], pa.string()),
+                "host_b": pa.array([b for (_a, b), _n in items], pa.string()),
+                "n": pa.array([v for _ab, v in items], pa.int64()),
+            }
+        )
+
+    sums = (
+        edges.map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("n", alias_name="n_common"))
+    )
+    import pyarrow.compute as pc
+
+    return sums.map_batches(
+        lambda t: pa.table(
+            {
+                "host_a": t.column("host_a"),
+                "host_b": t.column("host_b"),
+                "n_common": t.column("n_common").cast(pa.int64()),
+            }
+        ).filter(pc.greater_equal(t.column("n_common"), 2)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COCITATION_HOSTS = """
+WITH e AS (
+  SELECT DISTINCT src, dst
+  FROM read_parquet('/tmp/ccray_oracle_host_edges.parquet')
+)
+SELECT a.dst AS host_a, b.dst AS host_b, CAST(count(*) AS BIGINT) AS n_common
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 _AFP_ORACLE_PATH = "/tmp/ccray_oracle_audiofp.parquet"
 _AFP_MAX_HAMMING = 6
 
@@ -12883,6 +13089,8 @@ REGISTRY: dict[str, tuple] = {
     "dust_rules": (q_dust_rules, SQL_DUST_RULES),
     "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
     "audio_fp_neardup": (q_audio_fp_neardup, SQL_AUDIO_FP_NEARDUP),
+    "crawl_fairness": (q_crawl_fairness, SQL_CRAWL_FAIRNESS),
+    "cocitation_hosts": (q_cocitation_hosts, SQL_COCITATION_HOSTS),
     "dup_window_census": (q_dup_window_census, SQL_DUP_WINDOW_CENSUS),
     "dup_window_strip": (q_dup_window_strip, SQL_DUP_WINDOW_STRIP),
     # name -> (ray_fn, oracle_sql | None)
