@@ -12795,6 +12795,65 @@ FROM r
 """
 
 
+def _copair_block(
+    t: pa.Table, key_col: str, val_col: str, max_out: int, op: str
+) -> pa.Table:
+    """Block kernel shared by co-citation and bibliographic coupling:
+    per distinct ``key_col`` value (the block is key-co-partitioned by
+    the upstream sort), all ordered pairs of its distinct ``val_col``
+    neighbors, pre-aggregated with one np.unique over the fused pair
+    strings — no per-pair Python. Keys wider than ``max_out`` are
+    skipped with counters."""
+    from ..state.counters import count_skip
+
+    empty = pa.table(
+        {
+            "host_a": pa.array([], pa.string()),
+            "host_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    key = t.column(key_col).to_numpy(zero_copy_only=False)
+    val = np.asarray(t.column(val_col).to_pylist(), dtype=object)
+    order = np.lexsort((val, key))
+    key_s, val_s = key[order], val[order]
+    starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    ends = np.r_[starts[1:], len(key_s)]
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    skipped = 0
+    for s, e in zip(starts, ends):
+        nb = val_s[s:e]
+        nb = nb[np.r_[True, nb[1:] != nb[:-1]]]  # distinct (sorted)
+        k = len(nb)
+        if k < 2:
+            continue
+        if k > max_out:
+            skipped += 1
+            continue
+        ii, jj = np.triu_indices(k, 1)
+        a_parts.append(nb[ii])
+        b_parts.append(nb[jj])
+    if skipped:
+        count_skip(op, buckets=skipped)
+    if not a_parts:
+        return empty
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    fused = np.char.add(np.char.add(a.astype("U"), "\t"), b.astype("U"))
+    uniq, counts = np.unique(fused, return_counts=True)
+    split = np.char.partition(uniq, "\t")
+    return pa.table(
+        {
+            "host_a": pa.array(split[:, 0], pa.string()),
+            "host_b": pa.array(split[:, 2], pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
 def q_cocitation_hosts(sf_dir: str):
     """Host co-citation similarity (Small 1973 — two hosts are related
     when the same pages link BOTH): for every src host, its distinct
@@ -12810,7 +12869,6 @@ def q_cocitation_hosts(sf_dir: str):
     oracle is uncapped plain SQL over the sequential edge table),
     per-batch Counter pre-agg, ONE pair-scale groupby."""
     import os
-    from collections import Counter
 
     from ray.data.aggregate import Sum
 
@@ -12836,49 +12894,12 @@ def q_cocitation_hosts(sf_dir: str):
         ["src", "dst"],
     )
 
-    def pairs_block(t: pa.Table) -> pa.Table:
-        from ..state.counters import count_skip
-
-        empty = pa.table(
-            {
-                "host_a": pa.array([], pa.string()),
-                "host_b": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-        if len(t) == 0:
-            return empty
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        dst = t.column("dst").to_pylist()
-        order = np.argsort(src, kind="stable")
-        src_s = src[order]
-        starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
-        ends = np.r_[starts[1:], len(src_s)]
-        agg: Counter = Counter()
-        skipped = 0
-        for s, e in zip(starts, ends):
-            if e - s > max_out:
-                skipped += 1
-                continue
-            nb = sorted({dst[order[k]] for k in range(s, e)})
-            for i in range(len(nb) - 1):
-                for j in range(i + 1, len(nb)):
-                    agg[(nb[i], nb[j])] += 1
-        if skipped:
-            count_skip("cocitation", buckets=skipped)
-        if not agg:
-            return empty
-        items = sorted(agg.items())
-        return pa.table(
-            {
-                "host_a": pa.array([a for (a, _b), _n in items], pa.string()),
-                "host_b": pa.array([b for (_a, b), _n in items], pa.string()),
-                "n": pa.array([v for _ab, v in items], pa.int64()),
-            }
-        )
-
     sums = (
-        edges.map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
+        edges.map_batches(
+            lambda t: _copair_block(t, "src", "dst", max_out, "cocitation"),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
         .groupby(["host_a", "host_b"])
         .aggregate(Sum("n", alias_name="n_common"))
     )
@@ -12903,6 +12924,73 @@ WITH e AS (
 )
 SELECT a.dst AS host_a, b.dst AS host_b, CAST(count(*) AS BIGINT) AS n_common
 FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def q_coupling_hosts(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963 — the dual of co-citation:
+    two hosts are related when they link to the SAME targets): per dst
+    host, all ordered pairs of its distinct in-linker srcs, counted
+    across dsts, n>=2 cut. Same _copair_block kernel and shape as
+    q_cocitation_hosts with the roles swapped — the co-partitioning
+    sort runs on dst."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
+    from ..stages.pagerank import _distinct_sorted, extract_host_edges_batch
+    from ..stages.parse_extract import parse_extract_batch
+    from .oracle_sketch import oracle_host_edges_table
+
+    max_out = 4096
+    sf = min(sf_from_dir(sf_dir), 0.01)
+    path = pages_cache_dir(sf)
+    if not os.path.isdir(path) or not os.listdir(path):
+        write_pages_parquet_ray(path, sf)
+    oracle_host_edges_table(sf_dir)
+    edges = _distinct_sorted(
+        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.select(["url", "anchors", "base_url"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(extract_host_edges_batch, batch_format="pyarrow"),
+        ["dst", "src"],
+    )
+    sums = (
+        edges.map_batches(
+            lambda t: _copair_block(t, "dst", "src", max_out, "coupling"),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("n", alias_name="n_common"))
+    )
+    import pyarrow.compute as pc
+
+    return sums.map_batches(
+        lambda t: pa.table(
+            {
+                "host_a": t.column("host_a"),
+                "host_b": t.column("host_b"),
+                "n_common": t.column("n_common").cast(pa.int64()),
+            }
+        ).filter(pc.greater_equal(t.column("n_common"), 2)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COUPLING_HOSTS = """
+WITH e AS (
+  SELECT DISTINCT src, dst
+  FROM read_parquet('/tmp/ccray_oracle_host_edges.parquet')
+)
+SELECT a.src AS host_a, b.src AS host_b, CAST(count(*) AS BIGINT) AS n_common
+FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
@@ -13091,6 +13179,7 @@ REGISTRY: dict[str, tuple] = {
     "audio_fp_neardup": (q_audio_fp_neardup, SQL_AUDIO_FP_NEARDUP),
     "crawl_fairness": (q_crawl_fairness, SQL_CRAWL_FAIRNESS),
     "cocitation_hosts": (q_cocitation_hosts, SQL_COCITATION_HOSTS),
+    "coupling_hosts": (q_coupling_hosts, SQL_COUPLING_HOSTS),
     "dup_window_census": (q_dup_window_census, SQL_DUP_WINDOW_CENSUS),
     "dup_window_strip": (q_dup_window_strip, SQL_DUP_WINDOW_STRIP),
     # name -> (ray_fn, oracle_sql | None)

@@ -65,3 +65,34 @@ def test_cocitation_planted(ray_session):
     ).fetchall()
     assert rows == [("a.com", "b.com", 2)]
     assert ds.count() == 5
+
+
+def test_copair_block_kernel():
+    # the shared vectorized kernel: s1 -> {a,b,c}, s2 -> {a,b} yields
+    # pairs (a,b):2 (a,c):1 (b,c):1, duplicate rows collapse first
+    from commoncrawl_ray.pipelines.queries import _copair_block
+
+    t = pa.table(
+        {
+            "src": pa.array(["s1"] * 4 + ["s2"] * 2),
+            "dst": pa.array(["a", "b", "c", "b", "a", "b"]),
+        }
+    )
+    out = _copair_block(t, "src", "dst", max_out=64, op="test")
+    got = {
+        (a, b): n
+        for a, b, n in zip(
+            out.column("host_a").to_pylist(),
+            out.column("host_b").to_pylist(),
+            out.column("n").to_pylist(),
+        )
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    # over-cap key skipped entirely
+    wide = pa.table(
+        {
+            "src": pa.array(["s"] * 10),
+            "dst": pa.array([f"d{i}" for i in range(10)]),
+        }
+    )
+    assert len(_copair_block(wide, "src", "dst", max_out=5, op="test")) == 0
