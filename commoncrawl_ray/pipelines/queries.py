@@ -12702,6 +12702,96 @@ FROM read_parquet('{_PHASH_ORACLE_PATH}')
 """
 
 
+def q_search_snippets(sf_dir: str, term: str = "data", width: int = 5):
+    """KWIC snippet generation — the serving-side last mile after
+    bm25_topk/phrase_search: for every document containing ``term``,
+    the ±``width``-word window around its FIRST occurrence (exact
+    whitespace tokens). Stateless single-pass map, zero exchange;
+    GENUINE SQL oracle via DuckDB list kernels (string_split +
+    list_position + inclusive slice — semantics matched exactly)."""
+
+    def snip(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_id: list[int] = []
+        out_pos: list[int] = []
+        out_sn: list[str] = []
+        for d, x in zip(ids, texts):
+            ws = (x or "").split(" ")
+            try:
+                i0 = ws.index(term)
+            except ValueError:
+                continue
+            out_id.append(d)
+            out_pos.append(i0 + 1)  # 1-based, the SQL list_position
+            out_sn.append(" ".join(ws[max(0, i0 - width) : i0 + width + 1]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "snippet": pa.array(out_sn, pa.string()),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"], min_blocks=8).map_batches(
+        snip, batch_format="pyarrow"
+    )
+
+
+SQL_SEARCH_SNIPPETS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, ws, list_position(ws, 'data') AS i FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS pos,
+       array_to_string(ws[greatest(1, i - 5) : least(len(ws), i + 5)], ' ')
+         AS snippet
+FROM m WHERE i > 0
+"""
+
+
+def q_lang_id_confusion(sf_dir: str):
+    """Language-ID confusion matrix — the standard eval artifact over
+    the lang_id_lm predictions: (true lang, predicted lang, n). Same
+    distributed prediction pipeline, one lang-square-scale groupby.
+    Oracle: SQL GROUP BY over the sequential lang-id oracle table."""
+    from ray.data.aggregate import Count
+
+    from ..stages.lm_score import lang_id_lm, train_char_lm_by_lang
+    from .oracle_sketch import oracle_lang_id_table
+
+    oracle_lang_id_table(sf_dir)
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "text"], min_blocks=4)
+    langs, mat = train_char_lm_by_lang(docs.select_columns(["lang", "text"]))
+    preds = lang_id_lm(docs, langs, mat)
+    return (
+        preds.groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "lang_pred": t.column("lang_pred"),
+                    "n": t.column("n").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+from .oracle_sketch import LANG_ID_ORACLE_PATH as _LANG_ID_PATH_  # noqa: E402
+
+SQL_LANG_ID_CONFUSION = f"""
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{_LANG_ID_PATH_}')
+GROUP BY 1, 2
+"""
+
+
 def q_crawl_fairness(sf_dir: str):
     """Crawl fairness audit: the Gini coefficient of per-host fetched
     counts over a short crawl's log — the crawl-ops metric for 'is the
@@ -13178,6 +13268,8 @@ REGISTRY: dict[str, tuple] = {
     "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
     "audio_fp_neardup": (q_audio_fp_neardup, SQL_AUDIO_FP_NEARDUP),
     "crawl_fairness": (q_crawl_fairness, SQL_CRAWL_FAIRNESS),
+    "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
+    "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
     "cocitation_hosts": (q_cocitation_hosts, SQL_COCITATION_HOSTS),
     "coupling_hosts": (q_coupling_hosts, SQL_COUPLING_HOSTS),
     "dup_window_census": (q_dup_window_census, SQL_DUP_WINDOW_CENSUS),

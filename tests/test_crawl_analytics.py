@@ -67,6 +67,44 @@ def test_cocitation_planted(ray_session):
     assert ds.count() == 5
 
 
+def test_search_snippet_boundaries(ray_session):
+    import ray.data as rd
+
+    from commoncrawl_ray.pipelines.queries import q_search_snippets
+
+    # exercise the window clamps through the same kernel the query
+    # uses, on a controlled table routed through a tmp sf_dir-like read
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    d = tempfile.mkdtemp(prefix="ccray_snip_")
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "data w2 w3 w4 w5 w6 w7",  # term at start: left clamp
+                    "w1 w2 w3 w4 w5 w6 data",  # term at end: right clamp
+                    "w1 data w3 data w5",  # first occurrence wins
+                    "no match here",
+                ]
+            ),
+        }
+    )
+    pq_mod.write_table(t, os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["pos"], r["snippet"])
+        for r in q_search_snippets(d).take_all()
+    }
+    assert got == {
+        0: (1, "data w2 w3 w4 w5 w6"),
+        1: (7, "w2 w3 w4 w5 w6 data"),
+        2: (2, "w1 data w3 data w5"),
+    }
+
+
 def test_copair_block_kernel():
     # the shared vectorized kernel: s1 -> {a,b,c}, s2 -> {a,b} yields
     # pairs (a,b):2 (a,c):1 (b,c):1, duplicate rows collapse first
