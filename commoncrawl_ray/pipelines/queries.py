@@ -12625,9 +12625,11 @@ _PHASH_MAX_HAMMING = 4
 
 
 def _phash_corpus_n(sf_dir: str) -> int:
+    # sf capped at 0.1 (n <= 2000): the brute-force all-pairs oracle
+    # is O(n^2) — the q_cocitation_hosts min(sf, ...) discipline
     from ..sources.synth import sf_from_dir
 
-    return max(64, int(sf_from_dir(sf_dir) * 20000))
+    return max(64, int(min(sf_from_dir(sf_dir), 0.1) * 20000))
 
 
 def ensure_phash_oracle_table(sf_dir: str, path: str = _PHASH_ORACLE_PATH) -> str:
@@ -12635,15 +12637,15 @@ def ensure_phash_oracle_table(sf_dir: str, path: str = _PHASH_ORACLE_PATH) -> st
     distributed path's band-LSH candidate generation (it enumerates
     every pair, so an LSH recall bug or bucket-cap mistake surfaces as
     a hash mismatch, not just a plan-integrity miss). Pure numpy, no
-    Ray session; idempotent tmp+rename."""
-    import os
-    import tempfile
-
-    import pyarrow.parquet as pqm
-
+    Ray session; freshness-cached + atomic (the oracle_sketch
+    discipline)."""
     from ..stages.multimodal import _dct_basis_int, phash_grid, synth_image_corpus
+    from .oracle_sketch import _is_fresh, _write_atomic
 
     n = _phash_corpus_n(sf_dir)
+    src_key = f"phash|v1|{n}|{_PHASH_MAX_HAMMING}"
+    if _is_fresh(path, src_key):
+        return path
     t = synth_image_corpus(n)
     basis = _dct_basis_int()
     hs = np.array(
@@ -12673,11 +12675,7 @@ def ensure_phash_oracle_table(sf_dir: str, path: str = _PHASH_ORACLE_PATH) -> st
             "hamming": pa.array(ham[hit]),
         }
     )
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
-    os.close(fd)
-    pqm.write_table(out, tmp)
-    os.replace(tmp, path)
-    return path
+    return _write_atomic(out, path, src_key)
 
 
 def q_phash_neardup(sf_dir: str):
@@ -12944,22 +12942,15 @@ def _copair_block(
     )
 
 
-def q_cocitation_hosts(sf_dir: str):
-    """Host co-citation similarity (Small 1973 — two hosts are related
-    when the same pages link BOTH): for every src host, its distinct
-    out-neighbor pairs, counted across all srcs; pairs co-cited >= 2
-    times survive. The IR-classic related-sites signal beside HITS/
-    SALSA on the same host graph.
-
-    Shape: the triangle wedge discipline over host STRINGS (the SQL
-    oracle compares d1 < d2 as varchar, so the wire stays strings) —
-    edges via ONE _distinct_sorted(src) exchange whose blocks are
-    already src-co-partitioned, per-src np.triu pair emission capped
-    at ``max_out`` with skip counters (never hit at test scale; the
-    oracle is uncapped plain SQL over the sequential edge table),
-    per-batch Counter pre-agg, ONE pair-scale groupby."""
+def _host_pair_query(sf_dir: str, sort_cols: list, key_col: str, val_col: str, op: str):
+    """Shared pipeline of q_cocitation_hosts / q_coupling_hosts: build
+    the host edge table from the pages universe, ONE _distinct_sorted
+    exchange on ``sort_cols`` (whose blocks are then key-co-partitioned
+    for free), the vectorized _copair_block pair emission, ONE
+    pair-scale groupby, n>=2 cut."""
     import os
 
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
@@ -12981,20 +12972,17 @@ def q_cocitation_hosts(sf_dir: str):
             batch_format="pyarrow",
         )
         .map_batches(extract_host_edges_batch, batch_format="pyarrow"),
-        ["src", "dst"],
+        sort_cols,
     )
-
     sums = (
         edges.map_batches(
-            lambda t: _copair_block(t, "src", "dst", max_out, "cocitation"),
+            lambda t: _copair_block(t, key_col, val_col, max_out, op),
             batch_format="pyarrow",
             batch_size=None,
         )
         .groupby(["host_a", "host_b"])
         .aggregate(Sum("n", alias_name="n_common"))
     )
-    import pyarrow.compute as pc
-
     return sums.map_batches(
         lambda t: pa.table(
             {
@@ -13005,6 +12993,18 @@ def q_cocitation_hosts(sf_dir: str):
         ).filter(pc.greater_equal(t.column("n_common"), 2)),
         batch_format="pyarrow",
     )
+
+
+def q_cocitation_hosts(sf_dir: str):
+    """Host co-citation similarity (Small 1973 — two hosts are related
+    when the same pages link BOTH): for every src host, its distinct
+    out-neighbor pairs, counted across all srcs; pairs co-cited >= 2
+    times survive. The IR-classic related-sites signal beside HITS/
+    SALSA on the same host graph. Shape + oracle notes:
+    _host_pair_query (the capped per-key np.triu wedge discipline;
+    the SQL oracle is the uncapped plain self-join over the
+    sequential edge table — cap never hit at test scale)."""
+    return _host_pair_query(sf_dir, ["src", "dst"], "src", "dst", "cocitation")
 
 
 SQL_COCITATION_HOSTS = """
@@ -13023,55 +13023,9 @@ def q_coupling_hosts(sf_dir: str):
     """Bibliographic coupling (Kessler 1963 — the dual of co-citation:
     two hosts are related when they link to the SAME targets): per dst
     host, all ordered pairs of its distinct in-linker srcs, counted
-    across dsts, n>=2 cut. Same _copair_block kernel and shape as
-    q_cocitation_hosts with the roles swapped — the co-partitioning
-    sort runs on dst."""
-    import os
-
-    from ray.data.aggregate import Sum
-
-    from ..sources.synth import pages_cache_dir, sf_from_dir, write_pages_parquet_ray
-    from ..stages.pagerank import _distinct_sorted, extract_host_edges_batch
-    from ..stages.parse_extract import parse_extract_batch
-    from .oracle_sketch import oracle_host_edges_table
-
-    max_out = 4096
-    sf = min(sf_from_dir(sf_dir), 0.01)
-    path = pages_cache_dir(sf)
-    if not os.path.isdir(path) or not os.listdir(path):
-        write_pages_parquet_ray(path, sf)
-    oracle_host_edges_table(sf_dir)
-    edges = _distinct_sorted(
-        rd.read_parquet(path, columns=["url", "warc_ts", "html"])
-        .map_batches(parse_extract_batch, batch_format="pyarrow", batch_size=None)
-        .map_batches(
-            lambda t: t.select(["url", "anchors", "base_url"]),
-            batch_format="pyarrow",
-        )
-        .map_batches(extract_host_edges_batch, batch_format="pyarrow"),
-        ["dst", "src"],
-    )
-    sums = (
-        edges.map_batches(
-            lambda t: _copair_block(t, "dst", "src", max_out, "coupling"),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        .groupby(["host_a", "host_b"])
-        .aggregate(Sum("n", alias_name="n_common"))
-    )
-    import pyarrow.compute as pc
-
-    return sums.map_batches(
-        lambda t: pa.table(
-            {
-                "host_a": t.column("host_a"),
-                "host_b": t.column("host_b"),
-                "n_common": t.column("n_common").cast(pa.int64()),
-            }
-        ).filter(pc.greater_equal(t.column("n_common"), 2)),
-        batch_format="pyarrow",
-    )
+    across dsts, n>=2 cut. Identical shape to q_cocitation_hosts with
+    the roles swapped — the co-partitioning sort runs on dst."""
+    return _host_pair_query(sf_dir, ["dst", "src"], "dst", "src", "coupling")
 
 
 SQL_COUPLING_HOSTS = """
@@ -13093,15 +13047,15 @@ _AFP_MAX_HAMMING = 6
 def ensure_audio_fp_oracle_table(sf_dir: str, path: str = _AFP_ORACLE_PATH) -> str:
     """Brute-force all-pairs audio-fingerprint hamming oracle —
     independent of the distributed band-LSH candidate path (the
-    phash oracle discipline). Pure numpy, tmp+rename idempotent."""
-    import os
-    import tempfile
-
-    import pyarrow.parquet as pqm
-
+    phash oracle discipline). Pure numpy, freshness-cached +
+    atomic."""
     from ..stages.multimodal import audio_fp_samples, synth_audio_corpus
+    from .oracle_sketch import _is_fresh, _write_atomic
 
     n = _phash_corpus_n(sf_dir)
+    src_key = f"audiofp|v1|{n}|{_AFP_MAX_HAMMING}"
+    if _is_fresh(path, src_key):
+        return path
     t = synth_audio_corpus(n)
     hs = np.array(
         [
@@ -13123,11 +13077,7 @@ def ensure_audio_fp_oracle_table(sf_dir: str, path: str = _AFP_ORACLE_PATH) -> s
             "hamming": pa.array(ham[hit]),
         }
     )
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
-    os.close(fd)
-    pqm.write_table(out, tmp)
-    os.replace(tmp, path)
-    return path
+    return _write_atomic(out, path, src_key)
 
 
 def q_audio_fp_neardup(sf_dir: str):
@@ -13155,14 +13105,18 @@ def ensure_suffix_oracle_table(sf_dir: str, path: str = _SUFFIX_ORACLE_PATH) -> 
     """Sequential duplicated-window census oracle — an INDEPENDENT
     algorithm (per-level Counter over actual token tuples) computing
     the same definition the distributed prefix-doubling ranks compute
-    (no shared kernels beyond str.split). tmp+rename idempotent."""
+    (no shared kernels beyond the tokenize+truncate guard).
+    Freshness-cached + atomic."""
     import os
-    import tempfile
 
     import pyarrow.parquet as pqm
 
     from ..stages.suffix import sequential_dup_window_census
+    from .oracle_sketch import _is_fresh, _write_atomic
 
+    src_key = f"suffix_census|v1|{os.path.abspath(sf_dir)}"
+    if _is_fresh(path, src_key):
+        return path
     t = pqm.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -13176,11 +13130,7 @@ def ensure_suffix_oracle_table(sf_dir: str, path: str = _SUFFIX_ORACLE_PATH) -> 
             "n_dup_8": pa.array([res[d][2] for d in ids], pa.int64()),
         }
     )
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
-    os.close(fd)
-    pqm.write_table(out, tmp)
-    os.replace(tmp, path)
-    return path
+    return _write_atomic(out, path, src_key)
 
 
 def q_dup_window_census(sf_dir: str):
@@ -13213,14 +13163,17 @@ def ensure_suffix_strip_oracle_table(
     sf_dir: str, path: str = _SUFFIX_STRIP_ORACLE_PATH
 ) -> str:
     """Sequential strip oracle (Counter + coverage mask — independent
-    of the doubling lattice). tmp+rename idempotent."""
+    of the doubling lattice). Freshness-cached + atomic."""
     import os
-    import tempfile
 
     import pyarrow.parquet as pqm
 
     from ..stages.suffix import sequential_dup_window_strip
+    from .oracle_sketch import _is_fresh, _write_atomic
 
+    src_key = f"suffix_strip|v1|{os.path.abspath(sf_dir)}"
+    if _is_fresh(path, src_key):
+        return path
     t = pqm.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -13234,11 +13187,7 @@ def ensure_suffix_strip_oracle_table(
             "n_stripped": pa.array([res[d][2] for d in ids], pa.int64()),
         }
     )
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
-    os.close(fd)
-    pqm.write_table(out, tmp)
-    os.replace(tmp, path)
-    return path
+    return _write_atomic(out, path, src_key)
 
 
 def q_dup_window_strip(sf_dir: str):

@@ -168,6 +168,13 @@ class _BlockWalker(HTMLParser):
             )
         self._chunks = []
         self._link_chars = 0
+        # real HTML routinely leaves <a> unclosed and HTMLParser never
+        # synthesizes the missing </a> — without this reset one stray
+        # anchor would mark every later block link-dense (density 1.0
+        # -> BAD) and empty the whole document's main text. A block
+        # boundary ends the anchor context (block-level tags close
+        # inline anchors in HTML5 tree building anyway).
+        self._anchor_depth = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:

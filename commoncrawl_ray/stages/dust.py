@@ -57,12 +57,14 @@ def pair_rule(u1: str, u2: str) -> tuple[str, str]:
 
 def group_rules(urls: list[str], max_group: int) -> Counter | None:
     """All pair rules within one digest group (None = group over cap,
-    caller counts the skip)."""
-    if len(urls) < 2:
-        return Counter()
-    if len(urls) > max_group:
-        return None
+    caller counts the skip). The cap applies to DISTINCT urls — a
+    crawl's evidence repeats sightings, and 100 sightings of 2 aliases
+    is one pair, not an over-wide group."""
     us = sorted(set(urls))
+    if len(us) < 2:
+        return Counter()
+    if len(us) > max_group:
+        return None
     out: Counter = Counter()
     for i in range(len(us) - 1):
         for j in range(i + 1, len(us)):

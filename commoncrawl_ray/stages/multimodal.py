@@ -507,15 +507,18 @@ def banded_hamming_pairs(
     max_hamming: int,
     max_bucket_docs: int | None = 4096,
     skip_op: str = "banded_hamming",
+    n_bands: int = 8,
 ):
     """(id, hash64) Dataset -> distinct (id_a, id_b, hamming) pairs
-    with hamming <= max_hamming (must be <= 7: pigeonhole over the 8
-    8-bit sub-bands guarantees a shared exact band). The
-    simhash_near_dup shape as a reusable reduction: band explode, ONE
-    sort exchange over slim (id, band, key, hash) rows, vectorized
-    XOR-popcount verify inside buckets, buckets wider than
-    ``max_bucket_docs`` skipped with counters, final (id_a, id_b)
-    groupby for distinctness."""
+    with hamming <= max_hamming. Pigeonhole recall guarantee: any pair
+    within hamming < n_bands shares at least one exact sub-band, so
+    ``max_hamming`` MUST be < ``n_bands`` (enforced — a silent recall
+    hole otherwise). ``n_bands`` must divide 64; 8x8-bit is the
+    pHash/audio default, 4x16-bit is the simhash regime. The reusable
+    reduction: band explode, ONE sort exchange over slim (id, band,
+    key, hash) rows, vectorized XOR-popcount verify inside buckets,
+    buckets wider than ``max_bucket_docs`` skipped with counters,
+    final (id_a, id_b) groupby for distinctness."""
     import pandas as pd
     from ray.data.aggregate import Min
 
@@ -523,21 +526,31 @@ def banded_hamming_pairs(
     from ..state.counters import count_skip
     from .dedup import _group_slices
 
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"of {n_bands} bands (needs max_hamming < n_bands)"
+        )
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
+
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         ids = batch.column(id_col).combine_chunks().cast(pa.int64())
         u = batch.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
-        keys = np.empty(8 * n, dtype=np.int64)
-        for b in range(8):
+        keys = np.empty(n_bands * n, dtype=np.int64)
+        for b in range(n_bands):
             keys[b * n : (b + 1) * n] = (
-                (u >> np.uint64(8 * b)) & np.uint64(0xFF)
+                (u >> np.uint64(band_bits * b)) & band_mask
             ).astype(np.int64)
         return pa.table(
             {
-                "id": pa.concat_arrays([ids] * 8),
-                "band": pa.array(np.repeat(np.arange(8, dtype=np.int32), n)),
+                "id": pa.concat_arrays([ids] * n_bands),
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32), n)),
                 "key": pa.array(keys),
-                "h": pa.array(np.tile(u.view(np.int64), 8)),
+                "h": pa.array(np.tile(u.view(np.int64), n_bands)),
             }
         )
 

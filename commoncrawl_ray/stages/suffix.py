@@ -45,9 +45,24 @@ import numpy as np
 import pyarrow as pa
 
 # position encoding: gid = doc_id * 2^20 + pos. Window shifts stay
-# inside a doc because levels stop at 2^19 and pos < 2^19.
+# inside a doc because docs are truncated to _MAX_DOC_TOKENS below, so
+# pos + 2^max_level never reaches the next doc's gid space.
 _POS_BITS = 20
 _POS_MOD = 1 << _POS_BITS
+_MAX_LEVEL_CAP = 10  # windows up to 1024 tokens
+# hard truncation guard: without it a >= 2^20-token document would
+# silently overflow into doc_id+1's gid range and the shift join would
+# fuse windows ACROSS documents — corruption, not an error. Both the
+# distributed explode and the sequential oracles truncate at the same
+# constant, so parity holds by definition; truncations are counted.
+_MAX_DOC_TOKENS = _POS_MOD - (1 << _MAX_LEVEL_CAP)
+
+
+def _doc_tokens(text: str | None) -> list[str]:
+    """The shared tokenizer + truncation guard (distributed explode
+    AND sequential oracles — parity by construction)."""
+    ws = (text or "").split()
+    return ws[:_MAX_DOC_TOKENS] if len(ws) > _MAX_DOC_TOKENS else ws
 
 
 def explode_tokens_batch(t: pa.Table) -> pa.Table:
@@ -57,11 +72,19 @@ def explode_tokens_batch(t: pa.Table) -> pa.Table:
     texts = t.column("text").to_pylist()
     gids: list[int] = []
     toks: list[str] = []
+    truncated = 0
     for d, x in zip(ids, texts):
-        ws = (x or "").split()
+        full = (x or "").split()
+        if len(full) > _MAX_DOC_TOKENS:
+            truncated += 1
+            full = full[:_MAX_DOC_TOKENS]
         base = d * _POS_MOD
-        gids.extend(base + p for p in range(len(ws)))
-        toks.extend(ws)
+        gids.extend(base + p for p in range(len(full)))
+        toks.extend(full)
+    if truncated:
+        from ..state.counters import count_skip
+
+        count_skip("suffix_explode_truncated", rows=truncated)
     return pa.table(
         {
             "gid": pa.array(gids, pa.int64()),
@@ -217,7 +240,11 @@ def window_class_levels(rows, max_level: int, parts: int = 8):
                 }
             )
 
-        fused = paired.map_batches(fuse, batch_format="pyarrow")
+        # materialize BEFORE the emptiness check: fused is lazy, and
+        # count() would otherwise execute the shift merge_join once
+        # for the check and _canon_classes' sort would re-execute it —
+        # the level's dominant exchange paid twice
+        fused = paired.map_batches(fuse, batch_format="pyarrow").materialize()
         if fused.count() == 0:
             break
         level = _canon_classes(fused, "key").repartition(parts).materialize()
@@ -236,7 +263,12 @@ def dup_window_census(docs_ds, max_level: int = 7, parts: int = 8):
 
     from .joins import merge_join
 
-    rows = docs_ds.map_batches(explode_tokens_batch, batch_format="pyarrow")
+    # materialized: window_class_levels' n_total count and the level-0
+    # sort would otherwise each run the explode (strip already does
+    # this; same reasoning as the fused materialize inside the loop)
+    rows = docs_ds.map_batches(
+        explode_tokens_batch, batch_format="pyarrow"
+    ).materialize()
     censuses = [
         _level_census(level, k)
         for k, level in window_class_levels(rows, max_level, parts)
@@ -448,7 +480,7 @@ def sequential_dup_window_strip(doc_rows: list[dict], window_level: int = 3) -> 
     from collections import Counter
 
     w = 1 << window_level
-    toks = {r["doc_id"]: (r["text"] or "").split() for r in doc_rows}
+    toks = {r["doc_id"]: _doc_tokens(r["text"]) for r in doc_rows}
     counts: Counter = Counter()
     for ws in toks.values():
         for p in range(len(ws) - w + 1):
@@ -471,7 +503,7 @@ def sequential_dup_window_census(doc_rows: list[dict], max_level: int = 7) -> di
     n_dup_1, n_dup_8)}."""
     from collections import Counter
 
-    toks = {r["doc_id"]: (r["text"] or "").split() for r in doc_rows}
+    toks = {r["doc_id"]: _doc_tokens(r["text"]) for r in doc_rows}
     out = {d: [0, 0, 0] for d in toks}
     for k in range(0, max_level + 1):
         w = 1 << k

@@ -68,6 +68,21 @@ def test_short_block_context_propagation():
     assert labels[texts.index("stub")] == BAD
 
 
+def test_unclosed_anchor_does_not_poison_later_blocks():
+    # real HTML routinely leaves <a> unclosed; the block flush must
+    # reset the anchor context or every later block reads link-dense
+    html = (
+        "<body><div><a href='/x'>unclosed link"
+        "</div><p>a long plain content paragraph with zero anchors in it</p></body>"
+    )
+    w = walk_blocks(html)
+    labels = classify_blocks(w.blocks)
+    texts = [b["text"] for b in w.blocks]
+    i = texts.index("a long plain content paragraph with zero anchors in it")
+    assert w.blocks[i]["link_chars"] == 0
+    assert labels[i] == GOOD
+
+
 def test_structured_extraction_kinds():
     html = wrap_document_html(7, "alpha beta gamma", "de", "srcX")
     rows = extract_structured(html)

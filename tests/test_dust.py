@@ -47,6 +47,13 @@ def test_group_rules_cap():
     assert isinstance(r, Counter) and sum(r.values()) == 3  # C(3,2)
 
 
+def test_cap_applies_to_distinct_urls_not_sightings():
+    # 100 sightings of 2 aliases is one pair, not an over-wide group
+    urls = ["http://h/a", "http://h/a?print=1"] * 50
+    r = group_rules(urls, max_group=8)
+    assert r == Counter({("", "?print=1"): 1})
+
+
 def test_identical_urls_collapse():
     # duplicate sightings of the same URL must not emit empty->empty
     r = group_rules(["http://h/a", "http://h/a"], max_group=8)
